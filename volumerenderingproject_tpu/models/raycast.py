@@ -1,0 +1,297 @@
+"""The flagship renderer: differentiable volume ray-casting, TPU-first.
+
+Functional form: ``render(volume, tf, camera, config) -> image [W, H, 4]``,
+image indexed ``[pixel_x, pixel_y]`` like the reference's column-major screen
+buffer (pixel id = x*SCR_HEIGHT + y, kernel.cu:25,199).
+
+Replicates the two CUDA ray-cast pipelines:
+
+  * VRC / a1 (kernel.cu:40-70 calculateSampleColor + 194-225 blend):
+    per sample, world position -> modelAux (+0.5, kernel.cu:1046-1063) ->
+    octree nearest-neighbor sample -> /cal_max -> transfer function ->
+    back-to-front over-blend seeded at the background.
+  * TEST / a5 (kernel.cu:72-187 getColorFromNF): camera-grid positions
+    through modelCam -> inverseView -> toVolumeTransform (kernel.cu:1177-1222),
+    color-space trilinear sampling, same blend.
+
+TPU-native design notes (vs the CUDA 3-kernel + 3.92 GB sample buffer):
+  * The march is a ``lax.scan`` over the sample axis — O(W*H) live memory
+    instead of the reference's materialized W*H*spr*16B buffer
+    (kernel.cu:1036-1043).  ``mode="reference"`` scans back-to-front with the
+    reference's exact accumulation order; ``mode="fast"`` scans front-to-back
+    in transmittance form (identical math, reordered rounding) and is the
+    basis for early-termination / empty-space skipping.
+  * Each scan step is fully vectorized over all rays (VPU-friendly), with a
+    single flat gather into the volume; ray setup is closed-form, no
+    materialized primary-ray buffer needed (kept available for parity tests).
+  * ``remat=True`` wraps the per-step sampling in ``jax.checkpoint`` so the
+    backward pass recomputes samples instead of storing spr residual planes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ingest.volume import Volume
+from ..scene.camera import Camera
+from ..scene.transfer_function import TransferFunction
+from ..utils import transforms as T
+from ..utils.config import Algorithm, Interp, RenderConfig
+from ..ops import composite as comp
+from ..ops import sampling
+
+_f32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Ray setup
+# ---------------------------------------------------------------------------
+
+
+def pixel_grid(config: RenderConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pixel index grids X, Y of shape [W, H] (float32)."""
+    x = jax.lax.broadcasted_iota(_f32, (config.width, config.height), 0)
+    y = jax.lax.broadcasted_iota(_f32, (config.width, config.height), 1)
+    return x, y
+
+
+def primary_ray_dirs(camera: Camera, config: RenderConfig) -> jnp.ndarray:
+    """Per-pixel ray directions [W, H, 3] (rayDirectionKernel kernel.cu:20-38).
+
+    Ortho: cameraFront for every pixel.  Conic: normalize(top_left
+    + x*(w/W)*right + y*(h/H)*(-up) - cameraPos); note `+right` and the
+    ortho-formula top_left, replicated on purpose (see scene/camera.py).
+    """
+    if not config.conic:
+        return jnp.broadcast_to(
+            camera.front, (config.width, config.height, 3)
+        ).astype(_f32)
+    x, y = pixel_grid(config)
+    w = jnp.asarray(config.real_screen_width, _f32)
+    h = jnp.asarray(config.real_screen_height, _f32)
+    xt = ((x * w) / config.width)[..., None] * camera.right
+    yt = ((y * h) / config.height)[..., None] * (-camera.up)
+    top_left = camera.top_left
+    if config.conic_corrected:
+        # the intended conic corner (utils.h:63-65, commented out upstream)
+        top_left = top_left + jnp.asarray(
+            config.viewplane_distance, _f32
+        ) * camera.front
+    return T.normalize(top_left + xt + yt - camera.position)
+
+
+def ray_origins(camera: Camera, config: RenderConfig) -> jnp.ndarray:
+    """Per-pixel ray origins [W, H, 3].
+
+    Ortho: the pixel's point on the screen plane, built with the CUDA
+    kernel's exact add order ``(top_left + xterm) + yterm``
+    (kernel.cu:56-58).  Conic: cameraPos (kernel.cu:54).
+    """
+    if config.conic:
+        return jnp.broadcast_to(
+            camera.position, (config.width, config.height, 3)
+        ).astype(_f32)
+    x, y = pixel_grid(config)
+    w = jnp.asarray(config.real_screen_width, _f32)
+    h = jnp.asarray(config.real_screen_height, _f32)
+    xt = ((x * w) / config.width)[..., None] * camera.right
+    yt = ((y * h) / config.height)[..., None] * (-camera.up)
+    return (camera.top_left + xt) + yt
+
+
+# ---------------------------------------------------------------------------
+# Per-sample color functions
+# ---------------------------------------------------------------------------
+
+
+def _vrc_sample_rgba(
+    positions: jnp.ndarray,
+    volume: Volume,
+    tf: TransferFunction,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """a1 per-sample classify: modelAux(+0.5) -> octree NN -> TF."""
+    vol_flat = volume.data.reshape(-1)
+    p = positions + jnp.asarray(0.5, _f32)  # modelAux kernel.cu:1050
+    if config.interp is Interp.TRILINEAR:
+        # smooth differentiable extension: trilinear intensities + smooth TF
+        vox = _to_volume_space(p, volume)
+        v = sampling.trilinear_intensity_sample(volume.data, vox)
+        rgba = tf.classify_smooth(v / volume.cal_max, config.tf_sharpness)
+    else:
+        v = sampling.octree_nn_sample(
+            vol_flat, volume.dims, volume.octree_depth, p
+        )
+        rgba = tf.classify(v / volume.cal_max)
+    if config.density_scale != 1.0:
+        a = rgba[..., 3:4] * jnp.asarray(config.density_scale, _f32)
+        rgba = jnp.concatenate([rgba[..., :3], jnp.clip(a, 0.0, 1.0)], axis=-1)
+    return rgba
+
+
+def _to_volume_space(p: jnp.ndarray, volume: Volume) -> jnp.ndarray:
+    """NiftiFile::toVolumeSpace (BinaryLoader.cu:247-269) minus the +0.5
+    (callers pass post-modelAux points): scale by L, center the dataset."""
+    L = jnp.asarray(float(volume.longest_dimension), _f32)
+    dimv = jnp.asarray(volume.dims, _f32)
+    return p * L + (dimv / 2.0 - L / 2.0)
+
+
+def _a5_positions(
+    x: jnp.ndarray, y: jnp.ndarray, i: jnp.ndarray, camera: Camera,
+    volume: Volume, config: RenderConfig
+) -> jnp.ndarray:
+    """a5 sample positions in voxel space, applying the three stage matrices
+    sequentially like the kernel (kernel.cu:100-115)."""
+    model_cam = T.scale(
+        T.translate(
+            T.identity(),
+            (-config.real_screen_width / 2.0, -config.real_screen_height / 2.0, 0.0),
+        ),
+        (
+            config.real_screen_width / config.width,
+            config.real_screen_height / config.height,
+            -config.viewplane_distance / config.samples_per_ray,
+        ),
+    )  # kernel.cu:1177-1192
+    inverse_view = T.inverse(camera.look_at_origin_view())  # kernel.cu:1197-1198
+    L = float(volume.longest_dimension)
+    to_volume = (
+        T.translation(
+            (
+                volume.dims[0] / 2.0 - L / 2.0,
+                volume.dims[1] / 2.0 - L / 2.0,
+                volume.dims[2] / 2.0 - L / 2.0,
+            )
+        )
+        @ T.scaling((L, L, L))
+        @ T.translation((0.5, 0.5, 0.5))
+    )  # kernel.cu:1203-1217
+
+    grid = jnp.stack(
+        [x, y, jnp.broadcast_to(i, x.shape).astype(_f32)], axis=-1
+    )
+    pos = T.apply(model_cam, grid)
+    pos = T.apply(inverse_view, pos)
+    pos = T.apply(to_volume, pos)
+    return pos
+
+
+# ---------------------------------------------------------------------------
+# The march
+# ---------------------------------------------------------------------------
+
+
+def _march(
+    sample_rgba_fn,
+    config: RenderConfig,
+    mode: str,
+    remat: bool,
+) -> jnp.ndarray:
+    """Scan the sample axis; ``sample_rgba_fn(i_f32) -> [W, H, 4]``."""
+    spr = config.samples_per_ray
+    bg = jnp.asarray(config.background, _f32)
+    if remat:
+        sample_rgba_fn = jax.checkpoint(sample_rgba_fn)
+    steps = jnp.arange(spr, dtype=_f32)
+
+    if mode == "reference":
+        acc0 = jnp.broadcast_to(bg[:3], (config.width, config.height, 3))
+
+        def step(acc, i):
+            return comp.over_step_btf(acc, sample_rgba_fn(i)), None
+
+        acc, _ = jax.lax.scan(step, acc0, steps, reverse=True)
+        alpha = jnp.ones(acc.shape[:-1] + (1,), _f32)
+        return jnp.concatenate([acc, alpha], axis=-1)
+
+    if mode == "fast":
+        seg0 = comp.segment_identity((config.width, config.height))
+
+        def step(seg, i):
+            return comp.segment_update(seg, sample_rgba_fn(i)), None
+
+        seg, _ = jax.lax.scan(step, seg0, steps)
+        return comp.segment_finalize(seg, bg)
+
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def render_vrc(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    mode: str = "fast",
+    remat: bool = True,
+) -> jnp.ndarray:
+    """a1/VRC render -> [W, H, 4] (alpha all 1)."""
+    origins = ray_origins(camera, config)
+    dirs = primary_ray_dirs(camera, config)
+    ds = jnp.asarray(config.sample_distance, _f32)
+    clip = jnp.asarray(config.front_clip, _f32)
+
+    def sample_rgba(i):
+        t = i * ds + clip  # kernel.cu:54,59
+        pos = origins + t * dirs
+        return _vrc_sample_rgba(pos, volume, tf, config)
+
+    return _march(sample_rgba, config, mode, remat)
+
+
+def render_test(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    mode: str = "fast",
+    remat: bool = True,
+) -> jnp.ndarray:
+    """a5/TEST render -> [W, H, 4]."""
+    x, y = pixel_grid(config)
+    vol_flat = volume.data.reshape(-1)
+
+    def sample_rgba(i):
+        pos = _a5_positions(x, y, i, camera, volume, config)
+        return sampling.trilinear_color_sample(
+            vol_flat, volume.dims, pos, tf.classify, volume.cal_max
+        )
+
+    return _march(sample_rgba, config, mode, remat)
+
+
+def render(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    mode: str = "fast",
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Dispatch on config.algorithm (renderLoop myApp.cu:875-1056)."""
+    if config.algorithm is Algorithm.TEST:
+        return render_test(volume, tf, camera, config, mode=mode, remat=remat)
+    if config.algorithm is Algorithm.POINT:
+        from . import point_splat
+
+        return point_splat.render_points(volume, tf, camera, config)
+    return render_vrc(volume, tf, camera, config, mode=mode, remat=remat)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mode", "remat"))
+def render_jit(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    mode: str = "fast",
+    remat: bool = True,
+) -> jnp.ndarray:
+    return render(volume, tf, camera, config, mode=mode, remat=remat)

@@ -1,0 +1,212 @@
+"""Volume sampling ops with bit-careful reference parity.
+
+Two samplers, both vectorized over arbitrary batch shapes of query points:
+
+  * :func:`octree_nn_sample` — the *value* semantics of the reference's
+    min/max array octree query (Octree.cu:158-183 / device mirror :286-311).
+    Because the reference octree is complete (every leaf at depth d) and its
+    leaves are filled by nearest-voxel lookup of the *centered* dataset
+    (Octree.cu:85-108), the query's value is exactly: snap the point to the
+    2^d dyadic grid, map the cell's lower corner to voxel space, truncate,
+    fetch.  The octree only changes *speed* (empty-space skip when
+    max==min), never output — see accel/pyramid.py for the skip structure.
+
+    float32 parity notes (each step mirrors one C expression):
+      - ``k = floor(p * 2^d)``: multiplying by a power of two is exact in
+        f32, and the octree's dyadic node bounds are exact (corners are
+        dyadic rationals built by exact halving, Octree.cu:131-156), so this
+        floor reproduces the descent's inside tests (Octree.cu:257-268).
+      - ``res = (k / 2^d) * L``: one f32 rounding, same as glm's
+        scale-matrix multiply in updateNode (Octree.cu:85-88).
+      - centered-range check on ``res`` then ``(int)((res + dim/2) - L/2)``
+        truncation (Octree.cu:91-100); all the /2 constants are exact halves.
+      - negative leaf values are clamped to 0 because the descent combines
+        children with ``if (aux > res)`` starting from res = 0
+        (Octree.cu:172-177).
+
+  * :func:`trilinear_color_sample` — the a5/TEST kernel's color-space
+    trilinear interpolation (kernel.cu:117-178): fetch the 8 corner voxels
+    (offsets added in *float*, truncated per axis), classify EACH through the
+    transfer function, then mix the RGBA colors y->x->z with
+    ``difference = pos - trunc(pos)``.  The only out-of-range guard is
+    ``flat_index < totaldim`` (kernel.cu:130 etc.) — indices wrap across
+    rows exactly like the reference.  Outside the volume the sample takes
+    TF(0)'s color (kernel.cu:117).
+
+  * :func:`trilinear_intensity_sample` — smooth extension (no reference
+    counterpart): interpolate intensities, zero-padded at the boundary.
+    Fully differentiable w.r.t. the volume; used by the optimization path.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+_f32 = jnp.float32
+
+
+def octree_nn_sample(
+    volume_flat: jnp.ndarray,
+    dims: Tuple[int, int, int],
+    depth: int,
+    p: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sample at normalized unit-cube points ``p`` (..., 3) — a1 semantics.
+
+    Args:
+      volume_flat: [X*Y*Z] float32 (C-order, x-major: BinaryLoader.cu:234-238).
+      dims: (X, Y, Z) static ints.
+      depth: octree depth d = ceil(log2(longest_dimension)) (Octree.cu:40-41).
+      p: query points in the octree's root cube [0,1)^3 (post-modelAux).
+
+    Returns: intensities, shape p.shape[:-1]; 0 outside [0,1)^3 or outside the
+    centered dataset extent; negatives clamped to 0 (see module docstring).
+    """
+    d1, d2, d3 = dims
+    L = float(max(dims))
+    n = float(2**depth)
+    dimv = jnp.asarray([d1, d2, d3], _f32)
+
+    p = p.astype(_f32)
+    inside_root = jnp.all((p >= 0.0) & (p < 1.0), axis=-1)
+
+    k = jnp.floor(p * n)  # exact: *2^d only shifts the exponent
+    res = (k / n) * jnp.asarray(L, _f32)  # one rounding, as in updateNode
+
+    half_gap = jnp.asarray(L, _f32) / 2.0 - dimv / 2.0  # exact halves
+    in_dataset = jnp.all((res >= half_gap) & (res < half_gap + dimv), axis=-1)
+
+    t = (res + dimv / 2.0) - jnp.asarray(L, _f32) / 2.0
+    ijk = jnp.trunc(t).astype(jnp.int32)
+    flat = ijk[..., 0] * (d2 * d3) + ijk[..., 1] * d3 + ijk[..., 2]
+    flat = jnp.clip(flat, 0, d1 * d2 * d3 - 1)
+
+    vals = jnp.take(volume_flat, flat, axis=0)
+    vals = jnp.maximum(vals, 0.0)  # descent drops negatives (Octree.cu:172-177)
+    return jnp.where(inside_root & in_dataset, vals, jnp.asarray(0.0, _f32))
+
+
+# Corner offsets in the a5 kernel's fetch order (kernel.cu:129-159):
+# X1..X8 = (0,0,0),(0,0,1),(0,1,0),(0,1,1),(1,0,0),(1,0,1),(1,1,0),(1,1,1)
+_A5_OFFSETS = (
+    (0.0, 0.0, 0.0),
+    (0.0, 0.0, 1.0),
+    (0.0, 1.0, 0.0),
+    (0.0, 1.0, 1.0),
+    (1.0, 0.0, 0.0),
+    (1.0, 0.0, 1.0),
+    (1.0, 1.0, 0.0),
+    (1.0, 1.0, 1.0),
+)
+
+
+def corner_intensities(
+    volume_flat: jnp.ndarray,
+    dims: Tuple[int, int, int],
+    pos: jnp.ndarray,
+) -> jnp.ndarray:
+    """The 8 corner intensities for a5 interpolation, shape (..., 8).
+
+    Replicates the reference's per-corner index computation: offsets are
+    added in float before per-axis truncation, and the only bound guard is
+    ``flat < totaldim`` (kernel.cu:129-159).
+    """
+    d1, d2, d3 = dims
+    total = d1 * d2 * d3
+    pos = pos.astype(_f32)
+    outs = []
+    for off in _A5_OFFSETS:
+        q = pos + jnp.asarray(off, _f32)
+        ijk = jnp.trunc(q).astype(jnp.int32)
+        flat = ijk[..., 0] * (d2 * d3) + ijk[..., 1] * d3 + ijk[..., 2]
+        ok = flat < total
+        vals = jnp.take(volume_flat, jnp.clip(flat, 0, total - 1), axis=0)
+        outs.append(jnp.where(ok, vals, jnp.asarray(0.0, _f32)))
+    return jnp.stack(outs, axis=-1)
+
+
+def trilinear_mix_colors(colors8: jnp.ndarray, frac: jnp.ndarray) -> jnp.ndarray:
+    """Mix 8 corner RGBAs (..., 8, 4) with fractions (..., 3), y->x->z order
+    (kernel.cu:161-175)."""
+    fx = frac[..., 0:1]
+    fy = frac[..., 1:2]
+    fz = frac[..., 2:3]
+    c = colors8
+    cy1 = c[..., 0, :] * (1.0 - fy) + c[..., 2, :] * fy
+    cy2 = c[..., 1, :] * (1.0 - fy) + c[..., 3, :] * fy
+    cy3 = c[..., 4, :] * (1.0 - fy) + c[..., 6, :] * fy
+    cy4 = c[..., 5, :] * (1.0 - fy) + c[..., 7, :] * fy
+    cz1 = cy1 * (1.0 - fx) + cy3 * fx
+    cz2 = cy2 * (1.0 - fx) + cy4 * fx
+    return cz1 * (1.0 - fz) + cz2 * fz
+
+
+def trilinear_color_sample(
+    volume_flat: jnp.ndarray,
+    dims: Tuple[int, int, int],
+    pos: jnp.ndarray,
+    classify_fn,
+    cal_max: jnp.ndarray,
+) -> jnp.ndarray:
+    """a5/TEST sample color at voxel-space positions (..., 3) -> (..., 4)."""
+    pos = pos.astype(_f32)
+    dimv = jnp.asarray(dims, _f32)
+    inside = jnp.all((pos >= 0.0) & (pos < dimv), axis=-1)
+
+    intens = corner_intensities(volume_flat, dims, pos)  # (..., 8)
+    colors8 = classify_fn(intens / cal_max)  # (..., 8, 4)
+    frac = pos - jnp.trunc(pos)  # `difference` kernel.cu:127
+    mixed = trilinear_mix_colors(colors8, frac)
+
+    outside_color = classify_fn(jnp.zeros_like(cal_max))  # TF(0) kernel.cu:117
+    return jnp.where(inside[..., None], mixed, outside_color)
+
+
+def trilinear_intensity_sample(
+    volume: jnp.ndarray,
+    pos: jnp.ndarray,
+) -> jnp.ndarray:
+    """Smooth-mode intensity sample at voxel-space positions (..., 3).
+
+    Standard zero-padded trilinear interpolation of intensities; the
+    differentiable counterpart of :func:`octree_nn_sample` (no reference
+    equivalent — the reference only interpolates colors).
+    """
+    d1, d2, d3 = volume.shape[:3]
+    pos = pos.astype(_f32)
+    base = jnp.floor(pos)
+    frac = pos - base
+    basei = base.astype(jnp.int32)
+
+    def fetch(ox, oy, oz):
+        ix = basei[..., 0] + ox
+        iy = basei[..., 1] + oy
+        iz = basei[..., 2] + oz
+        ok = (
+            (ix >= 0) & (ix < d1) & (iy >= 0) & (iy < d2) & (iz >= 0) & (iz < d3)
+        )
+        flat = (
+            jnp.clip(ix, 0, d1 - 1) * (d2 * d3)
+            + jnp.clip(iy, 0, d2 - 1) * d3
+            + jnp.clip(iz, 0, d3 - 1)
+        )
+        v = jnp.take(volume.reshape(d1 * d2 * d3, -1), flat, axis=0)
+        return jnp.where(ok[..., None], v, jnp.asarray(0.0, _f32))
+
+    fx = frac[..., 0:1]
+    fy = frac[..., 1:2]
+    fz = frac[..., 2:3]
+    c000, c001 = fetch(0, 0, 0), fetch(0, 0, 1)
+    c010, c011 = fetch(0, 1, 0), fetch(0, 1, 1)
+    c100, c101 = fetch(1, 0, 0), fetch(1, 0, 1)
+    c110, c111 = fetch(1, 1, 0), fetch(1, 1, 1)
+    c00 = c000 * (1 - fz) + c001 * fz
+    c01 = c010 * (1 - fz) + c011 * fz
+    c10 = c100 * (1 - fz) + c101 * fz
+    c11 = c110 * (1 - fz) + c111 * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    out = c0 * (1 - fx) + c1 * fx
+    return out.squeeze(-1) if out.shape[-1] == 1 else out
