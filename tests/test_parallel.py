@@ -1,0 +1,100 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from volumerenderingproject_tpu import (
+    Camera,
+    RenderConfig,
+    default_transfer_function,
+    make_volume,
+)
+from volumerenderingproject_tpu.models.raycast import render_vrc
+from volumerenderingproject_tpu.parallel.mesh import make_mesh
+from volumerenderingproject_tpu.parallel.render_dist import render_vrc_sharded
+
+
+@pytest.fixture(scope="module")
+def scene(rng=None):
+    rng = np.random.default_rng(7)
+    vol_np = rng.uniform(0.0, 255.0, size=(8, 10, 9)).astype(np.float32)
+    volume = make_volume(vol_np)
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.4, 0.3, 0.9))
+    cfg = RenderConfig(width=16, height=6, samples_per_ray=24)
+    return volume, tf, cam, cfg
+
+
+def _single(volume, tf, cam, cfg):
+    return np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+
+
+def test_rays_axis_matches_single(scene):
+    volume, tf, cam, cfg = scene
+    mesh = make_mesh(rays=8, samples=1, volume=1)
+    got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg, mesh))
+    np.testing.assert_allclose(got, _single(volume, tf, cam, cfg), atol=1e-6)
+
+
+def test_samples_axis_matches_single(scene):
+    volume, tf, cam, cfg = scene
+    mesh = make_mesh(rays=2, samples=4, volume=1)
+    got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg, mesh))
+    np.testing.assert_allclose(got, _single(volume, tf, cam, cfg), atol=1e-5)
+
+
+def test_volume_axis_matches_single(scene):
+    volume, tf, cam, cfg = scene
+    mesh = make_mesh(rays=2, samples=1, volume=4)
+    got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg, mesh))
+    np.testing.assert_allclose(got, _single(volume, tf, cam, cfg), atol=1e-5)
+
+
+def test_volume_axis_negative_front_x(scene):
+    volume, tf, cam, cfg = scene
+    cam2 = Camera.initial(position=(-0.6, 0.2, 0.7))  # front.x > 0... mirrored
+    assert float(cam2.front[0]) > 0
+    cam3 = Camera.initial(position=(0.6, 0.2, 0.7))
+    assert float(cam3.front[0]) < 0
+    mesh = make_mesh(rays=1, samples=1, volume=8)
+    for cam_i in (cam2, cam3):
+        got = np.asarray(render_vrc_sharded(volume, tf, cam_i, cfg, mesh))
+        np.testing.assert_allclose(
+            got, _single(volume, tf, cam_i, cfg), atol=1e-5
+        )
+
+
+def test_full_3d_mesh(scene):
+    volume, tf, cam, cfg = scene
+    mesh = make_mesh(rays=2, samples=2, volume=2)
+    got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg, mesh))
+    np.testing.assert_allclose(got, _single(volume, tf, cam, cfg), atol=1e-5)
+
+
+def test_sharded_gradients_match_single(scene):
+    volume, tf, cam, cfg = scene
+    mesh = make_mesh(rays=2, samples=2, volume=1)
+    target = jnp.zeros((cfg.width, cfg.height, 4), jnp.float32)
+
+    def loss_single(colors):
+        tf2 = tf.__class__(tf.lower, tf.upper, colors, tf.hg_g)
+        img = render_vrc(volume, tf2, cam, cfg, mode="fast")
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    def loss_sharded(colors):
+        tf2 = tf.__class__(tf.lower, tf.upper, colors, tf.hg_g)
+        img = render_vrc_sharded(volume, tf2, cam, cfg, mesh)
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_single)(tf.colors))
+    g2 = np.asarray(jax.grad(loss_sharded)(tf.colors))
+    assert np.abs(g1).sum() > 0
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-7)
+
+
+def test_mesh_validation(scene):
+    volume, tf, cam, cfg = scene
+    mesh = make_mesh(rays=8, samples=1, volume=1)
+    bad_cfg = cfg.replace(width=15)  # not divisible by 8
+    with pytest.raises(ValueError):
+        render_vrc_sharded(volume, tf, cam, bad_cfg, mesh)

