@@ -137,8 +137,14 @@ def _vrc_sample_rgba(
     volume: Volume,
     tf: TransferFunction,
     config: RenderConfig,
+    shading=None,
 ) -> jnp.ndarray:
-    """a1 per-sample classify: modelAux(+0.5) -> octree NN -> TF."""
+    """a1 per-sample classify: modelAux(+0.5) -> octree NN -> TF [-> Phong].
+
+    ``shading``, when set, is a (grad_flat [X*Y*Z, 3], light, view_dir)
+    triple: the sample's density gradient becomes the Phong normal
+    (the working upgrade of the reference's LightInteraction stub, C16).
+    """
     vol_flat = volume.data.reshape(-1)
     p = positions + jnp.asarray(0.5, _f32)  # modelAux kernel.cu:1050
     if config.interp is Interp.TRILINEAR:
@@ -146,11 +152,29 @@ def _vrc_sample_rgba(
         vox = _to_volume_space(p, volume)
         v = sampling.trilinear_intensity_sample(volume.data, vox)
         rgba = tf.classify_smooth(v / volume.cal_max, config.tf_sharpness)
+        flat = valid = None
     else:
-        v = sampling.octree_nn_sample(
-            vol_flat, volume.dims, volume.octree_depth, p
+        flat, valid = sampling.octree_nn_index(
+            volume.dims, volume.octree_depth, p
         )
+        v = jnp.maximum(jnp.take(vol_flat, flat, axis=0), 0.0)
+        v = jnp.where(valid, v, jnp.asarray(0.0, _f32))
         rgba = tf.classify(v / volume.cal_max)
+
+    if shading is not None:
+        from ..ops import phong
+
+        grad_flat, light, view_dir = shading
+        if flat is None:
+            vox = _to_volume_space(p, volume)
+            flat, valid = sampling.octree_nn_index(
+                volume.dims, volume.octree_depth, p
+            )
+        normal = jnp.take(grad_flat, flat, axis=0)
+        normal = jnp.where(valid[..., None], normal, 0.0)
+        shaded = phong.phong_shade(rgba[..., :3], normal, view_dir, light)
+        rgba = jnp.concatenate([shaded, rgba[..., 3:4]], axis=-1)
+
     if config.density_scale != 1.0:
         a = rgba[..., 3:4] * jnp.asarray(config.density_scale, _f32)
         rgba = jnp.concatenate([rgba[..., :3], jnp.clip(a, 0.0, 1.0)], axis=-1)
@@ -264,17 +288,34 @@ def render_vrc(
     *,
     mode: str = "fast",
     remat: bool = True,
+    light=None,
 ) -> jnp.ndarray:
-    """a1/VRC render -> [W, H, 4] (alpha all 1)."""
+    """a1/VRC render -> [W, H, 4] (alpha all 1).
+
+    With ``config.lighting`` (or an explicit ``light``), samples are
+    Phong-shaded using central-difference density-gradient normals
+    (BASELINE.json config 2; no working reference counterpart — C16 is a
+    stub).  The gradient field is computed once per call, outside the march.
+    """
     origins = ray_origins(camera, config)
     dirs = primary_ray_dirs(camera, config)
     ds = jnp.asarray(config.sample_distance, _f32)
     clip = jnp.asarray(config.front_clip, _f32)
 
+    shading = None
+    if config.lighting or light is not None:
+        from ..ops import conv3d, phong
+
+        if light is None:
+            light = phong.default_light()
+        data = volume.data if volume.channels == 1 else volume.data[..., 0]
+        grad = conv3d.central_difference_gradient(data)
+        shading = (grad.reshape(-1, 3), light, -dirs)
+
     def sample_rgba(i):
         t = i * ds + clip  # kernel.cu:54,59
         pos = origins + t * dirs
-        return _vrc_sample_rgba(pos, volume, tf, config)
+        return _vrc_sample_rgba(pos, volume, tf, config, shading)
 
     return _march(sample_rgba, config, mode, remat)
 

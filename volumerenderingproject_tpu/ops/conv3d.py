@@ -1,0 +1,107 @@
+"""3-D convolution pre-filters — TPU-native successor of Convolution.cpp.
+
+The reference ships a standalone CPU 3-D convolution demo (C14,
+Convolution.cpp:23-65: zero-padded 3x3x3 kernel with center 5.0 and face
+weights 0.1, applied to a sphere volume) and a legacy 2-D version (C15,
+OldConvolution.cpp).  Neither is wired into the render path; their purpose in
+the new framework (SURVEY.md §2 C14) is pre-render filtering: smoothing and
+gradient (normal) estimation for Phong shading (BASELINE.json config 4
+"pre-render convolution gradient filter + shading").
+
+Implemented with ``lax.conv_general_dilated`` — XLA maps 3-D convs onto the
+MXU; for the tiny separable kernels used here this is bandwidth-bound and
+fuses cleanly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_f32 = jnp.float32
+
+
+def conv3d(volume: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Zero-padded SAME 3-D convolution of [X,Y,Z] with [kx,ky,kz].
+
+    Matches the reference's zero-padding semantics
+    (Convolution.cpp:85-110 ``instanciate_padded_data``).
+    """
+    v = volume[None, None].astype(_f32)  # NCDHW
+    k = kernel[None, None].astype(_f32)  # OIDHW
+    out = jax.lax.conv_general_dilated(
+        v,
+        k,
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+    )
+    return out[0, 0]
+
+
+def reference_kernel() -> jnp.ndarray:
+    """The reference demo kernel: center 5.0, six faces 0.1, rest 0
+    (Convolution.cpp:43-56)."""
+    k = np.zeros((3, 3, 3), np.float32)
+    k[1, 1, 1] = 5.0
+    for d in range(3):
+        for s in (0, 2):
+            idx = [1, 1, 1]
+            idx[d] = s
+            k[tuple(idx)] = 0.1
+    return jnp.asarray(k)
+
+
+def gaussian_kernel1d(sigma: float, radius: int | None = None) -> jnp.ndarray:
+    if radius is None:
+        radius = max(1, int(3.0 * sigma + 0.5))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return jnp.asarray((k / k.sum()).astype(np.float32))
+
+
+def gaussian_smooth(volume: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
+    """Separable Gaussian smoothing (three 1-D passes — O(3k) not O(k^3))."""
+    k = gaussian_kernel1d(sigma)
+    out = volume.astype(_f32)
+    for axis in range(3):
+        shape = [1, 1, 1]
+        shape[axis] = k.shape[0]
+        out = conv3d(out, k.reshape(shape))
+    return out
+
+
+def central_difference_gradient(volume: jnp.ndarray) -> jnp.ndarray:
+    """Central-difference gradient field, shape [X,Y,Z,3].
+
+    The density gradient is the surface normal estimate for Phong shading
+    (ops/phong.py) — the working replacement for the reference's
+    LightInteraction stub (C16, LightInteraction.cpp:5-80).
+    Boundaries use one-sided differences via zero padding.
+    """
+    # XLA conv is cross-correlation (no kernel flip): out = 0.5*(x[i+1]-x[i-1])
+    k = jnp.asarray([-0.5, 0.0, 0.5], _f32)
+    grads = []
+    for axis in range(3):
+        shape = [1, 1, 1]
+        shape[axis] = 3
+        grads.append(conv3d(volume, k.reshape(shape)))
+    return jnp.stack(grads, axis=-1)
+
+
+def sobel_gradient(volume: jnp.ndarray) -> jnp.ndarray:
+    """Sobel-smoothed gradient field [X,Y,Z,3] (smoother normals than
+    central differences; separable 3x3x3)."""
+    d = jnp.asarray([-0.5, 0.0, 0.5], _f32)
+    s = jnp.asarray([1.0, 2.0, 1.0], _f32) / 4.0
+    grads = []
+    for axis in range(3):
+        out = volume.astype(_f32)
+        for ax2 in range(3):
+            shape = [1, 1, 1]
+            k = d if ax2 == axis else s
+            shape[ax2] = 3
+            out = conv3d(out, k.reshape(shape))
+        grads.append(out)
+    return jnp.stack(grads, axis=-1)

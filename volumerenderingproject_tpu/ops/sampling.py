@@ -47,22 +47,16 @@ import jax.numpy as jnp
 _f32 = jnp.float32
 
 
-def octree_nn_sample(
-    volume_flat: jnp.ndarray,
+def octree_nn_index(
     dims: Tuple[int, int, int],
     depth: int,
     p: jnp.ndarray,
-) -> jnp.ndarray:
-    """Sample at normalized unit-cube points ``p`` (..., 3) — a1 semantics.
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The a1 sampler's index computation: (flat_voxel_index, valid_mask).
 
-    Args:
-      volume_flat: [X*Y*Z] float32 (C-order, x-major: BinaryLoader.cu:234-238).
-      dims: (X, Y, Z) static ints.
-      depth: octree depth d = ceil(log2(longest_dimension)) (Octree.cu:40-41).
-      p: query points in the octree's root cube [0,1)^3 (post-modelAux).
-
-    Returns: intensities, shape p.shape[:-1]; 0 outside [0,1)^3 or outside the
-    centered dataset extent; negatives clamped to 0 (see module docstring).
+    ``flat`` is clamped into range so it is always safe to gather with;
+    ``valid`` is False outside the root cube [0,1)^3 or outside the centered
+    dataset extent (in which case the sample value is defined to be 0).
     """
     d1, d2, d3 = dims
     L = float(max(dims))
@@ -82,10 +76,30 @@ def octree_nn_sample(
     ijk = jnp.trunc(t).astype(jnp.int32)
     flat = ijk[..., 0] * (d2 * d3) + ijk[..., 1] * d3 + ijk[..., 2]
     flat = jnp.clip(flat, 0, d1 * d2 * d3 - 1)
+    return flat, inside_root & in_dataset
 
+
+def octree_nn_sample(
+    volume_flat: jnp.ndarray,
+    dims: Tuple[int, int, int],
+    depth: int,
+    p: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sample at normalized unit-cube points ``p`` (..., 3) — a1 semantics.
+
+    Args:
+      volume_flat: [X*Y*Z] float32 (C-order, x-major: BinaryLoader.cu:234-238).
+      dims: (X, Y, Z) static ints.
+      depth: octree depth d = ceil(log2(longest_dimension)) (Octree.cu:40-41).
+      p: query points in the octree's root cube [0,1)^3 (post-modelAux).
+
+    Returns: intensities, shape p.shape[:-1]; 0 outside [0,1)^3 or outside the
+    centered dataset extent; negatives clamped to 0 (see module docstring).
+    """
+    flat, valid = octree_nn_index(dims, depth, p)
     vals = jnp.take(volume_flat, flat, axis=0)
     vals = jnp.maximum(vals, 0.0)  # descent drops negatives (Octree.cu:172-177)
-    return jnp.where(inside_root & in_dataset, vals, jnp.asarray(0.0, _f32))
+    return jnp.where(valid, vals, jnp.asarray(0.0, _f32))
 
 
 def octree_nn_sample_slab(
