@@ -1,0 +1,66 @@
+import numpy as np
+import pytest
+
+from volumerenderingproject_tpu import (
+    Camera,
+    RenderConfig,
+    default_transfer_function,
+    make_volume,
+)
+from volumerenderingproject_tpu.ingest import synthetic
+from volumerenderingproject_tpu.models.raycast import render_vrc
+from volumerenderingproject_tpu.ops.pallas_march import render_vrc_pallas
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(3)
+    vol_np = rng.uniform(0.0, 255.0, size=(10, 12, 11)).astype(np.float32)
+    volume = make_volume(vol_np)
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
+    cfg = RenderConfig(width=20, height=14, samples_per_ray=40)
+    return volume, tf, cam, cfg
+
+
+def test_pallas_matches_xla_renderer(scene):
+    volume, tf, cam, cfg = scene
+    want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    got = np.asarray(
+        render_vrc_pallas(volume, tf, cam, cfg, early_eps=0.0, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_early_termination_close(scene):
+    volume, tf, cam, cfg = scene
+    exact = np.asarray(
+        render_vrc_pallas(volume, tf, cam, cfg, early_eps=0.0, interpret=True)
+    )
+    early = np.asarray(
+        render_vrc_pallas(volume, tf, cam, cfg, early_eps=1e-3, interpret=True)
+    )
+    # NB: termination is per tile (max T), so cut contributions are bounded
+    # by early_eps * max color
+    np.testing.assert_allclose(early, exact, atol=2e-3)
+
+
+def test_pallas_sphere_scene(scene):
+    volume = synthetic.centered_sphere(32)
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.3, 0.4, 0.9))
+    cfg = RenderConfig(width=16, height=16, samples_per_ray=30)
+    want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    got = np.asarray(
+        render_vrc_pallas(volume, tf, cam, cfg, early_eps=0.0, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_rejects_large_z():
+    volume = make_volume(np.zeros((4, 4, 200), np.float32))
+    tf = default_transfer_function()
+    cam = Camera.initial()
+    cfg = RenderConfig(width=8, height=8, samples_per_ray=4)
+    with pytest.raises(ValueError):
+        render_vrc_pallas(volume, tf, cam, cfg, interpret=True)
