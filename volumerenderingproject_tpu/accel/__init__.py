@@ -1,0 +1,1 @@
+from .pyramid import MinMaxPyramid, build_pyramid, leaf_grid  # noqa: F401

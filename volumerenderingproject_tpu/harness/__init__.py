@@ -1,0 +1,1 @@
+from . import cli, goldens, profiling  # noqa: F401
