@@ -129,6 +129,7 @@ def load_nifti(
     *,
     apply_scaling: bool = False,
     dtype_override: int | None = None,
+    backend: str = "auto",
 ) -> Volume:
     """Load a ``.nii`` file into a :class:`Volume`.
 
@@ -139,7 +140,25 @@ def load_nifti(
       dtype_override: force a nifti datatype code (the reference always reads
         float32 regardless of the header, BinaryLoader.cu:313-323; pass 16 to
         replicate that behaviour for non-f32 files).
+      backend: "auto" uses the native C++ loader (multithreaded conversion,
+        native/vrputils.cpp) when built and applicable, else pure Python;
+        "python" / "native" force a path.
     """
+    if backend in ("auto", "native") and dtype_override is None:
+        from .. import native
+
+        if native.available():
+            try:
+                return _load_native(os.fspath(path), apply_scaling)
+            except ValueError:
+                if backend == "native":
+                    raise
+        elif backend == "native":
+            raise RuntimeError(
+                "native loader requested but libvrputils.so is not built "
+                "(run: python -m volumerenderingproject_tpu.native.build)"
+            )
+
     with open(path, "rb") as f:
         buf = f.read()
     hdr = parse_header(buf)
@@ -182,4 +201,28 @@ def load_nifti(
         cal_max=cal_max,
         cal_min=hdr.cal_min,
         pixdim=tuple(hdr.pixdim[1:4]),
+    )
+
+
+def _load_native(path: str, apply_scaling: bool) -> Volume:
+    from .. import native
+
+    hdr, flat = native.nifti_read(path)
+    ndim = int(hdr["dim"][0])
+    shape = tuple(int(d) for d in hdr["dim"][1 : 1 + ndim])
+    data = flat
+    if apply_scaling and hdr["scl_slope"] not in (0.0,):
+        data = data * np.float32(hdr["scl_slope"]) + np.float32(hdr["scl_inter"])
+    if ndim == 3:
+        arr = data.reshape(shape)
+    else:
+        spatial = shape[:3]
+        chans = int(np.prod(shape[3:]))
+        arr = data.reshape((chans,) + spatial).transpose(1, 2, 3, 0)
+    cal_max = hdr["cal_max"] if hdr["cal_max"] else float(np.max(data) or 1.0)
+    return make_volume(
+        arr,
+        cal_max=cal_max,
+        cal_min=hdr["cal_min"],
+        pixdim=tuple(hdr["pixdim"][1:4]),
     )
