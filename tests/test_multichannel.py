@@ -1,0 +1,102 @@
+import numpy as np
+import jax.numpy as jnp
+
+from volumerenderingproject_tpu import (
+    Camera,
+    RenderConfig,
+    default_transfer_function,
+)
+from volumerenderingproject_tpu.ingest import synthetic
+from volumerenderingproject_tpu.models.raycast import render_vrc
+from volumerenderingproject_tpu.parallel.mesh import make_mesh
+from volumerenderingproject_tpu.parallel.render_dist import render_vrc_sharded
+
+
+def _scene():
+    volume = synthetic.rgb_sphere(16)
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.3, 0.4, 0.9))
+    cfg = RenderConfig(width=16, height=12, samples_per_ray=20)
+    return volume, tf, cam, cfg
+
+
+def test_rgb_sphere_fixture():
+    volume = synthetic.rgb_sphere(16)
+    assert volume.channels == 3
+    assert volume.dims == (16, 16, 16)
+    data = np.asarray(volume.data)
+    # channel values encode position at the center voxel
+    np.testing.assert_allclose(
+        data[8, 8, 8], [8 / 16 * 255] * 3, rtol=1e-6
+    )
+    assert (data[0, 0, 0] == 0).all()
+
+
+def test_multichannel_render_runs_and_colors():
+    volume, tf, cam, cfg = _scene()
+    img = np.asarray(render_vrc(volume, tf, cam, cfg))
+    assert np.isfinite(img).all()
+    fg = np.abs(img[..., :3] - 0.2).max(axis=-1) > 0.05
+    assert fg.any()
+    # channels differ (colorful render, not grayscale)
+    fg_px = img[fg]
+    assert np.abs(fg_px[:, 0] - fg_px[:, 1]).max() > 0.01
+
+
+def test_multichannel_sharded_matches_single():
+    volume, tf, cam, cfg = _scene()
+    mesh = make_mesh(rays=4, samples=2, volume=1)
+    single = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    sharded = np.asarray(render_vrc_sharded(volume, tf, cam, cfg, mesh))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_multichannel_volume_axis_rejected():
+    import pytest
+
+    volume, tf, cam, cfg = _scene()
+    mesh = make_mesh(rays=2, samples=1, volume=4)
+    with pytest.raises(NotImplementedError):
+        render_vrc_sharded(volume, tf, cam, cfg, mesh)
+
+
+def test_multichannel_gradients_flow():
+    import jax
+
+    volume, tf, cam, cfg = _scene()
+
+    def loss(colors):
+        tf2 = tf.__class__(tf.lower, tf.upper, colors, tf.hg_g)
+        return jnp.mean(render_vrc(volume, tf2, cam, cfg)[..., :3])
+
+    g = np.asarray(jax.grad(loss)(tf.colors))
+    assert np.isfinite(g).all()
+    # only alphas influence a multichannel render (rgb comes from data)
+    assert np.abs(g[:, 3]).sum() > 0
+
+
+def test_4d_nifti_roundtrip(tmp_path):
+    import struct
+
+    from volumerenderingproject_tpu.ingest import load_nifti
+
+    dims = (4, 5, 6, 3)
+    data = np.arange(np.prod(dims), dtype=np.float32)
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 4, *dims, 1, 1, 1)
+    struct.pack_into("<h", hdr, 70, 16)
+    struct.pack_into("<f", hdr, 108, 352.0)
+    p = tmp_path / "t4.nii"
+    with open(p, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(b"\x00" * 4)
+        f.write(data.tobytes())
+    vol = load_nifti(p, backend="python")
+    assert vol.dims == (4, 5, 6)
+    assert vol.channels == 3
+    # channel-major file order -> [X,Y,Z,C]
+    arr = np.asarray(vol.data)
+    np.testing.assert_array_equal(
+        arr[..., 0], data.reshape(3, 4, 5, 6)[0]
+    )

@@ -41,6 +41,21 @@ def corner_sphere(n: int = 100, cal_max: float = 255.0) -> Volume:
     return make_volume(data, cal_max=cal_max)
 
 
+def rgb_sphere(n: int = 64, cal_max: float = 255.0) -> Volume:
+    """4-D multi-channel fixture standing in for the reference's missing
+    ``RGB16_4D.nii`` (.MISSING_LARGE_BLOBS:2): a centered sphere whose three
+    channels encode normalized x/y/z position * 255 inside the sphere."""
+    coords = np.arange(n, dtype=np.float64)
+    x, y, z = np.meshgrid(coords, coords, coords, indexing="ij")
+    c = n / 2.0
+    inside = (x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2 <= (n / 2.0) ** 2
+    chans = np.stack(
+        [x / n * 255.0, y / n * 255.0, z / n * 255.0], axis=-1
+    ).astype(np.float32)
+    data = np.where(inside[..., None], chans, np.float32(0.0))
+    return make_volume(data, cal_max=cal_max)
+
+
 def octant_sphere_colors(
     dims=(100, 100, 100), background=(0.2, 0.2, 0.2)
 ) -> np.ndarray:

@@ -145,8 +145,10 @@ def _vrc_sample_rgba(
     triple: the sample's density gradient becomes the Phong normal
     (the working upgrade of the reference's LightInteraction stub, C16).
     """
-    vol_flat = volume.data.reshape(-1)
     p = positions + jnp.asarray(0.5, _f32)  # modelAux kernel.cu:1050
+    if volume.channels > 1:
+        return _vrc_sample_rgba_multichannel(p, volume, tf, config)
+    vol_flat = volume.data.reshape(-1)
     if config.interp is Interp.TRILINEAR:
         # smooth differentiable extension: trilinear intensities + smooth TF
         vox = _to_volume_space(p, volume)
@@ -179,6 +181,40 @@ def _vrc_sample_rgba(
         a = rgba[..., 3:4] * jnp.asarray(config.density_scale, _f32)
         rgba = jnp.concatenate([rgba[..., :3], jnp.clip(a, 0.0, 1.0)], axis=-1)
     return rgba
+
+
+def _vrc_sample_rgba_multichannel(
+    p: jnp.ndarray,
+    volume: Volume,
+    tf: TransferFunction,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """4-D multi-channel sampling (the RGB16_4D-style datasets named in
+    BASELINE.json; the reference has no 4-D render path — semantics defined
+    here): sample every channel at the a1 voxel, take RGB directly from the
+    first three channels (scaled by cal_max; single surplus channels
+    broadcast to gray), and take alpha from the transfer function evaluated
+    on the channel mean — so TF editing still controls opacity."""
+    c = volume.channels
+    flat, valid = sampling.octree_nn_index(
+        volume.dims, volume.octree_depth, p
+    )
+    chans = volume.data.reshape(-1, c)
+    v = jnp.take(chans, flat, axis=0)  # [..., C]
+    v = jnp.maximum(v, 0.0)
+    v = jnp.where(valid[..., None], v, 0.0)
+    norm = v / volume.cal_max
+    if c >= 3:
+        rgb = norm[..., :3]
+    else:
+        rgb = jnp.repeat(norm[..., :1], 3, axis=-1)
+    mean = jnp.mean(norm, axis=-1)
+    alpha = tf.classify(mean)[..., 3:4]
+    if config.density_scale != 1.0:
+        alpha = jnp.clip(
+            alpha * jnp.asarray(config.density_scale, _f32), 0.0, 1.0
+        )
+    return jnp.concatenate([rgb, alpha], axis=-1)
 
 
 def _to_volume_space(p: jnp.ndarray, volume: Volume) -> jnp.ndarray:

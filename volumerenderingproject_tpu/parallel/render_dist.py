@@ -89,6 +89,11 @@ def render_vrc_sharded(
         )
     if volume.dims[0] % n_vol:
         raise ValueError(f"dim x {volume.dims[0]} % volume axis {n_vol} != 0")
+    if n_vol > 1 and volume.channels > 1:
+        raise NotImplementedError(
+            "volume-axis sharding of multi-channel volumes is not supported "
+            "yet; shard multi-channel renders over rays/samples instead"
+        )
     w_local = config.width // n_rays
     s_local = config.samples_per_ray // n_samp
 
