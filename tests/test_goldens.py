@@ -1,0 +1,68 @@
+import os
+
+import numpy as np
+import pytest
+
+from volumerenderingproject_tpu.harness import goldens
+
+GOLDEN_DIR = "/root/reference/image_output"
+
+
+def test_parse_golden_name():
+    meta = goldens.parse_golden_name("image_700x700_a1_spr250.png")
+    assert meta == {"width": 700, "height": 700, "algorithm": 1, "spr": 250}
+    assert goldens.parse_golden_name("myOutputIsAwesome.png") is None
+
+
+def test_similarity_self_and_noise(rng):
+    img = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    assert goldens.similarity(img, img) > 0.9999
+    other = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    assert goldens.similarity(img, other) < 0.3
+
+
+@pytest.mark.skipif(not os.path.isdir(GOLDEN_DIR), reason="no goldens")
+def test_golden_palette_is_reference_materials():
+    """Golden a1 captures must be composed of the reference material colors
+    blended toward the background — a structural check that doesn't depend
+    on the unrecorded capture camera."""
+    from volumerenderingproject_tpu.scene.materials import MaterialId, material_rgba
+    from volumerenderingproject_tpu.utils.imageio import load_png
+
+    img = load_png(os.path.join(GOLDEN_DIR, "image_100x100_a1_spr100.png"))
+    bg = np.asarray([0.2, 0.2, 0.2], np.float32)
+    mats = [material_rgba(m)[:3] for m in (MaterialId.bone, MaterialId.muscle, MaterialId.brain)]
+    # palette: background, black (window border), pure materials, and
+    # materials over background at their own alpha (single-hit blends)
+    palette = [bg, np.zeros(3)]
+    for m, a in zip(mats, (0.3, 0.3, 0.7)):
+        palette.append(m)
+        palette.append(bg * (1 - a) + m * a)
+    d = goldens.palette_distance(img, np.stack(palette))
+    assert d < 0.25
+
+
+@pytest.mark.skipif(not os.path.isdir(GOLDEN_DIR), reason="no goldens")
+def test_our_render_structurally_close_to_golden():
+    """Render the golden config at the saved preset camera; NCC against the
+    golden capture should be well above chance (camera unrecorded upstream,
+    so this is a structural-similarity regression floor, not pixel parity)."""
+    from volumerenderingproject_tpu import (
+        RenderConfig,
+        default_transfer_function,
+        load_nifti,
+        reset_preset,
+    )
+    from volumerenderingproject_tpu.models.raycast import render_vrc
+    from volumerenderingproject_tpu.utils.config import Algorithm
+    from volumerenderingproject_tpu.utils.imageio import load_png, to_display
+
+    volume = load_nifti("/root/reference/avg152T1_LR_nifti2.nii")
+    cfg = RenderConfig(width=100, height=100, samples_per_ray=100)
+    img = np.asarray(
+        render_vrc(volume, default_transfer_function(), reset_preset(), cfg)
+    )
+    ours = to_display(img[..., :3], Algorithm.VRC)
+    golden = load_png(os.path.join(GOLDEN_DIR, "image_100x100_a1_spr100.png"))
+    assert goldens.similarity(ours, golden) > 0.5
+    assert goldens.foreground_fraction(img) > 0.05
