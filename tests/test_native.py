@@ -99,3 +99,44 @@ def test_native_nifti1_and_bigendian(tmp_path):
     np.testing.assert_array_equal(
         flat.reshape(dims), data.astype(np.float32)
     )
+
+
+def test_point_rasterize_draw_order_blending():
+    """Two translucent points on the same pixel: the first drawn passes the
+    depth test and blends over background; a later, *nearer* point blends on
+    top (GL_LESS passes), while a later, farther point is rejected."""
+    bg = np.asarray([0.2, 0.2, 0.2, 1.0], np.float32)
+    # point A at depth 0.5, point B nearer (0.0), point C farther (0.9)
+    ndc = np.asarray(
+        [[0.0, 0.0, 0.0], [0.0, 0.0, -0.5], [0.0, 0.0, 0.8]], np.float32
+    )
+    rgba = np.asarray(
+        [[1, 0, 0, 0.5], [0, 1, 0, 0.5], [0, 0, 1, 0.5]], np.float32
+    )
+    img = native.point_rasterize(ndc, rgba, 4, 4, bg)
+    px = img[2, 1]  # ndc(0,0) -> window (2,2) -> image row 4-1-2=1
+    # A over bg: 0.5*red + 0.5*bg; then B (nearer) over that
+    after_a = 0.5 * rgba[0, :3] + 0.5 * bg[:3]
+    want = 0.5 * rgba[1, :3] + 0.5 * after_a
+    np.testing.assert_allclose(px[:3], want, rtol=1e-6)
+
+
+def test_point_rasterize_matches_jax_approx_on_sphere():
+    from volumerenderingproject_tpu import (
+        Camera,
+        RenderConfig,
+        default_transfer_function,
+    )
+    from volumerenderingproject_tpu.ingest import synthetic
+    from volumerenderingproject_tpu.models.point_splat import render_points
+
+    volume = synthetic.centered_sphere(24)
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.3, 0.4, 0.9))
+    cfg = RenderConfig(width=24, height=24)
+    exact = np.asarray(render_points(volume, tf, cam, cfg, exact=True))
+    approx = np.asarray(render_points(volume, tf, cam, cfg))
+    assert np.isfinite(exact).all()
+    # the approximation should agree on most pixels (single-layer regions)
+    close = np.isclose(exact[..., :3], approx[..., :3], atol=0.2).all(-1)
+    assert close.mean() > 0.7

@@ -53,8 +53,18 @@ def render_points(
     tf: TransferFunction,
     camera: Camera,
     config: RenderConfig,
+    *,
+    exact: bool = False,
 ) -> jnp.ndarray:
-    """Rasterize the voxel cloud -> [W, H, 4] image (alpha 1)."""
+    """Rasterize the voxel cloud -> [W, H, 4] image.
+
+    ``exact=True`` uses the native C++ rasterizer with the reference's GL
+    semantics bit-for-bit (draw-order blending + depth writes); the default
+    JAX path approximates with nearest-voxel-wins (see module docstring)
+    and runs on device.
+    """
+    if exact:
+        return _render_points_exact(volume, tf, camera, config)
     w, h = config.width, config.height
     n_pix = w * h
 
@@ -104,3 +114,40 @@ def render_points(
     rgb = bg[:3] * (1.0 - a) + flat_rgba[..., :3] * a
     img = jnp.concatenate([rgb, jnp.ones_like(a)], axis=-1)
     return img.reshape(w, h, 4)
+
+
+def _render_points_exact(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """Native-rasterizer path: exact GL draw-order blending + depth writes."""
+    import numpy as np
+
+    from .. import native
+
+    if not native.available():
+        raise RuntimeError(
+            "exact point splatting needs the native library "
+            "(python -m volumerenderingproject_tpu.native.build)"
+        )
+    pos = voxel_positions(volume)
+    vol_flat = (
+        volume.data if volume.channels == 1 else volume.data[..., 0]
+    ).reshape(-1)
+    rgba = tf.classify(vol_flat / volume.cal_max)
+    mvp = (
+        T.ortho(-1.0, 1.0, -1.0, 1.0, -1.5, 1.5)
+        @ camera.look_at_origin_view()
+        @ T.translation((-0.5, -0.5, -0.5))
+    )
+    ndc = T.apply(mvp, pos)
+    img = native.point_rasterize(
+        np.asarray(ndc),
+        np.asarray(rgba),
+        config.width,
+        config.height,
+        np.asarray(config.background, np.float32),
+    )
+    return jnp.asarray(img)

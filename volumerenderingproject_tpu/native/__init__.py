@@ -68,6 +68,15 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.vrp_point_rasterize.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
     lib.vrp_conv3d.argtypes = [
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int,
@@ -167,6 +176,23 @@ def build_pyramid(volume: np.ndarray, depth: int):
         mins.append(omin)
         maxs.append(omax)
     return mins, maxs
+
+
+def point_rasterize(
+    ndc: np.ndarray, rgba: np.ndarray, width: int, height: int, background
+) -> np.ndarray:
+    """Exact GL-semantics point rasterization -> [W, H, 4] image."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    ndc = np.ascontiguousarray(ndc, np.float32)
+    rgba = np.ascontiguousarray(rgba, np.float32)
+    bg = np.ascontiguousarray(background, np.float32)
+    out = np.empty((width, height, 4), np.float32)
+    lib.vrp_point_rasterize(
+        _fptr(ndc), _fptr(rgba), ndc.shape[0], width, height, _fptr(bg), _fptr(out)
+    )
+    return out
 
 
 def conv3d(volume: np.ndarray, kernel: np.ndarray) -> np.ndarray:

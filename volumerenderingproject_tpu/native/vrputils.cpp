@@ -238,6 +238,49 @@ extern "C" void vrp_pool2(const float* in_min, const float* in_max, int n,
 // 3-D zero-padded convolution (Convolution.cpp:160-205 semantics)
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// Exact GL point rasterization (POINT / a0 mode)
+// ---------------------------------------------------------------------------
+
+// Emulates the reference's GL state for the voxel point cloud
+// (myApp.cu:158-162, 955-981): depth test LESS with depth writes, alpha
+// blending GL_SRC_ALPHA / GL_ONE_MINUS_SRC_ALPHA, fragments with alpha == 0
+// discarded by the shader (3.3.point_shader.fs:6-8), points drawn in voxel
+// iteration order.  ndc: [N,3] clip-space positions (w==1, ortho), rgba:
+// [N,4].  out: [W*H*4] image in column-major pixel order (x*H + y, y from
+// the top), initialized to the background by this function.
+extern "C" void vrp_point_rasterize(const float* ndc, const float* rgba,
+                                    int64_t n, int width, int height,
+                                    const float* background, float* out) {
+  std::vector<float> depth((size_t)width * height, 1.0f);
+  for (int i = 0; i < width * height; i++) {
+    out[i * 4 + 0] = background[0];
+    out[i * 4 + 1] = background[1];
+    out[i * 4 + 2] = background[2];
+    out[i * 4 + 3] = background[3];
+  }
+  for (int64_t i = 0; i < n; i++) {
+    float x = ndc[i * 3 + 0], y = ndc[i * 3 + 1], z = ndc[i * 3 + 2];
+    float a = rgba[i * 4 + 3];
+    if (a == 0.0f) continue;  // shader discard
+    if (x < -1.0f || x >= 1.0f || y < -1.0f || y >= 1.0f || z < -1.0f ||
+        z > 1.0f)
+      continue;
+    int px = (int)std::floor((x + 1.0f) * 0.5f * width);
+    int wy = (int)std::floor((y + 1.0f) * 0.5f * height);  // from bottom
+    if (px < 0 || px >= width || wy < 0 || wy >= height) continue;
+    int py = height - 1 - wy;  // image rows from the top
+    size_t pix = (size_t)px * height + py;
+    float d = (z + 1.0f) * 0.5f;
+    if (!(d < depth[pix])) continue;  // GL_LESS
+    depth[pix] = d;                   // depth write (glDepthMask default)
+    float* dst = out + pix * 4;
+    for (int c = 0; c < 3; c++)
+      dst[c] = rgba[i * 4 + c] * a + dst[c] * (1.0f - a);
+    dst[3] = a * a + dst[3] * (1.0f - a);
+  }
+}
+
 extern "C" void vrp_conv3d(const float* vol, int d1, int d2, int d3,
                            const float* kern, int k1, int k2, int k3,
                            float* out, int nthreads) {
