@@ -50,6 +50,17 @@ def default_light() -> Light:
     )
 
 
+def random_directions(key, n: int) -> jnp.ndarray:
+    """n uniformly distributed unit vectors [n, 3] (the TPU-native
+    counterpart of the reference's rejection-sampled getRandomDirection /
+    initialize_random_directions, myApp.cu:1693-1710) — used for stochastic
+    scattering directions with the HG phase function."""
+    import jax
+
+    v = jax.random.normal(key, (n, 3), _f32)
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
 def henyey_greenstein(cos_theta: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     """HG phase function p(cos θ; g) = (1-g²) / (4π (1+g²-2g cosθ)^{3/2}).
 

@@ -96,6 +96,40 @@ class Camera:
         return T.look_at(self.position, jnp.zeros(3, _f32), self.up)
 
 
+def save_preset(camera: Camera, path: str) -> None:
+    """Persist a camera preset to JSON — the durable version of the
+    reference's in-memory key-M save (myApp.cu:1160-1175)."""
+    import json
+
+    import numpy as np
+
+    with open(path, "w") as f:
+        json.dump(
+            {
+                k: np.asarray(getattr(camera, k)).tolist()
+                for k in ("position", "front", "right", "up", "top_left")
+            },
+            f,
+            indent=2,
+        )
+
+
+def load_preset(path: str) -> Camera:
+    """Restore a camera preset saved by :func:`save_preset` (key X,
+    myApp.cu:1178-1186)."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return Camera(
+        position=jnp.asarray(d["position"], _f32),
+        front=jnp.asarray(d["front"], _f32),
+        right=jnp.asarray(d["right"], _f32),
+        up=jnp.asarray(d["up"], _f32),
+        top_left=jnp.asarray(d["top_left"], _f32),
+    )
+
+
 def reset_preset() -> Camera:
     """The saved oblique camera preset (utils.h:77-81) used by key X."""
     return Camera(
