@@ -95,6 +95,37 @@ def test_sharded_gradients_match_single(scene):
 def test_mesh_validation(scene):
     volume, tf, cam, cfg = scene
     mesh = make_mesh(rays=8, samples=1, volume=1)
-    bad_cfg = cfg.replace(width=15)  # not divisible by 8
+    bad_cfg = cfg.replace(width=16, height=5)
+    bad_cfg = bad_cfg.replace(width=15)  # not divisible by 8
     with pytest.raises(ValueError):
         render_vrc_sharded(volume, tf, cam, bad_cfg, mesh)
+
+
+def test_a5_sharded_matches_single(scene):
+    from volumerenderingproject_tpu.models.raycast import render_test
+    from volumerenderingproject_tpu.utils.config import Algorithm
+
+    volume, tf, cam, cfg = scene
+    cfg5 = cfg.replace(algorithm=Algorithm.TEST)
+    mesh = make_mesh(rays=4, samples=2, volume=1)
+    single = np.asarray(render_test(volume, tf, cam, cfg5, mode="fast"))
+    sharded = np.asarray(render_vrc_sharded(volume, tf, cam, cfg5, mesh))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_conic_volume_sharding_rejected(scene):
+    volume, tf, cam, cfg = scene
+    mesh = make_mesh(rays=1, samples=1, volume=8)
+    with pytest.raises(NotImplementedError):
+        render_vrc_sharded(volume, tf, cam, cfg.replace(conic=True), mesh)
+
+
+def test_config_validation():
+    from volumerenderingproject_tpu.utils.config import RenderConfig
+
+    with pytest.raises(ValueError):
+        RenderConfig(width=0)
+    with pytest.raises(ValueError):
+        RenderConfig(samples_per_ray=-1)
+    with pytest.raises(ValueError):
+        RenderConfig(front_clip=5.0)

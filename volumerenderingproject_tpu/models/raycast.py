@@ -420,6 +420,42 @@ def render_test(
     return _march(sample_rgba, config, mode, remat)
 
 
+def render_test_segment(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    x_offset: jnp.ndarray | int = 0,
+    local_width: int | None = None,
+    s_start: jnp.ndarray | int = 0,
+    s_count: int | None = None,
+    remat: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shardable a5 work unit (cf. render_vrc_segment): columns x samples
+    tile -> (C, T) segment.  The a5 grid is indexed by global pixel
+    coordinates, so the local grid carries the x offset."""
+    w_local = config.width if local_width is None else local_width
+    x, y = pixel_grid(config, x_offset, w_local)
+    vol_flat = volume.data.reshape(-1)
+
+    def sample_rgba(i):
+        pos = _a5_positions(x, y, i, camera, volume, config)
+        return sampling.trilinear_color_sample(
+            vol_flat, volume.dims, pos, tf.classify, volume.cal_max
+        )
+
+    return _march(
+        sample_rgba,
+        config,
+        "segment",
+        remat,
+        shape=(w_local, config.height),
+        s_start=s_start,
+        s_count=s_count,
+    )
+
+
 def render(
     volume: Volume,
     tf: TransferFunction,

@@ -94,6 +94,18 @@ def render_vrc_sharded(
             "volume-axis sharding of multi-channel volumes is not supported "
             "yet; shard multi-channel renders over rays/samples instead"
         )
+    if n_vol > 1 and config.conic:
+        raise NotImplementedError(
+            "volume-axis sharding requires a consistent slab visit order; "
+            "conic rays can disagree on sign(dir.x) — use rays/samples axes"
+        )
+    from ..utils.config import Algorithm
+
+    if config.algorithm is Algorithm.TEST and n_vol > 1:
+        raise NotImplementedError(
+            "a5/TEST sharding supports rays/samples axes (trilinear taps "
+            "cross slab boundaries)"
+        )
     w_local = config.width // n_rays
     s_local = config.samples_per_ray // n_samp
 
@@ -109,7 +121,14 @@ def render_vrc_sharded(
             channels=volume.channels,
         )
         if n_vol == 1:
-            seg = raycast.render_vrc_segment(
+            from ..utils.config import Algorithm as _Alg
+
+            segment_fn = (
+                raycast.render_test_segment
+                if config.algorithm is _Alg.TEST
+                else raycast.render_vrc_segment
+            )
+            seg = segment_fn(
                 vol_local,
                 tf_,
                 cam,

@@ -56,6 +56,19 @@ class RenderConfig:
     density_scale: float = 1.0  # global opacity multiplier (differentiable knob)
     tf_sharpness: float = 200.0  # smooth-TF sigmoid sharpness (Interp.TRILINEAR)
 
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError(f"bad image size {self.width}x{self.height}")
+        if self.samples_per_ray <= 0:
+            raise ValueError(f"samples_per_ray must be > 0, got {self.samples_per_ray}")
+        if not 0.0 <= self.front_clip < self.viewplane_distance:
+            raise ValueError(
+                f"front_clip {self.front_clip} must be in [0, viewplane "
+                f"{self.viewplane_distance})"
+            )
+        if self.density_scale < 0.0:
+            raise ValueError(f"density_scale must be >= 0, got {self.density_scale}")
+
     @property
     def real_screen_width(self) -> float:
         """2*tan(view_angle) — utils.h:58 (same formula in conic mode: the
