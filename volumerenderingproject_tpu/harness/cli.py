@@ -86,9 +86,15 @@ def _config(args):
     return cfg.replace(**over) if over else cfg
 
 
-def _render(volume, tf, cam, cfg, backend: str, mesh_spec: str | None):
+def _render(volume, tf, cam, cfg, backend: str, mesh_spec: str | None,
+            exact_points: bool = False):
     from ..models.raycast import render
+    from ..utils.config import Algorithm
 
+    if exact_points and cfg.algorithm is Algorithm.POINT:
+        from ..models.point_splat import render_points
+
+        return render_points(volume, tf, cam, cfg, exact=True)
     if mesh_spec:
         from ..parallel.mesh import make_mesh
         from ..parallel.render_dist import render_vrc_sharded
@@ -122,7 +128,12 @@ def cmd_render(args) -> int:
     tf = _tf(args)
     cam = _camera(args, cfg)
     t0 = time.time()
-    img = np.asarray(_render(volume, tf, cam, cfg, args.backend, args.mesh))
+    img = np.asarray(
+        _render(
+            volume, tf, cam, cfg, args.backend, args.mesh,
+            exact_points=getattr(args, "exact_points", False),
+        )
+    )
     dt = time.time() - t0
     out = args.out or (
         f"image_{cfg.width}x{cfg.height}_a{cfg.algorithm.value}"
@@ -318,6 +329,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("render", help="render one frame to PNG")
     common(sp)
     sp.add_argument("--out")
+    sp.add_argument(
+        "--exact-points",
+        action="store_true",
+        help="POINT mode: exact GL draw-order blending (native rasterizer)",
+    )
     sp.set_defaults(fn=cmd_render)
 
     sp = sub.add_parser("orbit", help="render an orbit sequence")
