@@ -176,7 +176,9 @@ def py_render_vrc(vol, intervals, cal_max, cam, cfg) -> np.ndarray:
                     pos = (((cam["top_left"] + xt) + yt) + t * d).astype(f32)
                 p = (pos + f32(0.5)).astype(f32)  # modelAux
                 v = octree.get_intensity(p)
-                ni = f32(v / f32(cal_max))
+                # the CUDA a1 kernel receives cal_max as `int max_intensity`
+                # (kernel.cu:42), truncating the header double
+                ni = f32(v / f32(int(cal_max)))
                 rgba = tf_scan(intervals, ni)
                 a = rgba[3]
                 frag = (frag * (f32(1.0) - a) + rgba[:3] * a).astype(f32)

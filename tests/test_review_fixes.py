@@ -1,0 +1,147 @@
+"""Tests pinning the fixes from the round-1 code review."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from volumerenderingproject_tpu import (
+    Camera,
+    RenderConfig,
+    default_transfer_function,
+    make_volume,
+)
+from volumerenderingproject_tpu.ingest import synthetic
+from volumerenderingproject_tpu.models.raycast import render_vrc
+from volumerenderingproject_tpu.scene.transfer_function import (
+    TransferFunction,
+    from_text,
+    to_text,
+)
+from volumerenderingproject_tpu.utils.config import Interp
+
+
+def _scene(rng, cal_max=255.0):
+    vol_np = rng.uniform(0.0, 255.0, size=(8, 8, 7)).astype(np.float32)
+    volume = make_volume(vol_np, cal_max=cal_max)
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.3, 0.4, 0.9))
+    cfg = RenderConfig(width=8, height=6, samples_per_ray=16)
+    return vol_np, volume, tf, cam, cfg
+
+
+def test_tf_text_roundtrips_fitted_colors():
+    tf = default_transfer_function()
+    fitted = TransferFunction(
+        tf.lower, tf.upper, tf.colors + 0.123, tf.hg_g.at[1].set(0.5)
+    )
+    tf2 = from_text(to_text(fitted))
+    np.testing.assert_allclose(np.asarray(tf2.colors), np.asarray(fitted.colors), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tf2.hg_g), np.asarray(fitted.hg_g), rtol=1e-6)
+
+
+def test_a1_truncates_cal_max_like_reference(rng):
+    """kernel.cu:42 passes cal_max as int; a dataset with cal_max=254.7
+    must normalize by 254, not 254.7 — matching the loop oracle."""
+    from reference_impl import py_render_vrc
+
+    vol_np, volume, tf, cam, cfg = _scene(rng, cal_max=254.7)
+    camd = {
+        k: np.asarray(getattr(cam, k), np.float32)
+        for k in ("position", "front", "right", "up", "top_left")
+    }
+    cfgd = {
+        "width": cfg.width, "height": cfg.height, "spr": cfg.samples_per_ray,
+        "sample_distance": cfg.sample_distance, "front_clip": cfg.front_clip,
+        "real_screen_width": cfg.real_screen_width,
+        "real_screen_height": cfg.real_screen_height,
+        "viewplane_distance": cfg.viewplane_distance,
+        "background": cfg.background, "conic": cfg.conic,
+    }
+    ivals = [
+        (float(lo), float(hi), np.asarray(c, np.float32))
+        for lo, hi, c in zip(
+            np.asarray(tf.lower), np.asarray(tf.upper), np.asarray(tf.colors)
+        )
+    ]
+    want = py_render_vrc(vol_np, ivals, 254.7, camd, cfgd)
+    got = np.asarray(render_vrc(volume, tf, cam, cfg, mode="reference"))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_trilinear_color_interp_differs_from_nearest(rng):
+    _, volume, tf, cam, cfg = _scene(rng)
+    nn = np.asarray(render_vrc(volume, tf, cam, cfg))
+    tc = np.asarray(render_vrc(volume, tf, cam, cfg.replace(interp=Interp.TRILINEAR_COLOR)))
+    assert np.isfinite(tc).all()
+    assert np.abs(tc - nn).max() > 1e-3  # actually interpolates now
+
+
+def test_multichannel_lighting_shades():
+    volume = synthetic.rgb_sphere(16)
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.3, 0.4, 0.9))
+    cfg = RenderConfig(width=10, height=10, samples_per_ray=16)
+    unlit = np.asarray(render_vrc(volume, tf, cam, cfg))
+    lit = np.asarray(render_vrc(volume, tf, cam, cfg.replace(lighting=True)))
+    assert np.abs(lit - unlit).max() > 1e-3
+
+
+def test_sharded_lighting_matches_single(rng):
+    from volumerenderingproject_tpu.parallel.mesh import make_mesh
+    from volumerenderingproject_tpu.parallel.render_dist import render_vrc_sharded
+
+    _, volume, tf, cam, cfg = _scene(rng)
+    cfg = cfg.replace(lighting=True)
+    mesh = make_mesh(rays=2, samples=2, volume=1)
+    single = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    sharded = np.asarray(render_vrc_sharded(volume, tf, cam, cfg, mesh))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_sharded_density_matches_single(rng):
+    from volumerenderingproject_tpu.parallel.mesh import make_mesh
+    from volumerenderingproject_tpu.parallel.render_dist import render_vrc_sharded
+
+    _, volume, tf, cam, cfg = _scene(rng)
+    cfg = cfg.replace(density_scale=0.5)
+    for mesh in (make_mesh(rays=4, samples=2, volume=1), make_mesh(rays=2, samples=1, volume=4)):
+        single = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+        sharded = np.asarray(render_vrc_sharded(volume, tf, cam, cfg, mesh))
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_sharded_fit_trains_density(rng):
+    import optax
+
+    from volumerenderingproject_tpu.diff.fit import FitParams, make_train_step
+    from volumerenderingproject_tpu.parallel.mesh import make_mesh
+
+    _, volume, tf, cam, cfg = _scene(rng)
+    mesh = make_mesh(rays=2, samples=2, volume=1)
+    target = jnp.zeros((cfg.width, cfg.height, 4), jnp.float32)
+    params = FitParams.init(tf)
+    opt = optax.sgd(1e-2)
+    step = make_train_step(tf, cfg, opt, mesh=mesh)
+    p2, _, _ = step(params, opt.init(params), volume, cam, target)
+    # density gradient must flow in the sharded path
+    assert float(jnp.abs(p2.density_scale - params.density_scale)) > 0
+
+
+def test_cli_point_with_mesh_errors():
+    from volumerenderingproject_tpu.harness import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["render", "--data", "sphere", "--width", "8", "--height", "8",
+             "--algorithm", "point", "--mesh", "rays=1"]
+        )
+
+
+def test_volume_axis_lighting_rejected(rng):
+    from volumerenderingproject_tpu.parallel.mesh import make_mesh
+    from volumerenderingproject_tpu.parallel.render_dist import render_vrc_sharded
+
+    _, volume, tf, cam, cfg = _scene(rng)
+    mesh = make_mesh(rays=1, samples=1, volume=2)
+    with pytest.raises(NotImplementedError):
+        render_vrc_sharded(volume, tf, cam, cfg.replace(lighting=True), mesh)

@@ -74,8 +74,15 @@ def render_loss(
     else:
         from ..parallel.render_dist import render_vrc_sharded
 
-        img = render_vrc_sharded(volume, tf2, camera, config, mesh)
-        # density folds into the TF alphas for the sharded path
+        # fold the density knob into the TF alphas so the sharded path
+        # trains it identically to the single-device path
+        tf3 = TransferFunction(
+            lower=tf2.lower,
+            upper=tf2.upper,
+            colors=tf2.colors.at[:, 3].mul(density),
+            hg_g=tf2.hg_g,
+        )
+        img = render_vrc_sharded(volume, tf3, camera, config, mesh)
     return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
 
 

@@ -96,6 +96,11 @@ def _render(volume, tf, cam, cfg, backend: str, mesh_spec: str | None,
 
         return render_points(volume, tf, cam, cfg, exact=True)
     if mesh_spec:
+        if cfg.algorithm is Algorithm.POINT:
+            raise SystemExit(
+                "error: --mesh supports the ray-cast algorithms (vrc/test); "
+                "POINT splatting is a single-device path"
+            )
         from ..parallel.mesh import make_mesh
         from ..parallel.render_dist import render_vrc_sharded
 
@@ -105,7 +110,9 @@ def _render(volume, tf, cam, cfg, backend: str, mesh_spec: str | None,
     if backend == "pallas":
         from ..ops.pallas_march import render_vrc_pallas
 
-        return render_vrc_pallas(volume, tf, cam, cfg)
+        return render_vrc_pallas(
+            volume, tf, cam, cfg, early_eps=cfg.early_termination
+        )
     return render(volume, tf, cam, cfg)
 
 

@@ -147,28 +147,40 @@ def _vrc_sample_rgba(
     """
     p = positions + jnp.asarray(0.5, _f32)  # modelAux kernel.cu:1050
     if volume.channels > 1:
-        return _vrc_sample_rgba_multichannel(p, volume, tf, config)
-    vol_flat = volume.data.reshape(-1)
-    if config.interp is Interp.TRILINEAR:
-        # smooth differentiable extension: trilinear intensities + smooth TF
-        vox = _to_volume_space(p, volume)
-        v = sampling.trilinear_intensity_sample(volume.data, vox)
-        rgba = tf.classify_smooth(v / volume.cal_max, config.tf_sharpness)
+        rgba = _vrc_sample_rgba_multichannel(p, volume, tf, config)
         flat = valid = None
     else:
-        flat, valid = sampling.octree_nn_index(
-            volume.dims, volume.octree_depth, p
-        )
-        v = jnp.maximum(jnp.take(vol_flat, flat, axis=0), 0.0)
-        v = jnp.where(valid, v, jnp.asarray(0.0, _f32))
-        rgba = tf.classify(v / volume.cal_max)
+        vol_flat = volume.data.reshape(-1)
+        if config.interp is Interp.TRILINEAR:
+            # smooth differentiable extension: trilinear intensities +
+            # smooth TF
+            vox = _to_volume_space(p, volume)
+            v = sampling.trilinear_intensity_sample(volume.data, vox)
+            rgba = tf.classify_smooth(v / volume.cal_max, config.tf_sharpness)
+            flat = valid = None
+        elif config.interp is Interp.TRILINEAR_COLOR:
+            # a5-style color-space trilinear sampling on the a1 ray grid
+            vox = _to_volume_space(p, volume)
+            rgba = sampling.trilinear_color_sample(
+                vol_flat, volume.dims, vox, tf.classify, volume.cal_max
+            )
+            flat = valid = None
+        else:
+            flat, valid = sampling.octree_nn_index(
+                volume.dims, volume.octree_depth, p
+            )
+            v = jnp.maximum(jnp.take(vol_flat, flat, axis=0), 0.0)
+            v = jnp.where(valid, v, jnp.asarray(0.0, _f32))
+            # the a1 kernel receives cal_max as an *int* parameter
+            # (kernel.cu:42 `int max_intensity`, truncating the header
+            # double) while the a5 path uses the float header value
+            rgba = tf.classify(v / jnp.trunc(volume.cal_max))
 
     if shading is not None:
         from ..ops import phong
 
         grad_flat, light, view_dir = shading
         if flat is None:
-            vox = _to_volume_space(p, volume)
             flat, valid = sampling.octree_nn_index(
                 volume.dims, volume.octree_depth, p
             )
@@ -210,10 +222,7 @@ def _vrc_sample_rgba_multichannel(
         rgb = jnp.repeat(norm[..., :1], 3, axis=-1)
     mean = jnp.mean(norm, axis=-1)
     alpha = tf.classify(mean)[..., 3:4]
-    if config.density_scale != 1.0:
-        alpha = jnp.clip(
-            alpha * jnp.asarray(config.density_scale, _f32), 0.0, 1.0
-        )
+    # density_scale is applied by the shared block in _vrc_sample_rgba
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
@@ -382,10 +391,18 @@ def render_vrc_segment(
     ds = jnp.asarray(config.sample_distance, _f32)
     clip = jnp.asarray(config.front_clip, _f32)
 
+    shading = None
+    if config.lighting:
+        from ..ops import conv3d, phong
+
+        data = volume.data if volume.channels == 1 else volume.data[..., 0]
+        grad = conv3d.central_difference_gradient(data)
+        shading = (grad.reshape(-1, 3), phong.default_light(), -dirs)
+
     def sample_rgba(i):
         t = i * ds + clip
         pos = origins + t * dirs
-        return _vrc_sample_rgba(pos, volume, tf, config)
+        return _vrc_sample_rgba(pos, volume, tf, config, shading)
 
     return _march(
         sample_rgba,

@@ -105,14 +105,7 @@ def _nthreads() -> int:
     return max(1, os.cpu_count() or 1)
 
 
-def nifti_header(path: str) -> dict:
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native library not built")
-    info = _NiftiInfo()
-    rc = lib.vrp_nifti_header(path.encode(), ctypes.byref(info))
-    if rc:
-        raise ValueError(f"native nifti header parse failed (code {rc}): {path}")
+def _info_dict(info: _NiftiInfo) -> dict:
     return {
         "sizeof_hdr": info.sizeof_hdr,
         "datatype": info.datatype,
@@ -126,6 +119,17 @@ def nifti_header(path: str) -> dict:
         "cal_min": info.cal_min,
         "swapped": bool(info.swapped),
     }
+
+
+def nifti_header(path: str) -> dict:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    info = _NiftiInfo()
+    rc = lib.vrp_nifti_header(path.encode(), ctypes.byref(info))
+    if rc:
+        raise ValueError(f"native nifti header parse failed (code {rc}): {path}")
+    return _info_dict(info)
 
 
 def nifti_read(path: str) -> Tuple[dict, np.ndarray]:
@@ -145,8 +149,7 @@ def nifti_read(path: str) -> Tuple[dict, np.ndarray]:
     rc = lib.vrp_nifti_read(path.encode(), ctypes.byref(info), _fptr(out), count, _nthreads())
     if rc:
         raise ValueError(f"native nifti payload read failed (code {rc}): {path}")
-    hdr = nifti_header(path)
-    return hdr, out
+    return _info_dict(info), out
 
 
 def leaf_grid(volume: np.ndarray, depth: int) -> np.ndarray:

@@ -215,7 +215,8 @@ def render_vrc_pallas(
         [
             config.sample_distance,
             config.front_clip,
-            float(jnp.asarray(volume.cal_max)),
+            # int-truncated like the a1 kernel param (kernel.cu:42)
+            float(int(jnp.asarray(volume.cal_max))),
             config.background[0],
             config.background[1],
             config.background[2],

@@ -99,12 +99,17 @@ def render_vrc_sharded(
             "volume-axis sharding requires a consistent slab visit order; "
             "conic rays can disagree on sign(dir.x) — use rays/samples axes"
         )
-    from ..utils.config import Algorithm
+    from ..utils.config import Algorithm, Interp
 
     if config.algorithm is Algorithm.TEST and n_vol > 1:
         raise NotImplementedError(
             "a5/TEST sharding supports rays/samples axes (trilinear taps "
             "cross slab boundaries)"
+        )
+    if n_vol > 1 and (config.lighting or config.interp is not Interp.NEAREST):
+        raise NotImplementedError(
+            "volume-axis sharding supports the nearest-neighbor unlit path; "
+            "use rays/samples axes for lighting or interpolation modes"
         )
     w_local = config.width // n_rays
     s_local = config.samples_per_ray // n_samp
@@ -219,7 +224,15 @@ def _render_segment_volume_slab(
         v, owned = sampling.octree_nn_sample_slab(
             slab_flat, dims, depth, p, x0, slab_x
         )
-        rgba = tf.classify(v / cal_max)
+        # int-truncated cal_max: kernel.cu:42 `int max_intensity`
+        rgba = tf.classify(v / jnp.trunc(cal_max))
+        if config.density_scale != 1.0:
+            a = jnp.clip(
+                rgba[..., 3:4] * jnp.asarray(config.density_scale, _f32),
+                0.0,
+                1.0,
+            )
+            rgba = jnp.concatenate([rgba[..., :3], a], axis=-1)
         # identity (all-zero rgba) for samples another slab owns
         return jnp.where(owned[..., None], rgba, jnp.zeros_like(rgba))
 

@@ -147,34 +147,61 @@ def default_transfer_function() -> TransferFunction:
 def from_text(text: str) -> TransferFunction:
     """Parse the (now implemented) TransferFunction.txt format.
 
-    One interval per line: ``<material-name> <lower> <upper>``; '#' comments
-    and blank lines ignored.  Bounds may be given in [0,1] or [0,255] (values
-    > 1 are divided by 255, matching the file's ``30 80``-style sketch).
+    One interval per line, either
+
+      ``<material-name> <lower> <upper>``                (registry colors)
+      ``<name> <lower> <upper> <r> <g> <b> <a> [<hg_g>]``  (explicit colors)
+
+    '#' comments and blank lines ignored.  Bounds may be given in [0,1] or
+    [0,255] (values > 1 are divided by 255, matching the file's
+    ``30 80``-style sketch).  The explicit-color form is what
+    :func:`to_text` emits, so fitted transfer functions round-trip.
     """
-    pairs = []
+    lowers, uppers, colors, gs = [], [], [], []
     for line in text.splitlines():
         line = line.split("#", 1)[0].strip()
         if not line:
             continue
         parts = line.split()
-        if len(parts) != 3:
+        if len(parts) not in (3, 7, 8):
             raise ValueError(f"bad transfer-function line: {line!r}")
-        name, lo_s, hi_s = parts
-        lo, hi = float(lo_s), float(hi_s)
+        name = parts[0]
+        lo, hi = float(parts[1]), float(parts[2])
         if lo > 1.0 or hi > 1.0:
             lo, hi = lo / 255.0, hi / 255.0
-        pairs.append((name, lo, hi))
-    if not pairs:
+        if len(parts) >= 7:
+            rgba = np.asarray([float(v) for v in parts[3:7]], np.float32)
+            g = float(parts[7]) if len(parts) == 8 else 0.0
+        else:
+            m = get_material(name)
+            rgba = np.asarray(m.rgba, np.float32)
+            g = m.hg_g
+        lowers.append(np.float32(lo))
+        uppers.append(np.float32(hi))
+        colors.append(rgba)
+        gs.append(np.float32(g))
+    if not lowers:
         raise ValueError("empty transfer function")
-    return from_pairs(pairs)
+    return TransferFunction(
+        lower=jnp.asarray(lowers, jnp.float32),
+        upper=jnp.asarray(uppers, jnp.float32),
+        colors=jnp.asarray(np.stack(colors), jnp.float32),
+        hg_g=jnp.asarray(gs, jnp.float32),
+    )
 
 
 def to_text(tf: TransferFunction, names: Sequence[str] | None = None) -> str:
-    """Serialize to the text format (names optional; defaults to interval_i)."""
-    lines = ["# volumerenderingproject_tpu transfer function"]
+    """Serialize to the explicit-color text format (round-trips colors)."""
+    lines = ["# volumerenderingproject_tpu transfer function",
+             "# name lower upper r g b a hg_g"]
     lo = np.asarray(tf.lower)
     hi = np.asarray(tf.upper)
+    cols = np.asarray(tf.colors)
+    gs = np.asarray(tf.hg_g)
     for i in range(tf.num_intervals):
         name = names[i] if names else f"interval_{i}"
-        lines.append(f"{name} {float(lo[i]):.9g} {float(hi[i]):.9g}")
+        c = " ".join(f"{float(v):.9g}" for v in cols[i])
+        lines.append(
+            f"{name} {float(lo[i]):.9g} {float(hi[i]):.9g} {c} {float(gs[i]):.9g}"
+        )
     return "\n".join(lines) + "\n"

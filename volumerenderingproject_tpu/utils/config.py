@@ -50,8 +50,12 @@ class RenderConfig:
     algorithm: Algorithm = Algorithm.VRC
     # --- new-framework extensions (no AppData counterpart) ---
     interp: Interp = Interp.NEAREST
+    # empty-space skipping is consumed by the planned Pallas fast path
+    # (DESIGN.md §4.3); the XLA scan path computes all samples by design
     empty_space_skipping: bool = True
-    early_termination: float = 0.0  # stop marching when transmittance < eps (0 = off)
+    # per-tile early ray termination epsilon — pallas backend only (the XLA
+    # scan has static control flow); 0 = off, exact vs mode="fast"
+    early_termination: float = 0.0
     lighting: bool = False  # Phong gradient shading (upgrades C16's stub)
     density_scale: float = 1.0  # global opacity multiplier (differentiable knob)
     tf_sharpness: float = 200.0  # smooth-TF sigmoid sharpness (Interp.TRILINEAR)
