@@ -73,3 +73,28 @@ def test_occupancy_flags_empty_space(rng):
     assert occ1.sum() == 1  # only the cell containing the bright voxel
     frac = float(pyramid.occupancy_fraction(pyr, 1))
     assert 0 < frac < 0.1
+
+
+def test_trace_query_matches_sampler(rng):
+    from volumerenderingproject_tpu import make_volume
+
+    dims = (5, 7, 6)
+    vol_np = rng.uniform(0.0, 255.0, size=dims).astype(np.float32)
+    vol_np[:2] = 0.0
+    volume = make_volume(vol_np)
+    pyr = pyramid.build_pyramid(volume)
+    lines = []
+    for p in [(0.6, 0.5, 0.5), (0.05, 0.1, 0.1), (-0.5, 0.5, 0.5)]:
+        v = pyramid.trace_query(pyr, p, out=lines.append)
+        want = float(
+            sampling.octree_nn_sample(
+                jnp.asarray(vol_np.reshape(-1)),
+                dims,
+                volume.octree_depth,
+                jnp.asarray([p], jnp.float32),
+            )[0]
+        )
+        assert v == want, (p, v, want)
+    text = "\n".join(lines)
+    assert "level 0" in text and ("early stop" in text or "reached leaf" in text)
+    assert "outside the root cube" in text

@@ -50,3 +50,17 @@ def test_apply_batched():
     out = T.apply(m, pts)
     assert out.shape == (4, 5, 3)
     np.testing.assert_allclose(np.asarray(out[..., 0]), 1.0)
+
+
+def test_display_roundtrip():
+    import numpy as np
+
+    from volumerenderingproject_tpu.utils import imageio
+    from volumerenderingproject_tpu.utils.config import Algorithm
+
+    img = np.random.default_rng(0).uniform(0, 1, (12, 8, 3)).astype(np.float32)
+    for alg in (Algorithm.VRC, Algorithm.TEST):
+        disp = imageio.to_display(img, alg)
+        assert disp.shape == (8, 12, 3)
+        back = imageio.from_display(disp, alg)
+        np.testing.assert_array_equal(back, img)

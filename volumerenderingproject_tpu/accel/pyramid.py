@@ -130,3 +130,40 @@ def occupancy_fraction(pyr: MinMaxPyramid, level: int) -> jnp.ndarray:
     """Fraction of level-``level`` macro-cells that cannot be skipped."""
     occ = pyr.occupancy(level)
     return jnp.mean(occ.astype(_f32))
+
+
+def trace_query(pyr: MinMaxPyramid, point, out=print) -> float:
+    """Print the octree-descent path for a probe point — the debugging
+    equivalent of searchPointGetIntensityPrinted (Octree.cu:186-250,
+    invoked from the commented block myApp.cu:849-855).
+
+    Walks from the root down the pyramid levels toward the leaf containing
+    ``point``, printing each node's bounds and min/max and stopping early
+    where the reference's max==min check would (here: where the cell is
+    homogeneous).  Returns the leaf value (or the homogeneous value).
+    """
+    import numpy as np
+
+    p = np.asarray(point, np.float32)
+    if not ((p >= 0.0).all() and (p < 1.0).all()):
+        out(f"point {p.tolist()} outside the root cube [0,1)^3 -> 0.0")
+        return 0.0
+    depth = pyr.depth
+    for level in range(depth, -1, -1):
+        n_l = 2 ** (depth - level)
+        cell = np.minimum((p * n_l).astype(np.int64), n_l - 1)
+        lo = np.asarray(pyr.levels_min[level])[tuple(cell)]
+        hi = np.asarray(pyr.levels_max[level])[tuple(cell)]
+        size = 1.0 / n_l
+        out(
+            f"level {depth - level} cell {cell.tolist()} "
+            f"corner {(cell * size).tolist()} size {size:g} "
+            f"min {float(lo):g} max {float(hi):g}"
+        )
+        if lo == hi:
+            if level == 0:
+                out("reached leaf")
+            else:
+                out("early stop (homogeneous)")
+            return float(hi)
+    return float(hi)
