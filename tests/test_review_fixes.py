@@ -145,3 +145,33 @@ def test_volume_axis_lighting_rejected(rng):
     mesh = make_mesh(rays=1, samples=1, volume=2)
     with pytest.raises(NotImplementedError):
         render_vrc_sharded(volume, tf, cam, cfg.replace(lighting=True), mesh)
+
+
+def test_a5_lighting_differs_and_sharded_matches(rng):
+    from volumerenderingproject_tpu.models.raycast import render_test
+    from volumerenderingproject_tpu.parallel.mesh import make_mesh
+    from volumerenderingproject_tpu.parallel.render_dist import render_vrc_sharded
+    from volumerenderingproject_tpu.utils.config import Algorithm
+
+    _, volume, tf, cam, cfg = _scene(rng)
+    cfg5 = cfg.replace(algorithm=Algorithm.TEST)
+    unlit = np.asarray(render_test(volume, tf, cam, cfg5))
+    lit_cfg = cfg5.replace(lighting=True)
+    lit = np.asarray(render_test(volume, tf, cam, lit_cfg))
+    assert np.isfinite(lit).all()
+    assert np.abs(lit - unlit).max() > 1e-3
+    mesh = make_mesh(rays=4, samples=2, volume=1)
+    sharded = np.asarray(render_vrc_sharded(volume, tf, cam, lit_cfg, mesh))
+    np.testing.assert_allclose(sharded, lit, atol=1e-5)
+
+
+def test_tf_lut_render_matches_scan_on_grid_data(rng):
+    """With intensities landing exactly on LUT grid points, the LUT render
+    equals the scan render; generic data is close."""
+    _, volume, tf, cam, cfg = _scene(rng)
+    scan = np.asarray(render_vrc(volume, tf, cam, cfg))
+    lut = np.asarray(render_vrc(volume, tf, cam, cfg.replace(tf_lut=4096)))
+    # 4096-entry LUT resolves the default table's 1/255-spaced bounds well;
+    # only samples within half a bin of a bound can differ
+    close = np.isclose(lut, scan, atol=1e-6).all(-1)
+    assert close.mean() > 0.95

@@ -138,12 +138,15 @@ def _vrc_sample_rgba(
     tf: TransferFunction,
     config: RenderConfig,
     shading=None,
+    lut=None,
 ) -> jnp.ndarray:
     """a1 per-sample classify: modelAux(+0.5) -> octree NN -> TF [-> Phong].
 
     ``shading``, when set, is a (grad_flat [X*Y*Z, 3], light, view_dir)
     triple: the sample's density gradient becomes the Phong normal
     (the working upgrade of the reference's LightInteraction stub, C16).
+    ``lut``, when set, is a precompiled [N, 4] dense TF table used instead
+    of the interval scan (config.tf_lut).
     """
     p = positions + jnp.asarray(0.5, _f32)  # modelAux kernel.cu:1050
     if volume.channels > 1:
@@ -174,7 +177,15 @@ def _vrc_sample_rgba(
             # the a1 kernel receives cal_max as an *int* parameter
             # (kernel.cu:42 `int max_intensity`, truncating the header
             # double) while the a5 path uses the float header value
-            rgba = tf.classify(v / jnp.trunc(volume.cal_max))
+            v_norm = v / jnp.trunc(volume.cal_max)
+            if lut is not None:
+                n = lut.shape[0]
+                idx = jnp.clip(
+                    jnp.round(v_norm * (n - 1)).astype(jnp.int32), 0, n - 1
+                )
+                rgba = jnp.take(lut, idx, axis=0)
+            else:
+                rgba = tf.classify(v_norm)
 
     if shading is not None:
         from ..ops import phong
@@ -356,11 +367,12 @@ def render_vrc(
         data = volume.data if volume.channels == 1 else volume.data[..., 0]
         grad = conv3d.central_difference_gradient(data)
         shading = (grad.reshape(-1, 3), light, -dirs)
+    lut = tf.to_lut(config.tf_lut) if config.tf_lut else None
 
     def sample_rgba(i):
         t = i * ds + clip  # kernel.cu:54,59
         pos = origins + t * dirs
-        return _vrc_sample_rgba(pos, volume, tf, config, shading)
+        return _vrc_sample_rgba(pos, volume, tf, config, shading, lut)
 
     return _march(sample_rgba, config, mode, remat)
 
@@ -398,11 +410,12 @@ def render_vrc_segment(
         data = volume.data if volume.channels == 1 else volume.data[..., 0]
         grad = conv3d.central_difference_gradient(data)
         shading = (grad.reshape(-1, 3), phong.default_light(), -dirs)
+    lut = tf.to_lut(config.tf_lut) if config.tf_lut else None
 
     def sample_rgba(i):
         t = i * ds + clip
         pos = origins + t * dirs
-        return _vrc_sample_rgba(pos, volume, tf, config, shading)
+        return _vrc_sample_rgba(pos, volume, tf, config, shading, lut)
 
     return _march(
         sample_rgba,
@@ -423,18 +436,57 @@ def render_test(
     *,
     mode: str = "fast",
     remat: bool = True,
+    light=None,
 ) -> jnp.ndarray:
-    """a5/TEST render -> [W, H, 4]."""
+    """a5/TEST render -> [W, H, 4].
+
+    ``config.lighting`` Phong-shades samples like the a1 path (BASELINE
+    config 2 names lighting for both a1/a5 modes); normals are the
+    density gradient at the sample's containing voxel, the view direction
+    is the camera front (the a5 grid marches along it, kernel.cu:1190).
+    """
     x, y = pixel_grid(config)
+    sample_rgba = _a5_sample_fn(volume, tf, camera, config, x, y, light)
+    return _march(sample_rgba, config, mode, remat)
+
+
+def _a5_sample_fn(volume, tf, camera, config, x, y, light):
+    """Build the a5 per-step sampler (shared by full and segment renders)."""
     vol_flat = volume.data.reshape(-1)
+    lit = config.lighting or light is not None
+    if lit:
+        from ..ops import conv3d, phong
+
+        if light is None:
+            light = phong.default_light()
+        data = volume.data if volume.channels == 1 else volume.data[..., 0]
+        grad_flat = conv3d.central_difference_gradient(data).reshape(-1, 3)
+        view_dir = -camera.front
 
     def sample_rgba(i):
         pos = _a5_positions(x, y, i, camera, volume, config)
-        return sampling.trilinear_color_sample(
+        rgba = sampling.trilinear_color_sample(
             vol_flat, volume.dims, pos, tf.classify, volume.cal_max
         )
+        if not lit:
+            return rgba
+        from ..ops import phong as _phong
 
-    return _march(sample_rgba, config, mode, remat)
+        d1, d2, d3 = volume.dims
+        dimv = jnp.asarray(volume.dims, _f32)
+        inside = jnp.all((pos >= 0.0) & (pos < dimv), axis=-1)
+        ijk = jnp.trunc(pos).astype(jnp.int32)
+        flat = (
+            jnp.clip(ijk[..., 0], 0, d1 - 1) * (d2 * d3)
+            + jnp.clip(ijk[..., 1], 0, d2 - 1) * d3
+            + jnp.clip(ijk[..., 2], 0, d3 - 1)
+        )
+        normal = jnp.take(grad_flat, flat, axis=0)
+        normal = jnp.where(inside[..., None], normal, 0.0)
+        shaded = _phong.phong_shade(rgba[..., :3], normal, view_dir, light)
+        return jnp.concatenate([shaded, rgba[..., 3:4]], axis=-1)
+
+    return sample_rgba
 
 
 def render_test_segment(
@@ -454,14 +506,7 @@ def render_test_segment(
     coordinates, so the local grid carries the x offset."""
     w_local = config.width if local_width is None else local_width
     x, y = pixel_grid(config, x_offset, w_local)
-    vol_flat = volume.data.reshape(-1)
-
-    def sample_rgba(i):
-        pos = _a5_positions(x, y, i, camera, volume, config)
-        return sampling.trilinear_color_sample(
-            vol_flat, volume.dims, pos, tf.classify, volume.cal_max
-        )
-
+    sample_rgba = _a5_sample_fn(volume, tf, camera, config, x, y, None)
     return _march(
         sample_rgba,
         config,

@@ -59,6 +59,11 @@ class RenderConfig:
     lighting: bool = False  # Phong gradient shading (upgrades C16's stub)
     density_scale: float = 1.0  # global opacity multiplier (differentiable knob)
     tf_sharpness: float = 200.0  # smooth-TF sigmoid sharpness (Interp.TRILINEAR)
+    # compile the interval table to a dense round-to-nearest LUT of this many
+    # entries for the a1 classify (0 = exact interval scan).  A LUT is the
+    # classic fast path for large TF tables (BASELINE config 2 "TF LUT");
+    # with the default 4-interval table the scan is already cheap.
+    tf_lut: int = 0
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:
