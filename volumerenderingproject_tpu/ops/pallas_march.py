@@ -195,53 +195,89 @@ def _march_kernel(
                 out[c] = jnp.where(m, tf_colors_ref[k, c], out[c])
         return out
 
+    # ---- per-tile scalar ray bounds (for the cheap chunk box test) -----
+    big = jnp.asarray(3.4e38, _f32)
+    o_min = [jnp.min(jnp.where(pix_ok, o[c], big)) for c in range(3)]
+    o_max = [jnp.max(jnp.where(pix_ok, o[c], -big)) for c in range(3)]
+    d_min = [jnp.min(jnp.where(pix_ok, d[c], big)) for c in range(3)]
+    d_max = [jnp.max(jnp.where(pix_ok, d[c], -big)) for c in range(3)]
+
     def chunk_body(carry):
         ci, cr, cg, cb, t = carry
-        i_f = (ci * STEPS + s_idx).astype(_f32)
-        ti = i_f * ds + clip  # kernel.cu:54,59
-        p = [(o[c] + ti * d[c]) + 0.5 for c in range(3)]  # modelAux +0.5
 
-        inside = pix_ok
+        # ---- scalar interval box for this chunk (conservative) ---------
+        # every transform below is monotone, so pushing the widened bounds
+        # through the exact index chain bounds the chunk's voxel footprint;
+        # the 1e-5 margin dominates any 1-ulp reassociation difference
+        t0s = (ci * STEPS).astype(_f32) * ds + clip
+        t1s = (ci * STEPS + (STEPS - 1)).astype(_f32) * ds + clip
+        blo, bhi = [], []
+        box_ok = jnp.asarray(True)
         for c in range(3):
-            inside &= (p[c] >= 0.0) & (p[c] < 1.0)
-        # dyadic snap -> centered voxel index (ops/sampling.octree_nn_index)
-        res = [(jnp.floor(p[c] * n) / n) * L for c in range(3)]
-        valid = inside
-        for c in range(3):
-            valid &= (res[c] >= hg[c]) & (res[c] < hg_hi[c])
-        ijk = [jnp.trunc((res[c] + halfd[c]) - halfL).astype(_i32)
-               for c in range(3)]
-        rowid = jnp.where(valid, ijk[0] * d2 + ijk[1], -1)
-        iz = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
+            prods = [t0s * d_min[c], t0s * d_max[c],
+                     t1s * d_min[c], t1s * d_max[c]]
+            plo = o_min[c] + jnp.minimum(
+                jnp.minimum(prods[0], prods[1]),
+                jnp.minimum(prods[2], prods[3])) + 0.5 - 1e-5
+            phi = o_max[c] + jnp.maximum(
+                jnp.maximum(prods[0], prods[1]),
+                jnp.maximum(prods[2], prods[3])) + 0.5 + 1e-5
+            alo = jnp.maximum(plo, 0.0)
+            ahi = jnp.minimum(phi, np.float32(1.0 - 2.0**-24))
+            box_ok &= alo <= ahi
+            rlo = jnp.maximum((jnp.floor(alo * n) / n) * L, hg[c])
+            rhi = jnp.minimum((jnp.floor(ahi * n) / n) * L, hg_hi[c])
+            box_ok &= rlo < hg_hi[c]
+            box_ok &= rhi >= hg[c]
+            ilo = jnp.trunc((rlo + halfd[c]) - halfL).astype(_i32)
+            ihi = jnp.trunc((rhi + halfd[c]) - halfL).astype(_i32)
+            blo.append(jnp.clip(ilo, 0, dims[c] - 1) // BRICK)
+            bhi.append(jnp.clip(ihi, 0, dims[c] - 1) // BRICK)
 
-        rx = jnp.where(valid, ijk[0], _BIG)
-        ry = jnp.where(valid, ijk[1], _BIG)
-        rz = jnp.where(valid, ijk[2], _BIG)
-        rxmin = jnp.min(rx)
-        rymin = jnp.min(ry)
-        rzmin = jnp.min(rz)
-        rxmax = jnp.max(jnp.where(valid, ijk[0], -1))
-        rymax = jnp.max(jnp.where(valid, ijk[1], -1))
-        rzmax = jnp.max(jnp.where(valid, ijk[2], -1))
-        any_valid = rxmax >= 0
+        # ---- brick occupancy: any alpha>0 voxel in the box? ------------
+        zero_i = jnp.asarray(0, _i32)
 
-        # ---- brick occupancy: any alpha>0 voxel in the footprint? ------
         def occ_x(bx, acc):
             def occ_y(by, acc):
                 def occ_z(bz, acc):
                     return acc | occ_ref[(bx * nby + by) * nbz + bz]
-                return jax.lax.fori_loop(
-                    rzmin // BRICK, rzmax // BRICK + 1, occ_z, acc)
-            return jax.lax.fori_loop(
-                rymin // BRICK, rymax // BRICK + 1, occ_y, acc)
-        # no valid sample => rxmin > rxmax => all three loops run 0 times
-        occupied = jax.lax.fori_loop(
-            rxmin // BRICK, rxmax // BRICK + 1, occ_x,
-            jnp.asarray(0, _i32)) > 0
-        do_work = (occupied & any_valid) | alpha0_pos
+                return jax.lax.fori_loop(blo[2], bhi[2] + 1, occ_z, acc)
+            return jax.lax.fori_loop(blo[1], bhi[1] + 1, occ_y, acc)
+
+        occupied = jax.lax.cond(
+            box_ok,
+            lambda: jax.lax.fori_loop(blo[0], bhi[0] + 1, occ_x, zero_i),
+            lambda: zero_i,
+        )
+        do_work = alpha0_pos | (occupied > 0)
 
         def work(args):
             cr, cg, cb, t = args
+            i_f = (ci * STEPS + s_idx).astype(_f32)
+            ti = i_f * ds + clip  # kernel.cu:54,59
+            p = [(o[c] + ti * d[c]) + 0.5 for c in range(3)]  # modelAux
+
+            # rays whose transmittance is already below eps can't change the
+            # output by more than eps — drop them from the footprint (for
+            # eps=0 this only drops exact-zero-T rays: still bit-exact)
+            tt = jnp.concatenate([t, t, t, t], axis=0)
+            inside = pix_ok & (tt > jnp.maximum(eps, 0.0))
+            for c in range(3):
+                inside &= (p[c] >= 0.0) & (p[c] < 1.0)
+            # dyadic snap -> centered voxel index (ops/sampling)
+            res = [(jnp.floor(p[c] * n) / n) * L for c in range(3)]
+            valid = inside
+            for c in range(3):
+                valid &= (res[c] >= hg[c]) & (res[c] < hg_hi[c])
+            ijk = [jnp.trunc((res[c] + halfd[c]) - halfL).astype(_i32)
+                   for c in range(3)]
+            rowid = jnp.where(valid, ijk[0] * d2 + ijk[1], -1)
+            iz = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
+            rxmin = jnp.min(jnp.where(valid, ijk[0], _BIG))
+            rymin = jnp.min(jnp.where(valid, ijk[1], _BIG))
+            rxmax = jnp.max(jnp.where(valid, ijk[0], -1))
+            rymax = jnp.max(jnp.where(valid, ijk[1], -1))
+
             # ---- fetch: footprint loop, one row per (ix, iy) -----------
             def fx(dx, acc):
                 cx = rxmin + dx
