@@ -94,6 +94,15 @@ def _render_with_density(volume, tf, camera, config, density):
         colors=tf.colors.at[:, 3].mul(density),
         hg_g=tf.hg_g,
     )
+    from ..ops.pallas_march_vjp import (
+        diff_pallas_eligible,
+        render_vrc_pallas_diff,
+    )
+
+    if diff_pallas_eligible(volume, tf2, config):
+        # fused Pallas forward+backward (ops/pallas_march_vjp.py); the
+        # alpha-column density fold above routes d/d density by chain rule
+        return render_vrc_pallas_diff(volume, tf2, camera, config)
     return raycast.render_vrc(volume, tf2, camera, config, mode="fast")
 
 

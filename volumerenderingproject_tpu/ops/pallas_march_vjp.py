@@ -1,0 +1,521 @@
+"""Differentiable fused Pallas ray-march: custom forward + backward kernels.
+
+BASELINE.json's north star asks for "fused differentiable Pallas
+forward+backward kernels" with gradients w.r.t. transfer-function
+parameters and density.  The plain XLA scan renderer (models/raycast.py)
+is differentiable but slow; the fused forward kernel (ops/pallas_march.py)
+is ~25x faster but ``pallas_call`` has no autodiff rule.  This module
+closes the gap with ``jax.custom_vjp``:
+
+  forward  = the existing fused march (_march_kernel), early_eps = 0
+  backward = a handwritten Pallas kernel (_march_bwd_kernel) that
+             re-marches each ray tile twice and emits dL/d(tf colors)
+
+Backward math (front-to-back "over" in (C, T) form, the transmittance
+rewrite of blendSampleColors kernel.cu:194-225):
+
+  forward:  w_s = T_s a_s,  C += w_s c_s,  T_{s+1} = T_s (1 - a_s)
+  output:   rgb = C + T_N * bg                    (alpha forced 1)
+
+With upstream cotangents g (per ray, rgb) and gT (for the T output):
+
+  dL/dc_s      = g * T_s a_s                                  (per channel)
+  dL/da_s      = T_s (g . c_s) - (S_{>s} + T_N gT) / (1 - a_s)
+  where S_{>s} = sum_{j>s} T_j a_j (g . c_j)   (suffix of weighted colors)
+
+computed in two passes per tile: pass A accumulates the total
+sum_j T_j a_j (g . c_j) and T_N; pass B re-marches keeping the prefix P_s
+so S_{>s} = total - P_s needs no per-sample storage (O(1) memory per ray,
+same trick as the forward's streaming rewrite of the reference's 3.92 GB
+sample buffer).  Per-sample gradients scatter into the [K, 4] color table
+through the last-match-wins interval masks (TransferFunction.cu:46-55);
+per-tile [K, 4] partials are summed across tiles in XLA.
+
+Exactness: matches jax.grad through the XLA scan renderer (mode="fast")
+up to float reassociation, EXCEPT at a_s == 1 exactly, where the
+(1 - a_s) division is gated to 0 (the true limit needs a third pass; no
+reference material has alpha 1 — Material.cpp:5-67 maxes at 0.7 — and
+optimization states hitting exactly 1.0f are measure-zero).
+
+Unlike the forward, the backward marches ALL samples (no box clipping, no
+occupancy-brick skip): a sample with alpha 0 still carries a non-zero
+alpha-gradient (raising its opacity would add color), so empty-space
+skips that are exact for values are NOT exact for parameter gradients.
+Early ray termination (T == 0) stays exact in both directions and is
+what the backward's suffix arithmetic degrades to gracefully.
+
+Gradients are exposed for ``tf.colors`` only (and, by chain rule through
+an external alpha-column fold, a global density scale — diff/fit.py).
+Cotangents for the volume, camera, and TF bounds are zero through this
+path: volume/bounds grads are zero a.e. anyway under nearest-neighbor
+sampling + a piecewise-constant TF (SURVEY.md §7 "differentiability of
+non-smooth ops"); camera grads require the XLA renderer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ingest.volume import Volume
+from ..scene.camera import Camera
+from ..scene.transfer_function import TransferFunction
+from ..utils.config import Interp, RenderConfig
+from .pallas_march import (
+    BRICK,
+    STEPS,
+    TILE_PX,
+    TILE_PY,
+    _BIG,
+    _iota,
+    _march_kernel,
+    _pad_to,
+)
+
+_f32 = jnp.float32
+_i32 = jnp.int32
+
+
+def _march_bwd_kernel(
+    # SMEM
+    scal_ref,  # [32] f32 (same layout as _march_kernel)
+    tf_lower_ref,  # [K]
+    tf_upper_ref,  # [K]
+    tf_colors_ref,  # [K, 4]
+    # VMEM
+    vol_ref,  # [pad8(d1*d2), 128]
+    g_r_ref, g_g_ref, g_b_ref, g_t_ref,  # [1, 1, 2, 128] tile cotangents
+    dcol_ref,  # out [1, 1, 8, 128]: row k, lanes 0..3 = dL/dcolors[k]
+    *,
+    dims: Tuple[int, int, int],
+    depth: int,
+    num_intervals: int,
+    width: int,
+    height: int,
+    spr: int,
+    conic: bool,
+):
+    d1, d2, d3 = dims
+    L = np.float32(max(dims))
+    n = np.float32(2**depth)
+    nchunks = -(-spr // STEPS)
+    hg = [np.float32(L / 2) - np.float32(d / 2) for d in dims]
+    hg_hi = [np.float32(hg[c] + np.float32(dims[c])) for c in range(3)]
+    halfd = [np.float32(d / 2) for d in dims]
+    halfL = np.float32(L / 2)
+
+    ds = scal_ref[0]
+    clip = scal_ref[1]
+    cal_max = scal_ref[2]
+    pos = [scal_ref[5 + c] for c in range(3)]
+    front = [scal_ref[8 + c] for c in range(3)]
+    right = [scal_ref[11 + c] for c in range(3)]
+    up = [scal_ref[14 + c] for c in range(3)]
+    tl = [scal_ref[17 + c] for c in range(3)]
+    rsw = scal_ref[20]
+    rsh = scal_ref[21]
+
+    tx = pl.program_id(0)
+    ty = pl.program_id(1)
+
+    # ---- ray setup: identical expressions to _march_kernel ------------
+    e = _iota(0) * 128 + _iota(1)
+    s_idx = e // 256
+    f = e % 256
+    u = f // TILE_PY
+    v = f % TILE_PY
+    pxi = tx * TILE_PX + u
+    pyi = ty * TILE_PY + v
+    pix_ok = (pxi < width) & (pyi < height)
+    px = pxi.astype(_f32)
+    py = pyi.astype(_f32)
+
+    xt = [((px * rsw) / np.float32(width)) * right[c] for c in range(3)]
+    yt = [((py * rsh) / np.float32(height)) * (-up[c]) for c in range(3)]
+    if conic:
+        o = [jnp.zeros((8, 128), _f32) + pos[c] for c in range(3)]
+        rd = [tl[c] + xt[c] + yt[c] - pos[c] for c in range(3)]
+        inv = jax.lax.rsqrt(rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2])
+        d = [rd[c] * inv for c in range(3)]
+    else:
+        o = [(tl[c] + xt[c]) + yt[c] for c in range(3)]
+        d = [jnp.zeros((8, 128), _f32) + front[c] for c in range(3)]
+
+    # upstream cotangents per ray, broadcast to the 4-step register rows
+    g_r = g_r_ref[0, 0]  # [2, 128]
+    g_g = g_g_ref[0, 0]
+    g_b = g_b_ref[0, 0]
+    g_t = g_t_ref[0, 0]
+    gr4 = jnp.concatenate([g_r] * STEPS, axis=0)
+    gg4 = jnp.concatenate([g_g] * STEPS, axis=0)
+    gb4 = jnp.concatenate([g_b] * STEPS, axis=0)
+
+    def sample_chunk(ci):
+        """(a, r, g, b, gdotc) [8,128] for chunk ci's 4 steps x 256 rays.
+
+        Mirrors _march_kernel's ``work`` fetch (same dyadic-snap index
+        chain, ops/sampling.py semantics) minus the T>eps footprint drop —
+        zero-T samples carry zero gradient regardless of classification,
+        so fetching their true value is equally exact and branch-free.
+        """
+        i_f = (ci * STEPS + s_idx).astype(_f32)
+        ti = i_f * ds + clip  # kernel.cu:54,59
+        p = [(o[c] + ti * d[c]) + 0.5 for c in range(3)]  # modelAux
+        inside = pix_ok
+        for c in range(3):
+            inside &= (p[c] >= 0.0) & (p[c] < 1.0)
+        res = [(jnp.floor(p[c] * n) / n) * L for c in range(3)]
+        valid = inside
+        for c in range(3):
+            valid &= (res[c] >= hg[c]) & (res[c] < hg_hi[c])
+        ijk = [jnp.trunc((res[c] + halfd[c]) - halfL).astype(_i32)
+               for c in range(3)]
+        rowid = jnp.where(valid, ijk[0] * d2 + ijk[1], -1)
+        iz = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
+        rxmin = jnp.min(jnp.where(valid, ijk[0], _BIG))
+        rymin = jnp.min(jnp.where(valid, ijk[1], _BIG))
+        rxmax = jnp.max(jnp.where(valid, ijk[0], -1))
+        rymax = jnp.max(jnp.where(valid, ijk[1], -1))
+
+        def fx(dx, acc):
+            cx = rxmin + dx
+
+            def fy(dy, acc):
+                cy = rymin + dy
+                crow = cx * d2 + cy
+                rowv = vol_ref[pl.ds(crow, 1), :]
+                bc = jnp.broadcast_to(rowv, (8, 128))
+                g = jnp.take_along_axis(bc, iz, axis=1)
+                return jnp.where(rowid == crow, g, acc)
+
+            return jax.lax.fori_loop(0, rymax - rymin + 1, fy, acc)
+
+        acc = jax.lax.fori_loop(
+            0, rxmax - rxmin + 1, fx, jnp.zeros((8, 128), _f32))
+        vn = jnp.maximum(acc, 0.0) / cal_max
+
+        # classify + last-match-wins interval masks (TransferFunction.cu:46-55)
+        matches = []
+        seen = jnp.zeros((8, 128), jnp.bool_)
+        for k in range(num_intervals - 1, -1, -1):
+            m = (vn >= tf_lower_ref[k]) & (vn <= tf_upper_ref[k])
+            matches.append(m & ~seen)
+            seen = seen | m
+        matches.reverse()
+        matches[0] = matches[0] | ~seen  # no-match fallback -> interval 0
+
+        out = [jnp.zeros((8, 128), _f32) for _ in range(4)]
+        for k in range(num_intervals):
+            mf = matches[k].astype(_f32)
+            for c in range(4):
+                out[c] = out[c] + mf * tf_colors_ref[k, c]
+        a, r, g, b = out[3], out[0], out[1], out[2]
+        # mask steps beyond spr in the last chunk (matches the forward gate)
+        live = (ci * STEPS + s_idx) < spr
+        a = a * live.astype(_f32)
+        gdotc = gr4 * r + gg4 * g + gb4 * b
+        return a, gdotc, matches, live
+
+    # ---- pass A: total weighted-color sum + final transmittance -------
+    def pass_a(ci, carry):
+        t, tot = carry
+        a_all, gdotc_all, _, _ = sample_chunk(ci)
+        for s in range(STEPS):
+            sl = slice(2 * s, 2 * s + 2)
+            a = a_all[sl]
+            w = t * a
+            tot = tot + w * gdotc_all[sl]
+            t = t * (1.0 - a)
+        return t, tot
+
+    ones = jnp.ones((2, 128), _f32)
+    zeros = jnp.zeros((2, 128), _f32)
+    t_final, total = jax.lax.fori_loop(0, nchunks, pass_a, (ones, zeros))
+    bg_term = t_final * g_t  # d(rgb)/dT_N routed through the caller's + T*bg
+
+    row_i = _iota(0)
+    col_i = _iota(1)
+
+    # ---- pass B: prefix re-march + per-interval gradient scatter ------
+    def pass_b(ci, carry):
+        t, pfx, dc = carry
+        a_all, gdotc_all, matches, live = sample_chunk(ci)
+        w_list, da_list = [], []
+        for s in range(STEPS):
+            sl = slice(2 * s, 2 * s + 2)
+            a = a_all[sl]
+            gd = gdotc_all[sl]
+            w = t * a
+            pfx = pfx + w * gd  # same op order as pass A => suffix exact
+            suffix = total - pfx
+            denom = 1.0 - a
+            num = suffix + bg_term
+            da = t * gd - jnp.where(denom != 0.0, num / denom, 0.0)
+            w_list.append(w)
+            da_list.append(da)
+            t = t * denom
+        w_all = jnp.concatenate(w_list, axis=0)
+        da_all = jnp.concatenate(da_list, axis=0)
+        for k in range(num_intervals):
+            mf = (matches[k] & live).astype(_f32)
+            dr = jnp.sum(mf * w_all * gr4)
+            dg = jnp.sum(mf * w_all * gg4)
+            db = jnp.sum(mf * w_all * gb4)
+            dal = jnp.sum(mf * da_all)
+            upd = jnp.where(
+                col_i == 0, dr,
+                jnp.where(col_i == 1, dg,
+                          jnp.where(col_i == 2, db,
+                                    jnp.where(col_i == 3, dal, 0.0))))
+            dc = dc + jnp.where(row_i == k, upd, 0.0)
+        return t, pfx, dc
+
+    _, _, dc = jax.lax.fori_loop(
+        0, nchunks, pass_b, (ones, zeros, jnp.zeros((8, 128), _f32)))
+    dcol_ref[0, 0] = dc
+
+
+def _tf_alpha_at_zero(lower, upper, colors):
+    """classify(0).alpha — the forward kernel's skip-safety scalar."""
+    tf = TransferFunction(
+        lower=lower, upper=upper, colors=colors,
+        hg_g=jnp.zeros_like(lower))
+    return tf.classify(jnp.zeros((), _f32))[3]
+
+
+def _occupancy_from_rows(vol_rows, lower, upper, colors, cal_max_trunc,
+                         dims, nb):
+    """brick_occupancy (pallas_march.py) recomputed from the padded row
+    layout, so it can live inside the custom_vjp function body (control
+    input only — gated through stop_gradient by the caller)."""
+    d1, d2, d3 = dims
+    data = vol_rows[: d1 * d2, :d3].reshape(dims)
+    tf = TransferFunction(
+        lower=lower, upper=upper, colors=colors,
+        hg_g=jnp.zeros_like(lower))
+    vn = jnp.maximum(data, 0.0) / cal_max_trunc
+    alpha = tf.classify(vn)[..., 3]
+    occ = (alpha > 0.0).astype(_f32)
+    pd = [_pad_to(x, BRICK) for x in dims]
+    occ = jnp.pad(occ, [(0, pd[c] - dims[c]) for c in range(3)])
+    occ = occ.reshape(nb[0], BRICK, nb[1], BRICK, nb[2], BRICK)
+    occ = occ.max(axis=(1, 3, 5))
+    return occ.reshape(-1).astype(_i32)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_core(dims, depth, num_intervals, width, height, spr, conic,
+               nb, rows, interpret):
+    """Build (and cache per static config) the custom_vjp'd tile renderer:
+    (colors, lower, upper, scal, vol_rows) -> (cr, cg, cb, t) tile arrays."""
+    ntx = -(-width // TILE_PX)
+    nty = -(-height // TILE_PY)
+
+    fwd_kernel = functools.partial(
+        _march_kernel,
+        dims=dims, depth=depth, num_intervals=num_intervals,
+        width=width, height=height, spr=spr, conic=conic,
+        density_scale=1.0, nbricks=nb,
+    )
+    bwd_kernel = functools.partial(
+        _march_bwd_kernel,
+        dims=dims, depth=depth, num_intervals=num_intervals,
+        width=width, height=height, spr=spr, conic=conic,
+    )
+
+    fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(ntx, nty),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf lower
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf upper
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf colors
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # occupancy bricks
+            pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+    )
+    tile_shape = [jax.ShapeDtypeStruct((ntx, nty, 2, 128), _f32)
+                  for _ in range(4)]
+
+    bwd_grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(ntx, nty),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf lower
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf upper
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf colors
+            pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # volume
+        ] + [
+            pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)  # 4 cotangent tile arrays
+            for _ in range(4)
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def forward_tiles(colors, lower, upper, scal, vol_rows):
+        sg = jax.lax.stop_gradient
+        # skip-control inputs: affect which chunks are marched, never the
+        # value (all skips are alpha=0-exact), so they are gradient-inert
+        occ = _occupancy_from_rows(
+            sg(vol_rows), sg(lower), sg(upper), sg(colors), sg(scal[2]),
+            dims, nb)
+        scal2 = scal.at[4].set(
+            sg(_tf_alpha_at_zero(lower, upper, colors)))
+        out = pl.pallas_call(
+            fwd_kernel,
+            grid_spec=fwd_grid_spec,
+            out_shape=tile_shape,
+            interpret=interpret,
+        )(scal2, lower, upper, colors, occ, vol_rows)
+        return tuple(out)
+
+    @jax.custom_vjp
+    def core(colors, lower, upper, scal, vol_rows):
+        return forward_tiles(colors, lower, upper, scal, vol_rows)
+
+    def core_fwd(colors, lower, upper, scal, vol_rows):
+        out = forward_tiles(colors, lower, upper, scal, vol_rows)
+        return out, (colors, lower, upper, scal, vol_rows)
+
+    def core_bwd(res, g):
+        colors, lower, upper, scal, vol_rows = res
+        g_cr, g_cg, g_cb, g_t = g
+        dtiles = pl.pallas_call(
+            bwd_kernel,
+            grid_spec=bwd_grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ntx, nty, 8, 128), _f32),
+            interpret=interpret,
+        )(scal, lower, upper, colors, vol_rows, g_cr, g_cg, g_cb, g_t)
+        dcolors = dtiles.sum(axis=(0, 1))[:num_intervals, :4]
+        z = jnp.zeros_like
+        return (dcolors, z(lower), z(upper), z(scal), z(vol_rows))
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def diff_pallas_eligible(volume: Volume, tf: TransferFunction,
+                         config: RenderConfig) -> bool:
+    """True when the fused differentiable kernel implements this render
+    exactly (cf. models/raycast._pallas_eligible, plus K <= 8 rows of the
+    gradient register and density pre-folded into the alpha column)."""
+    return (
+        jax.default_backend() == "tpu"
+        and volume.channels == 1
+        and volume.dims[2] <= 128
+        and not config.lighting
+        and config.interp is Interp.NEAREST
+        and not config.tf_lut
+        and tf.num_intervals <= 8
+        and config.density_scale == 1.0
+    )
+
+
+def render_vrc_pallas_diff(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """a1/VRC render -> [W, H, 4], differentiable w.r.t. ``tf.colors``
+    through fused Pallas forward AND backward kernels.
+
+    Value-identical to ``render_vrc_pallas(..., early_eps=0)`` ==
+    ``render_vrc(..., mode="fast")``; gradients match ``jax.grad`` through
+    the XLA scan (see module docstring for the a==1 caveat).  A traced
+    global density scale is supported by folding it into the alpha column
+    before calling (``colors.at[:, 3].mul(density)`` — diff/fit.py does
+    this), which the chain rule routes back automatically.
+    """
+    d1, d2, d3 = volume.dims
+    if d3 > 128:
+        raise ValueError(f"diff pallas path needs z dim <= 128 (got {d3})")
+    if volume.channels != 1:
+        raise ValueError("diff pallas path supports single-channel volumes")
+    if config.lighting or config.tf_lut or config.interp is not Interp.NEAREST:
+        raise ValueError(
+            "diff pallas path is the plain a1 classify (no lighting/LUT/"
+            "trilinear); use the XLA renderer")
+    if tf.num_intervals > 8:
+        raise ValueError("diff pallas path supports at most 8 TF intervals")
+    if config.density_scale != 1.0:
+        raise ValueError(
+            "fold density into tf.colors[:, 3] for the diff path "
+            "(see diff/fit.py)")
+
+    w, h = config.width, config.height
+    rows = _pad_to(d1 * d2, 8)
+    vol_rows = jnp.zeros((rows, 128), _f32)
+    vol_rows = vol_rows.at[: d1 * d2, :d3].set(
+        volume.data.reshape(d1 * d2, d3))
+
+    cal_max_trunc = jnp.trunc(jnp.asarray(volume.cal_max, _f32))
+    L = float(max(volume.dims))
+    n = float(2**volume.octree_depth)
+    box_lo = [max(0.0, (L / 2 - dim / 2) / L) - 0.5 for dim in volume.dims]
+    box_hi = [min(1.0, (L / 2 + dim / 2) / L + 1.0 / n) - 0.5
+              for dim in volume.dims]
+    nb = tuple(_pad_to(x, BRICK) // BRICK for x in volume.dims)
+
+    top_left = camera.top_left
+    if config.conic and config.conic_corrected:
+        top_left = top_left + jnp.asarray(
+            config.viewplane_distance, _f32) * camera.front
+
+    # scal layout identical to render_vrc_pallas; early_eps pinned to 0
+    # (early termination is value-exact only in the forward direction) and
+    # alpha0 (slot 4) filled inside the core from stop_gradient(colors)
+    scal = jnp.concatenate([
+        jnp.asarray([config.sample_distance, config.front_clip], _f32),
+        cal_max_trunc[None],
+        jnp.zeros((2,), _f32),  # early_eps = 0, alpha0 placeholder
+        camera.position.astype(_f32),
+        camera.front.astype(_f32),
+        camera.right.astype(_f32),
+        camera.up.astype(_f32),
+        top_left.astype(_f32),
+        jnp.asarray([config.real_screen_width, config.real_screen_height],
+                    _f32),
+        jnp.asarray(box_lo, _f32),
+        jnp.asarray(box_hi, _f32),
+        jnp.zeros((4,), _f32),
+    ])
+
+    core = _make_core(
+        volume.dims, volume.octree_depth, tf.num_intervals, w, h,
+        config.samples_per_ray, bool(config.conic), nb, rows,
+        bool(interpret),
+    )
+    cr, cg, cb, t = core(tf.colors, tf.lower, tf.upper, scal, vol_rows)
+
+    ntx = -(-w // TILE_PX)
+    nty = -(-h // TILE_PY)
+
+    def unpack(a):
+        a = a.reshape(ntx, nty, TILE_PX, TILE_PY)
+        a = a.transpose(0, 2, 1, 3).reshape(ntx * TILE_PX, nty * TILE_PY)
+        return a[:w, :h]
+
+    bg = jnp.asarray(config.background, _f32)
+    t2 = unpack(t)
+    rgb = [unpack(c) + t2 * bg[i] for i, c in enumerate((cr, cg, cb))]
+    return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)
