@@ -536,6 +536,22 @@ def _pallas_eligible(volume: Volume, config: RenderConfig, mode: str) -> bool:
     )
 
 
+def _pallas_a5_eligible(volume: Volume, config: RenderConfig,
+                        mode: str) -> bool:
+    """True when the fused a5 Pallas kernel (ops/pallas_a5.py) implements
+    this exact render: fast mode, single channel, z <= 127 lanes (z + the
+    flat-wrap slot), no lighting."""
+    import jax as _jax
+
+    return (
+        _jax.default_backend() == "tpu"
+        and mode == "fast"
+        and volume.channels == 1
+        and volume.dims[2] <= 127
+        and not config.lighting
+    )
+
+
 def render(
     volume: Volume,
     tf: TransferFunction,
@@ -547,13 +563,19 @@ def render(
 ) -> jnp.ndarray:
     """Dispatch on config.algorithm (renderLoop myApp.cu:875-1056).
 
-    On a TPU backend the a1/VRC path routes to the fused Pallas kernel
-    (ops/pallas_march.py — ~25x the XLA scan on the 700x700x500 headline
-    config) whenever it implements the requested semantics exactly;
-    ``config.early_termination`` sets its epsilon (0 = bit-exact vs the
-    scan up to compiler FMA placement).
+    On a TPU backend the a1/VRC and a5/TEST paths route to their fused
+    Pallas kernels (ops/pallas_march.py, ops/pallas_a5.py) whenever those
+    implement the requested semantics exactly; ``config.early_termination``
+    sets their epsilon (0 = bit-exact vs the scan up to compiler FMA
+    placement).
     """
     if config.algorithm is Algorithm.TEST:
+        if _pallas_a5_eligible(volume, config, mode):
+            from ..ops.pallas_a5 import render_test_pallas
+
+            return render_test_pallas(
+                volume, tf, camera, config,
+                early_eps=config.early_termination)
         return render_test(volume, tf, camera, config, mode=mode, remat=remat)
     if config.algorithm is Algorithm.POINT:
         from . import point_splat

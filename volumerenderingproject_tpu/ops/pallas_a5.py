@@ -1,0 +1,364 @@
+"""Fused Pallas TPU kernel for the a5/TEST direct-trilinear pipeline.
+
+One kernel fuses the reference's a5 frame (getColorFromNF kernel.cu:72-187
++ blendSampleColors kernel.cu:194-225): per 16x16-pixel tile it builds the
+camera-space sample grid, pushes it through the three stage matrices
+(modelCam -> inverseView -> toVolumeTransform, kernel.cu:1177-1217),
+fetches the 8 corner voxels, classifies each corner through the transfer
+function, trilinearly interpolates the *colors* (y->x->z mix order,
+kernel.cu:161-175), and front-to-back composites — no W*H*spr sample
+buffer, no HBM round trips between stages.
+
+Same register scheme as the a1 kernel (ops/pallas_march.py): the volume
+lives in VMEM as rows [d1*d2 (+wrap margin), 128] with z on lanes; each
+loop iteration marches 4 consecutive samples of 256 rays as one [8,128]
+register; voxel fetch loops over the tile-chunk's (x, y) row footprint
+(extended +1 for the corner taps) with one VMEM row read + two lane
+gathers (z and z+1) + eight row-id selects per row.
+
+Reference quirks replicated (matching models/raycast.render_test +
+ops/sampling.trilinear_color_sample expression for expression):
+
+  * corner indices are per-axis truncations of pos + offset in FLOAT
+    (kernel.cu:129-159) — ix1 = trunc(x+1), not trunc(x)+1;
+  * the only corner bound guard is ``flat < totaldim``, so a z+1 tap at
+    z == d3-1 WRAPS into the next row's first voxel — the row staging
+    stores that neighbor in lane d3 so the wrap reproduces exactly;
+  * normalization uses the FLOAT header cal_max (a1 truncates it to int,
+    kernel.cu:42; a5 does not — see PARITY.md C4);
+  * samples outside [0, dims) get TF(0)'s color (kernel.cu:117).
+
+Early ray termination (chunk loop stops when every ray's transmittance
+is below ``early_eps``) is this kernel's only skip: a5 has no
+octree/empty-space structure in the reference either, and its default
+materials are opaque enough (alpha .3-.7 per sample) that termination
+alone removes most of the march.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ingest.volume import Volume
+from ..scene.camera import Camera
+from ..scene.transfer_function import TransferFunction
+from ..utils.config import RenderConfig
+from ..utils import transforms as T
+from .pallas_march import STEPS, TILE_PX, TILE_PY, _BIG, _iota, _pad_to
+
+_f32 = jnp.float32
+_i32 = jnp.int32
+
+
+def _a5_kernel(
+    # SMEM
+    scal_ref,  # [24] f32: stage-matrix + config scalars (see layout below)
+    tf_lower_ref,  # [K]
+    tf_upper_ref,  # [K]
+    tf_colors_ref,  # [K, 4]
+    # VMEM
+    vol_ref,  # [rows, 128] volume rows, z on lanes, +wrap margin
+    out_r_ref, out_g_ref, out_b_ref, out_t_ref,  # [1, 1, 2, 128]
+    *,
+    dims: Tuple[int, int, int],
+    num_intervals: int,
+    width: int,
+    height: int,
+    spr: int,
+):
+    d1, d2, d3 = dims
+    total = d1 * d2 * d3
+    nchunks = -(-spr // STEPS)
+    df = [np.float32(d) for d in dims]
+
+    s1 = scal_ref[0]  # real_screen_width / width
+    s2 = scal_ref[1]  # real_screen_height / height
+    s3 = scal_ref[2]  # -viewplane_distance / spr
+    o1 = scal_ref[3]  # -real_screen_width / 2
+    o2 = scal_ref[4]  # -real_screen_height / 2
+    cal = scal_ref[5]  # float cal_max (a5 keeps the header float, PARITY C4)
+    eps = scal_ref[6]
+    iv = [[scal_ref[7 + 4 * r + c] for c in range(4)] for r in range(3)]
+    m3 = [scal_ref[19 + c] for c in range(3)]  # toVolume translation (baked)
+    L = scal_ref[22]
+
+    tx = pl.program_id(0)
+    ty = pl.program_id(1)
+
+    # ---- slot decode (shared scheme with _march_kernel) -----------------
+    e = _iota(0) * 128 + _iota(1)
+    s_idx = e // 256
+    f = e % 256
+    u = f // TILE_PY
+    v = f % TILE_PY
+    pxi = tx * TILE_PX + u
+    pyi = ty * TILE_PY + v
+    pix_ok = (pxi < width) & (pyi < height)
+    px = pxi.astype(_f32)
+    py = pyi.astype(_f32)
+
+    # modelCam apply (kernel.cu:1177-1192): scale then translate; the x/y
+    # parts are i-independent, so the inverseView xy contribution hoists
+    p1x = px * s1 + o1
+    p1y = py * s2 + o2
+    q = [p1x * iv[c][0] + p1y * iv[c][1] for c in range(3)]
+
+    # TF(0) color for out-of-volume samples (kernel.cu:117): scalar
+    # last-match-wins scan at intensity 0
+    c0 = [tf_colors_ref[0, c] for c in range(4)]
+    for k in range(num_intervals):
+        m = (tf_lower_ref[k] <= 0.0) & (tf_upper_ref[k] >= 0.0)
+        c0 = [jnp.where(m, tf_colors_ref[k, c], c0[c]) for c in range(4)]
+
+    def classify(vn):
+        """Ascending last-match-wins scan (TransferFunction.cu:46-55)."""
+        out = [jnp.full((8, 128), tf_colors_ref[0, c], _f32) for c in range(4)]
+        for k in range(num_intervals):
+            m = (vn >= tf_lower_ref[k]) & (vn <= tf_upper_ref[k])
+            for c in range(4):
+                out[c] = jnp.where(m, tf_colors_ref[k, c], out[c])
+        return out
+
+    def chunk_body(carry):
+        ci, cr, cg, cb, t = carry
+        i_f = (ci * STEPS + s_idx).astype(_f32)
+        p1z = i_f * s3
+        p2 = [(q[c] + p1z * iv[c][2]) + iv[c][3] for c in range(3)]
+        p3 = [p2[c] * L + m3[c] for c in range(3)]  # toVolume, baked affine
+
+        inside = pix_ok
+        for c in range(3):
+            inside &= (p3[c] >= 0.0) & (p3[c] < df[c])
+
+        # per-axis float truncation of pos and pos+1 (kernel.cu:129-159)
+        ix = jnp.trunc(p3[0])
+        iy = jnp.trunc(p3[1])
+        iz = jnp.trunc(p3[2])
+        ix1 = jnp.trunc(p3[0] + 1.0)
+        iy1 = jnp.trunc(p3[1] + 1.0)
+        iz1 = jnp.trunc(p3[2] + 1.0)
+        fx = p3[0] - ix  # `difference` kernel.cu:127
+        fy = p3[1] - iy
+        fz = p3[2] - iz
+        ixi, iyi, izi = [a.astype(_i32) for a in (ix, iy, iz)]
+        ix1i, iy1i, iz1i = [a.astype(_i32) for a in (ix1, iy1, iz1)]
+
+        valid = inside
+        neg1 = jnp.full((8, 128), -1, _i32)
+        rid00 = jnp.where(valid, ixi * d2 + iyi, neg1)
+        rid01 = jnp.where(valid, ixi * d2 + iy1i, neg1)
+        rid10 = jnp.where(valid, ix1i * d2 + iyi, neg1)
+        rid11 = jnp.where(valid, ix1i * d2 + iy1i, neg1)
+        lz = jnp.where(valid, jnp.clip(izi, 0, 127), 0)
+        lz1 = jnp.where(valid, jnp.clip(iz1i, 0, 127), 0)
+
+        rxmin = jnp.min(jnp.where(valid, ixi, _BIG))
+        rymin = jnp.min(jnp.where(valid, iyi, _BIG))
+        rxmax = jnp.max(jnp.where(valid, ix1i, -1))
+        rymax = jnp.max(jnp.where(valid, iy1i, -1))
+
+        # ---- fetch: one row read + 2 lane gathers + 8 selects per row --
+        def fx_loop(dxi, acc8):
+            cx = rxmin + dxi
+
+            def fy_loop(dyi, acc8):
+                cy = rymin + dyi
+                crow = cx * d2 + cy
+                rowv = vol_ref[pl.ds(crow, 1), :]
+                bc = jnp.broadcast_to(rowv, (8, 128))
+                gz = jnp.take_along_axis(bc, lz, axis=1)
+                gz1 = jnp.take_along_axis(bc, lz1, axis=1)
+                return (
+                    jnp.where(rid00 == crow, gz, acc8[0]),
+                    jnp.where(rid00 == crow, gz1, acc8[1]),
+                    jnp.where(rid01 == crow, gz, acc8[2]),
+                    jnp.where(rid01 == crow, gz1, acc8[3]),
+                    jnp.where(rid10 == crow, gz, acc8[4]),
+                    jnp.where(rid10 == crow, gz1, acc8[5]),
+                    jnp.where(rid11 == crow, gz, acc8[6]),
+                    jnp.where(rid11 == crow, gz1, acc8[7]),
+                )
+
+            return jax.lax.fori_loop(0, rymax - rymin + 1, fy_loop, acc8)
+
+        zeros8 = tuple(jnp.zeros((8, 128), _f32) for _ in range(8))
+        acc8 = jax.lax.fori_loop(0, rxmax - rxmin + 1, fx_loop, zeros8)
+
+        # only-guard-is-flat<total, incl. the z-wrap (kernel.cu:129-159);
+        # the row staging realizes the wrap value, the guard the cutoff
+        flats = (
+            rid00 * d3 + izi, rid00 * d3 + iz1i,
+            rid01 * d3 + izi, rid01 * d3 + iz1i,
+            rid10 * d3 + izi, rid10 * d3 + iz1i,
+            rid11 * d3 + izi, rid11 * d3 + iz1i,
+        )
+        inten = [jnp.where(fl < total, a, 0.0) for a, fl in zip(acc8, flats)]
+
+        # classify the 8 corners, then mix COLORS y->x->z (kernel.cu:161-175)
+        cols = [classify(it / cal) for it in inten]  # 8 x [4 x (8,128)]
+        mixed = []
+        for c in range(4):
+            cy1 = cols[0][c] * (1.0 - fy) + cols[2][c] * fy
+            cy2 = cols[1][c] * (1.0 - fy) + cols[3][c] * fy
+            cy3 = cols[4][c] * (1.0 - fy) + cols[6][c] * fy
+            cy4 = cols[5][c] * (1.0 - fy) + cols[7][c] * fy
+            cz1 = cy1 * (1.0 - fx) + cy3 * fx
+            cz2 = cy2 * (1.0 - fx) + cy4 * fx
+            mixed.append(cz1 * (1.0 - fz) + cz2 * fz)
+
+        sr, sg, sb, sa = [
+            jnp.where(inside, mixed[c], c0[c]) for c in range(4)
+        ]
+
+        # ---- blend the 4 steps in order (front-to-back (C, T)) ----------
+        for s in range(STEPS):
+            lo = 2 * s
+            a_s = sa[lo:lo + 2, :]
+            if spr % STEPS:
+                gate = ((ci * STEPS + s) < spr).astype(_f32)
+                a_s = a_s * gate
+            w_s = t * a_s
+            cr = cr + w_s * sr[lo:lo + 2, :]
+            cg = cg + w_s * sg[lo:lo + 2, :]
+            cb = cb + w_s * sb[lo:lo + 2, :]
+            t = t * (1.0 - a_s)
+        return ci + 1, cr, cg, cb, t
+
+    def chunk_cond(carry):
+        ci, _, _, _, t = carry
+        return (ci < nchunks) & (jnp.max(t) > eps)
+
+    zeros = jnp.zeros((2, 128), _f32)
+    ones = jnp.ones((2, 128), _f32)
+    _, cr, cg, cb, t = jax.lax.while_loop(
+        chunk_cond, chunk_body, (jnp.asarray(0, _i32), zeros, zeros, zeros,
+                                 ones))
+    out_r_ref[0, 0] = cr
+    out_g_ref[0, 0] = cg
+    out_b_ref[0, 0] = cb
+    out_t_ref[0, 0] = t
+
+
+def _stage_rows_a5(volume: Volume) -> jnp.ndarray:
+    """Volume as VMEM rows [pad8(d1*d2 + d2 + 1), 128], z on lanes, with
+    lane d3 holding the NEXT row's first voxel so a z+1 tap at z == d3-1
+    reproduces the reference's flat-index wrap (kernel.cu:129-159)."""
+    d1, d2, d3 = volume.dims
+    nrows = d1 * d2
+    # +d2+1 margin: corner rows reach (ix+1, iy+1) one past the last voxel
+    rows = _pad_to(nrows + d2 + 1, 8)
+    flat2d = volume.data.reshape(nrows, d3)
+    vol_rows = jnp.zeros((rows, 128), _f32)
+    vol_rows = vol_rows.at[:nrows, :d3].set(flat2d)
+    if d3 < 128:
+        vol_rows = vol_rows.at[: nrows - 1, d3].set(flat2d[1:, 0])
+    return vol_rows
+
+
+def render_test_pallas(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    early_eps: float = 1e-3,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """a5/TEST render via the fused Pallas kernel -> [W, H, 4].
+
+    Matches ``render_test(..., mode="fast")`` up to the early-termination
+    epsilon and compiler float reassociation (``early_eps=0`` for exact
+    structural agreement).  Requires dims[2] <= 127 (z lanes + the wrap
+    slot), a single channel, and no lighting — the dispatcher falls back
+    to the XLA renderer otherwise.
+    """
+    d1, d2, d3 = volume.dims
+    if d3 > 127:
+        raise ValueError(
+            f"a5 pallas path needs z dim <= 127 (got {d3}); "
+            "use the XLA renderer for larger volumes")
+    if volume.channels != 1:
+        raise ValueError("a5 pallas path supports single-channel volumes")
+    if config.lighting:
+        raise ValueError("a5 pallas path has no lighting; use the XLA path")
+
+    w, h = config.width, config.height
+    ntx = -(-w // TILE_PX)
+    nty = -(-h // TILE_PY)
+
+    vol_rows = _stage_rows_a5(volume)
+    rows = vol_rows.shape[0]
+
+    # stage matrices exactly as models/raycast._a5_positions builds them
+    iv = T.inverse(camera.look_at_origin_view())  # kernel.cu:1197-1198
+    L = float(volume.longest_dimension)
+    # toVolume = Translation(dims/2 - L/2) @ Scaling(L) @ Translation(.5):
+    # net affine p*L + (tr + L/2) — bake the translation like T.apply does
+    m3 = [volume.dims[c] / 2.0 - L / 2.0 + 0.5 * L for c in range(3)]
+
+    scal = jnp.concatenate([
+        jnp.asarray([
+            config.real_screen_width / config.width,
+            config.real_screen_height / config.height,
+            -config.viewplane_distance / config.samples_per_ray,
+            -config.real_screen_width / 2.0,
+            -config.real_screen_height / 2.0,
+        ], _f32),
+        jnp.asarray(volume.cal_max, _f32).reshape(1),
+        jnp.asarray([early_eps], _f32),
+        iv[:3, :4].reshape(-1).astype(_f32),
+        jnp.asarray(m3, _f32),
+        jnp.asarray([L, 0.0], _f32),
+    ])
+
+    kernel = functools.partial(
+        _a5_kernel,
+        dims=volume.dims,
+        num_intervals=tf.num_intervals,
+        width=w,
+        height=h,
+        spr=config.samples_per_ray,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(ntx, nty),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf lower
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf upper
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf colors
+            pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # volume
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+    )
+    out_shape = [jax.ShapeDtypeStruct((ntx, nty, 2, 128), _f32)
+                 for _ in range(4)]
+    cr, cg, cb, t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(scal, tf.lower, tf.upper, tf.colors, vol_rows)
+
+    def unpack(a):
+        a = a.reshape(ntx, nty, TILE_PX, TILE_PY)
+        a = a.transpose(0, 2, 1, 3).reshape(ntx * TILE_PX, nty * TILE_PY)
+        return a[:w, :h]
+
+    bg = jnp.asarray(config.background, _f32)
+    t2 = unpack(t)
+    rgb = [unpack(c) + t2 * bg[i] for i, c in enumerate((cr, cg, cb))]
+    return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)
