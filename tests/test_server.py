@@ -72,3 +72,12 @@ def test_bad_requests(running_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 400
+
+
+def test_viewer_page(running_server):
+    code, ctype, body = _get(running_server + "/")
+    assert code == 200 and ctype == "text/html"
+    page = body.decode()
+    # the reference's key map must be wired (processInput myApp.cu:1078-1241)
+    for needle in ("keydown", "orbit", "image_", "/render?", "algorithm"):
+        assert needle in page

@@ -5,6 +5,7 @@ The reference explores a volume interactively (WASD orbit, algorithm keys,
 O to capture a PNG); this service exposes the same loop statelessly so any
 client can drive it:
 
+  GET  /                  -> interactive viewer page (harness/viewer.py)
   GET  /health            -> {"status": "ok", "volume": [...], ...}
   GET  /render?...        -> image/png
   POST /render (JSON)     -> image/png
@@ -139,6 +140,11 @@ def make_handler(service: RenderService):
 
         def do_GET(self):
             url = urlparse(self.path)
+            if url.path in ("/", "/viewer"):
+                from .viewer import VIEWER_HTML
+
+                self._send(200, VIEWER_HTML.encode(), "text/html")
+                return
             if url.path == "/health":
                 self._send(
                     200, json.dumps(service.info()).encode(), "application/json"
@@ -177,10 +183,21 @@ def make_handler(service: RenderService):
 
 
 def serve(
-    data_path: str, port: int = 8040, host: str = "127.0.0.1"
+    data_path: str,
+    port: int = 8040,
+    host: str = "127.0.0.1",
+    warmup: bool = False,
 ) -> ThreadingHTTPServer:
-    """Start the server (returns it; call serve_forever / shutdown)."""
+    """Start the server (returns it; call serve_forever / shutdown).
+
+    ``warmup=True`` renders one default frame in the background so the
+    first interactive request doesn't pay the jit compile (~tens of
+    seconds on TPU for the fused kernels)."""
     service = RenderService.from_path(data_path)
+    if warmup:
+        threading.Thread(
+            target=lambda: service.render_png({}), daemon=True
+        ).start()
     return ThreadingHTTPServer((host, port), make_handler(service))
 
 
@@ -191,8 +208,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--data", default="sphere")
     p.add_argument("--port", type=int, default=8040)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the background compile of the default frame")
     args = p.parse_args(argv)
-    httpd = serve(args.data, args.port, args.host)
+    httpd = serve(args.data, args.port, args.host, warmup=not args.no_warmup)
     print(f"serving {args.data} on http://{args.host}:{args.port}")
     try:
         httpd.serve_forever()
