@@ -84,11 +84,29 @@ def test_pyramid_depth8(mni_like):
     assert 0 < frac < 1.0
 
 
-def test_pallas_rejects_large_volume(mni_like):
-    from volumerenderingproject_tpu.ops.pallas_march import render_vrc_pallas
+def test_pallas_packed_handles_mni_scale(mni_like):
+    """182x218x182 exceeds the f32 kernel's z<=128 lanes (and its ~40 MB
+    VMEM residency), but the packed material grid (zw=23 words, 5 y-rows
+    per 128-lane row, ~4 MB) takes it on the fused path."""
+    from volumerenderingproject_tpu.models.raycast import render_vrc
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        packed_geometry,
+        render_vrc_pallas,
+    )
 
     tf = default_transfer_function()
-    cam = Camera.initial()
-    cfg = RenderConfig(width=8, height=8, samples_per_ray=4)
+    assert packed_geometry(mni_like.dims, tf.num_intervals) == (23, 5, 44)
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
+    cfg = RenderConfig(width=8, height=8, samples_per_ray=12)
+    want = np.asarray(render_vrc(mni_like, tf, cam, cfg, mode="fast"))
+    got = np.asarray(
+        render_vrc_pallas(
+            mni_like, tf, cam, cfg, early_eps=0.0, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # the f32 layout still rejects it
     with pytest.raises(ValueError):
-        render_vrc_pallas(mni_like, tf, cam, cfg, interpret=True)
+        render_vrc_pallas(mni_like, tf, cam, cfg, interpret=True,
+                          packed=False)

@@ -57,8 +57,53 @@ def test_pallas_sphere_scene(scene):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_pallas_rejects_large_z():
+def test_packed_matches_unpacked_bitwise(scene):
+    """The material-grid mode is exact by construction: the TF classify it
+    bakes into the grid is the same scan the f32 kernel runs per sample."""
+    volume, tf, cam, cfg = scene
+    unpacked = np.asarray(
+        render_vrc_pallas(
+            volume, tf, cam, cfg, early_eps=0.0, interpret=True, packed=False
+        )
+    )
+    packed = np.asarray(
+        render_vrc_pallas(
+            volume, tf, cam, cfg, early_eps=0.0, interpret=True, packed=True
+        )
+    )
+    np.testing.assert_array_equal(packed, unpacked)
+
+
+def test_packed_large_z_matches_scan():
+    """z > 128 (MNI-1mm-class geometry) only works packed — the f32 layout
+    cannot put the z column on 128 lanes."""
+    rng = np.random.default_rng(11)
+    volume = make_volume(
+        rng.uniform(0.0, 255.0, size=(8, 9, 140)).astype(np.float32))
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
+    cfg = RenderConfig(width=12, height=10, samples_per_ray=24)
+    want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    got = np.asarray(
+        render_vrc_pallas(
+            volume, tf, cam, cfg, early_eps=0.0, interpret=True, packed=True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_unpacked_rejects_large_z():
     volume = make_volume(np.zeros((4, 4, 200), np.float32))
+    tf = default_transfer_function()
+    cam = Camera.initial()
+    cfg = RenderConfig(width=8, height=8, samples_per_ray=4)
+    with pytest.raises(ValueError):
+        render_vrc_pallas(volume, tf, cam, cfg, interpret=True, packed=False)
+
+
+def test_rejects_z_beyond_packed_limit():
+    """z > 1024 exceeds even the packed layout (8 nibbles x 128 lanes)."""
+    volume = make_volume(np.zeros((2, 2, 1100), np.float32))
     tf = default_transfer_function()
     cam = Camera.initial()
     cfg = RenderConfig(width=8, height=8, samples_per_ray=4)

@@ -518,17 +518,26 @@ def render_test_segment(
     )
 
 
-def _pallas_eligible(volume: Volume, config: RenderConfig, mode: str) -> bool:
+def _pallas_eligible(volume: Volume, tf, config: RenderConfig,
+                     mode: str) -> bool:
     """True when the fused Pallas TPU kernel implements this exact render:
-    a1/VRC fast mode, single channel, z <= 128 lanes, plain NN classify.
-    (``mode="reference"`` keeps the XLA scan's back-to-front float order.)"""
+    a1/VRC fast mode, single channel, plain NN classify, and either the
+    packed material-grid layout fits (z <= 1024, <= 16 TF intervals) or the
+    f32 layout does (z <= 128).  (``mode="reference"`` keeps the XLA scan's
+    back-to-front float order.)"""
     import jax as _jax
 
+    from ..ops.pallas_march import packed_geometry
+
+    fits = (
+        volume.dims[2] <= 128
+        or packed_geometry(volume.dims, tf.num_intervals) is not None
+    )
     return (
         _jax.default_backend() == "tpu"
         and mode == "fast"
         and volume.channels == 1
-        and volume.dims[2] <= 128
+        and fits
         and not config.lighting
         and config.interp is Interp.NEAREST
         and not config.tf_lut
@@ -581,7 +590,7 @@ def render(
         from . import point_splat
 
         return point_splat.render_points(volume, tf, camera, config)
-    if _pallas_eligible(volume, config, mode):
+    if _pallas_eligible(volume, tf, config, mode):
         from ..ops.pallas_march import render_vrc_pallas
 
         return render_vrc_pallas(

@@ -46,6 +46,18 @@ matches ``render_vrc(..., mode="fast")`` bit-for-bit: float op order below
 mirrors models/raycast.py + ops/sampling.py expression by expression.
 When TF(0).alpha > 0 (out-of-volume samples visible) every skip except
 early termination disables itself — see ``alpha0`` below.
+
+Packed material-grid mode (``packed=True``, the default where eligible):
+the a1 pipeline only ever uses a voxel's intensity through the
+transfer-function classify (kernel.cu:64-67: intensity -> material ->
+RGBA), so the kernel can march a *material-id grid* instead of the f32
+volume.  The ids (the TF's last-match-wins interval index, computed
+exactly in XLA at f32 precision per call) are packed 8-per-i32-word
+(4 bits each, <= 16 intervals) and ``ypack`` y-rows share one 128-lane
+VMEM row.  This is bit-exact vs the f32 path by construction, shrinks
+VMEM residency ~8-10x (MNI152-1mm-class 182x218x182 volumes fit: ~4 MB
+vs 40 MB f32, which cannot), lifts the z<=128 lane limit to z<=1024,
+and cuts the footprint fetch loop by the ypack factor.
 """
 
 from __future__ import annotations
@@ -104,8 +116,12 @@ def _march_kernel(
     conic: bool,
     density_scale: float,
     nbricks: Tuple[int, int, int],
+    zpack: Tuple[int, int, int] | None = None,
 ):
     d1, d2, d3 = dims
+    packed = zpack is not None
+    if packed:
+        zw, ypack, nyg = zpack  # i32-words/z-column, y-rows/VMEM-row, y-groups
     L = np.float32(max(dims))
     n = np.float32(2**depth)
     nchunks = -(-spr // STEPS)
@@ -195,6 +211,16 @@ def _march_kernel(
                 out[c] = jnp.where(m, tf_colors_ref[k, c], out[c])
         return out
 
+    def classify_id(mid):
+        """Packed mode: the interval scan already ran in XLA; mid *is* the
+        selected interval index — just look the RGBA up."""
+        out = [jnp.full((8, 128), tf_colors_ref[0, c], _f32) for c in range(4)]
+        for k in range(1, num_intervals):
+            m = mid == k
+            for c in range(4):
+                out[c] = jnp.where(m, tf_colors_ref[k, c], out[c])
+        return out
+
     # ---- per-tile scalar ray bounds (for the cheap chunk box test) -----
     big = jnp.asarray(3.4e38, _f32)
     o_min = [jnp.min(jnp.where(pix_ok, o[c], big)) for c in range(3)]
@@ -271,20 +297,34 @@ def _march_kernel(
                 valid &= (res[c] >= hg[c]) & (res[c] < hg_hi[c])
             ijk = [jnp.trunc((res[c] + halfd[c]) - halfL).astype(_i32)
                    for c in range(3)]
-            rowid = jnp.where(valid, ijk[0] * d2 + ijk[1], -1)
-            iz = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
+            if packed:
+                # material-id grid: row = (ix, iy//ypack), lane =
+                # (iy%ypack)*zw + iz//8, nibble = (iz%8)*4
+                ygrp = jnp.where(valid, ijk[1] // ypack, 0)
+                rowid = jnp.where(valid, ijk[0] * nyg + ygrp, -1)
+                iz = jnp.where(
+                    valid, (ijk[1] - ygrp * ypack) * zw + ijk[2] // 8, 0)
+                ry = ygrp
+                stride = nyg
+            else:
+                rowid = jnp.where(valid, ijk[0] * d2 + ijk[1], -1)
+                iz = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
+                ry = ijk[1]
+                stride = d2
             rxmin = jnp.min(jnp.where(valid, ijk[0], _BIG))
-            rymin = jnp.min(jnp.where(valid, ijk[1], _BIG))
+            rymin = jnp.min(jnp.where(valid, ry, _BIG))
             rxmax = jnp.max(jnp.where(valid, ijk[0], -1))
-            rymax = jnp.max(jnp.where(valid, ijk[1], -1))
+            rymax = jnp.max(jnp.where(valid, ry, -1))
 
-            # ---- fetch: footprint loop, one row per (ix, iy) -----------
+            # ---- fetch: footprint loop, one row per (ix, iy[-group]) ---
+            acc_dtype = _i32 if packed else _f32
+
             def fx(dx, acc):
                 cx = rxmin + dx
 
                 def fy(dy, acc):
                     cy = rymin + dy
-                    crow = cx * d2 + cy
+                    crow = cx * stride + cy
                     rowv = vol_ref[pl.ds(crow, 1), :]
                     bc = jnp.broadcast_to(rowv, (8, 128))
                     g = jnp.take_along_axis(bc, iz, axis=1)
@@ -293,10 +333,18 @@ def _march_kernel(
                 return jax.lax.fori_loop(0, rymax - rymin + 1, fy, acc)
 
             acc = jax.lax.fori_loop(
-                0, rxmax - rxmin + 1, fx, jnp.zeros((8, 128), _f32))
-            v = jnp.maximum(acc, 0.0)  # descent drops negatives
-            vn = v / cal_max  # int-truncated cal_max (kernel.cu:42)
-            sr, sg, sb, sa = classify(vn)
+                0, rxmax - rxmin + 1, fx, jnp.zeros((8, 128), acc_dtype))
+            if packed:
+                # unpack the nibble, fall back to TF-id-of-0 off-volume
+                sh = (ijk[2] & 7) * 4  # always in [0, 28]
+                mid = jax.lax.shift_right_logical(acc, sh) & 15
+                id0 = scal_ref[28].astype(_i32)  # classify-index of vn=0
+                mid = jnp.where(valid, mid, id0)
+                sr, sg, sb, sa = classify_id(mid)
+            else:
+                v = jnp.maximum(acc, 0.0)  # descent drops negatives
+                vn = v / cal_max  # int-truncated cal_max (kernel.cu:42)
+                sr, sg, sb, sa = classify(vn)
             if density_scale != 1.0:
                 sa = jnp.clip(sa * np.float32(density_scale), 0.0, 1.0)
 
@@ -350,6 +398,57 @@ def brick_occupancy(
     return occ.reshape(-1).astype(_i32), nb
 
 
+def packed_geometry(
+    dims: Tuple[int, int, int], num_intervals: int
+) -> Tuple[int, int, int] | None:
+    """(zw, ypack, nyg) for the material-id grid layout, or None when the
+    volume/TF cannot use it (ids must fit a nibble; a z column must fit a
+    128-lane row)."""
+    d1, d2, d3 = dims
+    if num_intervals > 16:
+        return None
+    zw = -(-d3 // 8)  # i32 words per z column (8 nibbles/word)
+    if zw > 128:
+        return None  # d3 > 1024
+    ypack = min(128 // zw, d2)
+    nyg = -(-d2 // ypack)
+    if _pad_to(d1 * nyg, 8) * 128 * 4 > 12 * 2**20:  # VMEM budget
+        return None
+    return zw, ypack, nyg
+
+
+def pack_material_grid(
+    volume: Volume,
+    tf: TransferFunction,
+    cal_max_trunc: jnp.ndarray,
+    zpack: Tuple[int, int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(rows [pad8(d1*nyg), 128] i32, id0 scalar f32): the TF's
+    last-match-wins interval index per voxel (a1 value semantics:
+    negatives clamped, / trunc(cal_max) — kernel.cu:42,64-66), 8 ids per
+    i32 word (4-bit nibbles, z-major), ``ypack`` y-rows per 128-lane row;
+    plus the classify index of intensity 0 (the off-volume fallback)."""
+    d1, d2, d3 = volume.dims
+    zw, ypack, nyg = zpack
+    vn = jnp.maximum(volume.data.reshape(d1, d2, d3), 0.0) / cal_max_trunc
+    ids = jnp.zeros((d1, d2, d3), _i32)
+    id0 = jnp.zeros((), _i32)
+    for k in range(tf.num_intervals):
+        m = (vn >= tf.lower[k]) & (vn <= tf.upper[k])
+        ids = jnp.where(m, k, ids)
+        id0 = jnp.where((tf.lower[k] <= 0.0) & (tf.upper[k] >= 0.0), k, id0)
+    ids = jnp.pad(ids, ((0, 0), (0, nyg * ypack - d2), (0, zw * 8 - d3)))
+    shifts = jnp.arange(8, dtype=_i32) * 4
+    words = jnp.sum(
+        jnp.left_shift(ids.reshape(d1, nyg, ypack, zw, 8), shifts), axis=-1
+    ).astype(_i32)
+    rows = _pad_to(d1 * nyg, 8)
+    grid = jnp.zeros((rows, 128), _i32)
+    grid = grid.at[: d1 * nyg, : ypack * zw].set(
+        words.reshape(d1 * nyg, ypack * zw))
+    return grid, id0.astype(_f32)
+
+
 def render_vrc_pallas(
     volume: Volume,
     tf: TransferFunction,
@@ -358,19 +457,30 @@ def render_vrc_pallas(
     *,
     early_eps: float = 1e-3,
     interpret: bool = False,
+    packed: bool | None = None,
 ) -> jnp.ndarray:
     """a1/VRC render via the fused Pallas kernel -> [W, H, 4].
 
     Matches ``render_vrc(..., mode="fast")`` up to the early-termination
-    epsilon (``early_eps=0`` for exact agreement).  Requires dims[2] <= 128,
-    a single channel, and the default classify path (no lighting / LUT /
-    trilinear modes — the dispatcher falls back to the XLA renderer there).
+    epsilon (``early_eps=0`` for exact agreement).  Requires a single
+    channel and the default classify path (no lighting / LUT / trilinear
+    modes — the dispatcher falls back to the XLA renderer there).  The
+    default packed material-grid mode handles z up to 1024 (MNI-1mm-class
+    volumes); the f32 mode (``packed=False``) needs dims[2] <= 128.
     """
     d1, d2, d3 = volume.dims
-    if d3 > 128:
+    zpack = packed_geometry(volume.dims, tf.num_intervals)
+    if packed is None:
+        packed = zpack is not None
+    if packed and zpack is None:
         raise ValueError(
-            f"pallas path needs z dim <= 128 (got {d3}); "
-            "use the XLA renderer for larger volumes")
+            "packed pallas path needs <= 16 TF intervals, z <= 1024, and a "
+            f"material grid within the VMEM budget (dims {volume.dims}, "
+            f"{tf.num_intervals} intervals)")
+    if not packed and d3 > 128:
+        raise ValueError(
+            f"unpacked pallas path needs z dim <= 128 (got {d3}); "
+            "use packed mode or the XLA renderer for larger volumes")
     if volume.channels != 1:
         raise ValueError("pallas path supports single-channel volumes")
     if config.lighting:
@@ -384,11 +494,18 @@ def render_vrc_pallas(
     ntx = -(-w // TILE_PX)
     nty = -(-h // TILE_PY)
 
-    rows = _pad_to(d1 * d2, 8)
-    vol_rows = jnp.zeros((rows, 128), _f32)
-    vol_rows = vol_rows.at[: d1 * d2, :d3].set(volume.data.reshape(d1 * d2, d3))
-
     cal_max_trunc = jnp.trunc(jnp.asarray(volume.cal_max, _f32))
+    id0 = jnp.zeros((), _f32)
+    if packed:
+        vol_rows, id0 = pack_material_grid(volume, tf, cal_max_trunc, zpack)
+    else:
+        zpack = None
+        rows = _pad_to(d1 * d2, 8)
+        vol_rows = jnp.zeros((rows, 128), _f32)
+        vol_rows = vol_rows.at[: d1 * d2, :d3].set(
+            volume.data.reshape(d1 * d2, d3))
+    rows = vol_rows.shape[0]
+
     occ, nb = brick_occupancy(volume, tf, cal_max_trunc)
 
     alpha0 = tf.classify(jnp.zeros((), _f32))[3]
@@ -422,7 +539,8 @@ def render_vrc_pallas(
                     _f32),
         jnp.asarray(box_lo, _f32),
         jnp.asarray(box_hi, _f32),
-        jnp.zeros((4,), _f32),
+        id0[None],  # [28] classify-index of vn=0 (packed mode)
+        jnp.zeros((3,), _f32),
     ])
 
     kernel = functools.partial(
@@ -436,6 +554,7 @@ def render_vrc_pallas(
         conic=bool(config.conic),
         density_scale=float(config.density_scale),
         nbricks=nb,
+        zpack=zpack,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
