@@ -16,9 +16,11 @@ reads.  The kernel is built around them:
 
   * The volume lives fully in VMEM as rows [d1*d2 (pad 8), 128] with z on
     lanes (requires d3 <= 128; bigger volumes use the XLA scan renderer).
-  * Rays are processed in 16x16-pixel tiles; each kernel-loop iteration
-    marches 4 consecutive samples of all 256 rays packed as one [8,128]
-    register (slot e = step*256 + ray).
+  * Rays are processed in pixel tiles (default 32x32 = 1024 rays); each
+    kernel-loop iteration marches ``steps`` (default 16) consecutive
+    samples of every ray in the tile, packed as an [E,128] element grid
+    (slot e = step*nrays + ray).  The (tile_px, tile_py, steps) shape is
+    a tunable; DEFAULT_TILE was swept on hardware.
   * The voxel fetch loops over the tile-chunk's *voxel footprint*
     (dynamic [ix_min..ix_max] x [iy_min..iy_max] ranges, typically ~8x8
     for coherent tiles): one VMEM row read + one lane-gather by z + one
@@ -81,9 +83,13 @@ from ..utils import transforms as T
 _f32 = jnp.float32
 _i32 = jnp.int32
 
-TILE_PX = 16  # pixel-tile width
+TILE_PX = 16  # pixel-tile width (legacy default, shared by a5/vjp kernels)
 TILE_PY = 16  # pixel-tile height (256 rays/tile)
-STEPS = 4  # samples marched per [8,128] register
+STEPS = 4  # samples marched per [8,128] register (legacy default)
+# Forward-kernel default (swept on a v5e chip at 700^2 spr500: 2.4x the
+# 16x16x4 legacy shape — deeper step batching amortizes each footprint
+# row-read over 16 samples and wider tiles amortize per-chunk scalar work):
+DEFAULT_TILE = (32, 32, 16)
 BRICK = 8  # occupancy brick edge (voxels)
 _BIG = 2**30  # "invalid" sentinel for footprint mins
 
@@ -92,8 +98,8 @@ def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _iota(dim: int) -> jnp.ndarray:
-    return jax.lax.broadcasted_iota(_i32, (8, 128), dim)
+def _iota(dim: int, rows: int = 8) -> jnp.ndarray:
+    return jax.lax.broadcasted_iota(_i32, (rows, 128), dim)
 
 
 def _march_kernel(
@@ -117,14 +123,19 @@ def _march_kernel(
     density_scale: float,
     nbricks: Tuple[int, int, int],
     zpack: Tuple[int, int, int] | None = None,
+    tile: Tuple[int, int, int] = (TILE_PX, TILE_PY, STEPS),
 ):
     d1, d2, d3 = dims
+    tpx, tpy, steps = tile  # pixel-tile width/height, samples per register
+    nrays = tpx * tpy
+    E = nrays * steps // 128  # sublane rows of the full element grid
+    RT = nrays // 128  # sublane rows of one ray set
     packed = zpack is not None
     if packed:
         zw, ypack, nyg = zpack  # i32-words/z-column, y-rows/VMEM-row, y-groups
     L = np.float32(max(dims))
     n = np.float32(2**depth)
-    nchunks = -(-spr // STEPS)
+    nchunks = -(-spr // steps)
     nbx, nby, nbz = nbricks
     # centered-dataset constants, f32-exact (all /2 of representables)
     hg = [np.float32(L / 2) - np.float32(d / 2) for d in dims]
@@ -150,14 +161,14 @@ def _march_kernel(
     tx = pl.program_id(0)
     ty = pl.program_id(1)
 
-    # ---- slot decode: e = step*256 + u*16 + v --------------------------
-    e = _iota(0) * 128 + _iota(1)
-    s_idx = e // 256  # step-in-chunk 0..3
-    f = e % 256
-    u = f // TILE_PY
-    v = f % TILE_PY
-    pxi = tx * TILE_PX + u
-    pyi = ty * TILE_PY + v
+    # ---- slot decode: e = step*nrays + u*tpy + v -----------------------
+    e = _iota(0, E) * 128 + _iota(1, E)
+    s_idx = e // nrays  # step-in-chunk 0..steps-1
+    f = e % nrays
+    u = f // tpy
+    v = f % tpy
+    pxi = tx * tpx + u
+    pyi = ty * tpy + v
     pix_ok = (pxi < width) & (pyi < height)
     px = pxi.astype(_f32)
     py = pyi.astype(_f32)
@@ -166,18 +177,18 @@ def _march_kernel(
     xt = [((px * rsw) / np.float32(width)) * right[c] for c in range(3)]
     yt = [((py * rsh) / np.float32(height)) * (-up[c]) for c in range(3)]
     if conic:
-        o = [jnp.zeros((8, 128), _f32) + pos[c] for c in range(3)]
+        o = [jnp.zeros((E, 128), _f32) + pos[c] for c in range(3)]
         rd = [tl[c] + xt[c] + yt[c] - pos[c] for c in range(3)]
         inv = jax.lax.rsqrt(rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2])
         d = [rd[c] * inv for c in range(3)]
     else:
         o = [(tl[c] + xt[c]) + yt[c] for c in range(3)]
-        d = [jnp.zeros((8, 128), _f32) + front[c] for c in range(3)]
+        d = [jnp.zeros((E, 128), _f32) + front[c] for c in range(3)]
 
     # ---- per-tile chunk-range from ray/dataset-box intersection --------
     # conservative slab test; a +-1-chunk margin absorbs float slop
-    t_lo = jnp.full((8, 128), -jnp.inf, _f32)
-    t_hi = jnp.full((8, 128), jnp.inf, _f32)
+    t_lo = jnp.full((E, 128), -jnp.inf, _f32)
+    t_hi = jnp.full((E, 128), jnp.inf, _f32)
     for c in range(3):
         safe = jnp.abs(d[c]) > 1e-12
         dv = jnp.where(safe, d[c], 1.0)
@@ -196,15 +207,15 @@ def _march_kernel(
     t_exit = jnp.max(jnp.where(hit, t_hi, -big))
     i_lo = jnp.floor((t_enter - clip) / ds).astype(_i32) - 1
     i_hi = jnp.ceil((t_exit - clip) / ds).astype(_i32) + 1
-    chunk_lo = jnp.clip(i_lo // STEPS, 0, nchunks)
-    chunk_hi = jnp.clip(i_hi // STEPS + 1, 0, nchunks)
+    chunk_lo = jnp.clip(i_lo // steps, 0, nchunks)
+    chunk_hi = jnp.clip(i_hi // steps + 1, 0, nchunks)
     # TF(0).alpha > 0: out-of-volume samples are visible, march everything
     chunk_lo = jnp.where(alpha0_pos, 0, chunk_lo)
     chunk_hi = jnp.where(alpha0_pos, nchunks, chunk_hi)
 
     def classify(vn):
         """Ascending last-match-wins interval scan (TransferFunction.cu:46-55)."""
-        out = [jnp.full((8, 128), tf_colors_ref[0, c], _f32) for c in range(4)]
+        out = [jnp.full((E, 128), tf_colors_ref[0, c], _f32) for c in range(4)]
         for k in range(num_intervals):
             m = (vn >= tf_lower_ref[k]) & (vn <= tf_upper_ref[k])
             for c in range(4):
@@ -214,7 +225,7 @@ def _march_kernel(
     def classify_id(mid):
         """Packed mode: the interval scan already ran in XLA; mid *is* the
         selected interval index — just look the RGBA up."""
-        out = [jnp.full((8, 128), tf_colors_ref[0, c], _f32) for c in range(4)]
+        out = [jnp.full((E, 128), tf_colors_ref[0, c], _f32) for c in range(4)]
         for k in range(1, num_intervals):
             m = mid == k
             for c in range(4):
@@ -235,8 +246,8 @@ def _march_kernel(
         # every transform below is monotone, so pushing the widened bounds
         # through the exact index chain bounds the chunk's voxel footprint;
         # the 1e-5 margin dominates any 1-ulp reassociation difference
-        t0s = (ci * STEPS).astype(_f32) * ds + clip
-        t1s = (ci * STEPS + (STEPS - 1)).astype(_f32) * ds + clip
+        t0s = (ci * steps).astype(_f32) * ds + clip
+        t1s = (ci * steps + (steps - 1)).astype(_f32) * ds + clip
         blo, bhi = [], []
         box_ok = jnp.asarray(True)
         for c in range(3):
@@ -279,14 +290,14 @@ def _march_kernel(
 
         def work(args):
             cr, cg, cb, t = args
-            i_f = (ci * STEPS + s_idx).astype(_f32)
+            i_f = (ci * steps + s_idx).astype(_f32)
             ti = i_f * ds + clip  # kernel.cu:54,59
             p = [(o[c] + ti * d[c]) + 0.5 for c in range(3)]  # modelAux
 
             # rays whose transmittance is already below eps can't change the
             # output by more than eps — drop them from the footprint (for
             # eps=0 this only drops exact-zero-T rays: still bit-exact)
-            tt = jnp.concatenate([t, t, t, t], axis=0)
+            tt = jnp.concatenate([t] * steps, axis=0) if steps > 1 else t
             inside = pix_ok & (tt > jnp.maximum(eps, 0.0))
             for c in range(3):
                 inside &= (p[c] >= 0.0) & (p[c] < 1.0)
@@ -326,14 +337,14 @@ def _march_kernel(
                     cy = rymin + dy
                     crow = cx * stride + cy
                     rowv = vol_ref[pl.ds(crow, 1), :]
-                    bc = jnp.broadcast_to(rowv, (8, 128))
+                    bc = jnp.broadcast_to(rowv, (E, 128))
                     g = jnp.take_along_axis(bc, iz, axis=1)
                     return jnp.where(rowid == crow, g, acc)
 
                 return jax.lax.fori_loop(0, rymax - rymin + 1, fy, acc)
 
             acc = jax.lax.fori_loop(
-                0, rxmax - rxmin + 1, fx, jnp.zeros((8, 128), acc_dtype))
+                0, rxmax - rxmin + 1, fx, jnp.zeros((E, 128), acc_dtype))
             if packed:
                 # unpack the nibble, fall back to TF-id-of-0 off-volume
                 sh = (ijk[2] & 7) * 4  # always in [0, 28]
@@ -349,17 +360,17 @@ def _march_kernel(
                 sa = jnp.clip(sa * np.float32(density_scale), 0.0, 1.0)
 
             # ---- blend the 4 steps in order (front-to-back (C,T)) ------
-            for s in range(STEPS):
-                lo = 2 * s
-                a_s = sa[lo:lo + 2, :]
-                if spr % STEPS:
+            for s in range(steps):
+                lo = RT * s
+                a_s = sa[lo:lo + RT, :]
+                if spr % steps:
                     # mask steps beyond spr in the last chunk
-                    gate = ((ci * STEPS + s) < spr).astype(_f32)
+                    gate = ((ci * steps + s) < spr).astype(_f32)
                     a_s = a_s * gate
                 w_s = t * a_s
-                cr = cr + w_s * sr[lo:lo + 2, :]
-                cg = cg + w_s * sg[lo:lo + 2, :]
-                cb = cb + w_s * sb[lo:lo + 2, :]
+                cr = cr + w_s * sr[lo:lo + RT, :]
+                cg = cg + w_s * sg[lo:lo + RT, :]
+                cb = cb + w_s * sb[lo:lo + RT, :]
                 t = t * (1.0 - a_s)
             return cr, cg, cb, t
 
@@ -371,8 +382,8 @@ def _march_kernel(
         ci, _, _, _, t = carry
         return (ci < chunk_hi) & (jnp.max(t) > eps)
 
-    zeros = jnp.zeros((2, 128), _f32)
-    ones = jnp.ones((2, 128), _f32)
+    zeros = jnp.zeros((RT, 128), _f32)
+    ones = jnp.ones((RT, 128), _f32)
     _, cr, cg, cb, t = jax.lax.while_loop(
         chunk_cond, chunk_body, (chunk_lo, zeros, zeros, zeros, ones))
     out_r_ref[0, 0] = cr
@@ -458,6 +469,7 @@ def render_vrc_pallas(
     early_eps: float = 1e-3,
     interpret: bool = False,
     packed: bool | None = None,
+    tile: Tuple[int, int, int] | None = None,
 ) -> jnp.ndarray:
     """a1/VRC render via the fused Pallas kernel -> [W, H, 4].
 
@@ -491,8 +503,15 @@ def render_vrc_pallas(
         raise ValueError("pallas path uses the exact TF scan, not a LUT")
 
     w, h = config.width, config.height
-    ntx = -(-w // TILE_PX)
-    nty = -(-h // TILE_PY)
+    if tile is None:
+        tile = DEFAULT_TILE
+    tpx, tpy, steps = tile
+    if (tpx * tpy) % 128 or (tpx * tpy * steps) % 1024:
+        raise ValueError(f"tile {tile}: rays must fill 128-lane rows and "
+                         "rays*steps must fill [8,128] registers")
+    ntx = -(-w // tpx)
+    nty = -(-h // tpy)
+    rt = (tpx * tpy) // 128
 
     cal_max_trunc = jnp.trunc(jnp.asarray(volume.cal_max, _f32))
     id0 = jnp.zeros((), _f32)
@@ -555,6 +574,7 @@ def render_vrc_pallas(
         density_scale=float(config.density_scale),
         nbricks=nb,
         zpack=zpack,
+        tile=tile,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -570,12 +590,12 @@ def render_vrc_pallas(
                          memory_space=pltpu.VMEM),  # volume
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, rt, 128), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ],
     )
-    out_shape = [jax.ShapeDtypeStruct((ntx, nty, 2, 128), _f32)
+    out_shape = [jax.ShapeDtypeStruct((ntx, nty, rt, 128), _f32)
                  for _ in range(4)]
     cr, cg, cb, t = pl.pallas_call(
         kernel,
@@ -585,8 +605,8 @@ def render_vrc_pallas(
     )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows)
 
     def unpack(a):
-        a = a.reshape(ntx, nty, TILE_PX, TILE_PY)
-        a = a.transpose(0, 2, 1, 3).reshape(ntx * TILE_PX, nty * TILE_PY)
+        a = a.reshape(ntx, nty, tpx, tpy)
+        a = a.transpose(0, 2, 1, 3).reshape(ntx * tpx, nty * tpy)
         return a[:w, :h]
 
     bg = jnp.asarray(config.background, _f32)
