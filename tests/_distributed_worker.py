@@ -1,0 +1,84 @@
+"""Worker for the real multi-process jax.distributed test.
+
+Launched (2 processes) by tests/test_distributed.py: each process brings up
+``jax.distributed.initialize`` over a localhost coordinator with 4 virtual
+CPU devices, builds the global 8-device ("rays", "samples", "volume") mesh,
+renders a rays-sharded frame, and asserts its *addressable* output columns
+equal the locally-computed single-device render — executable evidence for
+the multi-host path (SURVEY.md §5 distributed backend) without a pod.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    coordinator, process_id = sys.argv[1], int(sys.argv[2])
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from volumerenderingproject_tpu.parallel.mesh import (
+        initialize_distributed,
+        make_mesh,
+    )
+
+    initialize_distributed(
+        coordinator_address=coordinator,
+        num_processes=2,
+        process_id=process_id,
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from volumerenderingproject_tpu import (
+        Camera,
+        RenderConfig,
+        default_transfer_function,
+        make_volume,
+    )
+    from volumerenderingproject_tpu.models.raycast import render_vrc
+    from volumerenderingproject_tpu.parallel.render_dist import (
+        render_vrc_sharded_jit,
+    )
+
+    rng = np.random.default_rng(7)
+    volume = make_volume(rng.uniform(0, 255, size=(8, 10, 9)).astype(np.float32))
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.4, 0.3, 0.9))
+    cfg = RenderConfig(width=16, height=6, samples_per_ray=24)
+
+    mesh = make_mesh(rays=8, samples=1, volume=1)
+    repl = NamedSharding(mesh, P())
+    volume_g = jax.tree.map(lambda x: jax.device_put(x, repl), volume)
+    tf_g = jax.tree.map(lambda x: jax.device_put(x, repl), tf)
+    cam_g = jax.tree.map(lambda x: jax.device_put(x, repl), cam)
+
+    out = render_vrc_sharded_jit(volume_g, tf_g, cam_g, cfg, mesh)
+
+    want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    w_local = cfg.width // 8
+    checked = 0
+    for shard in out.addressable_shards:
+        x0 = shard.index[0].start or 0
+        np.testing.assert_allclose(
+            np.asarray(shard.data), want[x0 : x0 + w_local], atol=1e-6
+        )
+        checked += 1
+    assert checked > 0
+    print(f"process {process_id}: {checked} shards OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,3 +109,44 @@ def test_rejects_z_beyond_packed_limit():
     cfg = RenderConfig(width=8, height=8, samples_per_ray=4)
     with pytest.raises(ValueError):
         render_vrc_pallas(volume, tf, cam, cfg, interpret=True)
+
+
+def test_segment_matches_scan_segment_bitwise(scene):
+    """The fused kernel's (C, T) sample segment must equal the XLA scan
+    segment exactly (same float op order, eps=0)."""
+    import jax.numpy as jnp
+    from volumerenderingproject_tpu.models.raycast import render_vrc_segment
+    from volumerenderingproject_tpu.ops import composite as comp
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        render_vrc_pallas_segment,
+    )
+
+    volume, tf, cam, cfg = scene
+    for s_start, s_count in ((0, 20), (20, 20)):
+        c_k, t_k = render_vrc_pallas_segment(
+            volume.data, volume.dims, volume.octree_depth, volume.cal_max,
+            tf, cam, cfg, s_start=s_start, s_count=s_count, interpret=True,
+        )
+        c_s, t_s = render_vrc_segment(
+            volume, tf, cam, cfg, s_start=s_start, s_count=s_count,
+        )
+        np.testing.assert_array_equal(np.asarray(c_k), np.asarray(c_s))
+        np.testing.assert_array_equal(np.asarray(t_k), np.asarray(t_s))
+
+    # rays-axis tiles concatenate to the full frame
+    want = np.asarray(
+        render_vrc_pallas(volume, tf, cam, cfg, early_eps=0.0, interpret=True)
+    )
+    cols = []
+    for xo in (0, 10):
+        c_k, t_k = render_vrc_pallas_segment(
+            volume.data, volume.dims, volume.octree_depth, volume.cal_max,
+            tf, cam, cfg, x_offset=xo, local_width=10, interpret=True,
+        )
+        cols.append(
+            np.asarray(
+                comp.segment_finalize((c_k, t_k),
+                                      jnp.asarray(cfg.background))
+            )
+        )
+    np.testing.assert_array_equal(np.concatenate(cols, axis=0), want)

@@ -129,3 +129,111 @@ def test_config_validation():
         RenderConfig(samples_per_ray=-1)
     with pytest.raises(ValueError):
         RenderConfig(front_clip=5.0)
+
+
+def test_pallas_segments_all_axes(scene):
+    """The fused Pallas kernel under shard_map (interpret mode) must match
+    the single-device XLA render on every mesh-axis combination."""
+    volume, tf, cam, cfg = scene
+    want = _single(volume, tf, cam, cfg)
+    for axes in (
+        dict(rays=8, samples=1, volume=1),
+        dict(rays=2, samples=4, volume=1),
+        dict(rays=2, samples=1, volume=4),
+        dict(rays=2, samples=2, volume=2),
+    ):
+        mesh = make_mesh(**axes)
+        got = np.asarray(
+            render_vrc_sharded(
+                volume, tf, cam, cfg, mesh,
+                use_pallas=True, pallas_interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(axes))
+
+
+def test_pallas_segment_slab_negative_front_x(scene):
+    """Slab visibility-order fold composes correctly for both ray x signs
+    when segments come from the fused kernel."""
+    volume, tf, _, cfg = scene
+    mesh = make_mesh(rays=1, samples=1, volume=4)
+    for pos in ((-0.6, 0.2, 0.7), (0.6, 0.2, 0.7)):
+        cam = Camera.initial(position=pos)
+        got = np.asarray(
+            render_vrc_sharded(
+                volume, tf, cam, cfg, mesh,
+                use_pallas=True, pallas_interpret=True,
+            )
+        )
+        np.testing.assert_allclose(
+            got, _single(volume, tf, cam, cfg), atol=1e-5
+        )
+
+
+def test_pallas_auto_falls_back_when_ineligible(scene):
+    """Lighting is outside the fused kernel's semantics: auto mode must
+    route to the XLA scan segments (and still match the single render)."""
+    from volumerenderingproject_tpu.models.raycast import render_vrc as _rv
+
+    volume, tf, cam, cfg = scene
+    cfg_lit = cfg.replace(lighting=True)
+    mesh = make_mesh(rays=2, samples=2, volume=1)
+    got = np.asarray(
+        render_vrc_sharded(volume, tf, cam, cfg_lit, mesh,
+                           pallas_interpret=True)
+    )
+    want = np.asarray(_rv(volume, tf, cam, cfg_lit, mode="fast"))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_volume_axis_halo_trilinear_color(scene):
+    """Volume-axis slabs with a one-voxel halo must reproduce the a1
+    trilinear-color interp exactly (taps cross slab boundaries)."""
+    from volumerenderingproject_tpu.utils.config import Interp
+
+    volume, tf, cam, cfg = scene
+    cfg2 = cfg.replace(interp=Interp.TRILINEAR_COLOR)
+    want = np.asarray(render_vrc(volume, tf, cam, cfg2, mode="fast"))
+    mesh = make_mesh(rays=1, samples=1, volume=4)
+    got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg2, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_volume_axis_halo_trilinear_smooth(scene):
+    from volumerenderingproject_tpu.utils.config import Interp
+
+    volume, tf, cam, cfg = scene
+    cfg2 = cfg.replace(interp=Interp.TRILINEAR)
+    want = np.asarray(render_vrc(volume, tf, cam, cfg2, mode="fast"))
+    mesh = make_mesh(rays=2, samples=1, volume=2)
+    got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg2, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_volume_axis_halo_lighting(scene):
+    """Gradient-normal Phong shading on slabs: central differences read
+    through the exchanged halo."""
+    volume, tf, cam, cfg = scene
+    cfg2 = cfg.replace(lighting=True)
+    want = np.asarray(render_vrc(volume, tf, cam, cfg2, mode="fast"))
+    mesh = make_mesh(rays=1, samples=2, volume=4)
+    got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg2, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_volume_axis_a5(scene):
+    """a5/TEST sharding over volume slabs (corner fetches through the halo,
+    incl. the reference's flat-index wrap semantics)."""
+    from volumerenderingproject_tpu.models.raycast import render_test
+    from volumerenderingproject_tpu.utils.config import Algorithm
+
+    volume, tf, cam, cfg = scene
+    cfg5 = cfg.replace(algorithm=Algorithm.TEST)
+    want = np.asarray(render_test(volume, tf, cam, cfg5, mode="fast"))
+    mesh = make_mesh(rays=2, samples=1, volume=2)
+    got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg5, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    cfg5l = cfg5.replace(lighting=True)
+    want = np.asarray(render_test(volume, tf, cam, cfg5l, mode="fast"))
+    got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg5l, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -137,14 +137,19 @@ def test_cli_point_with_mesh_errors():
         )
 
 
-def test_volume_axis_lighting_rejected(rng):
+def test_volume_axis_lighting_matches(rng):
+    """Round 1 rejected lighting on the volume axis; round 2's halo
+    exchange supports it — assert correctness instead."""
+    from volumerenderingproject_tpu.models.raycast import render_vrc
     from volumerenderingproject_tpu.parallel.mesh import make_mesh
     from volumerenderingproject_tpu.parallel.render_dist import render_vrc_sharded
 
     _, volume, tf, cam, cfg = _scene(rng)
+    cfg_lit = cfg.replace(lighting=True)
     mesh = make_mesh(rays=1, samples=1, volume=2)
-    with pytest.raises(NotImplementedError):
-        render_vrc_sharded(volume, tf, cam, cfg.replace(lighting=True), mesh)
+    got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg_lit, mesh))
+    want = np.asarray(render_vrc(volume, tf, cam, cfg_lit, mode="fast"))
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_a5_lighting_differs_and_sharded_matches(rng):

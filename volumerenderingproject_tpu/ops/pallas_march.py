@@ -124,8 +124,18 @@ def _march_kernel(
     nbricks: Tuple[int, int, int],
     zpack: Tuple[int, int, int] | None = None,
     tile: Tuple[int, int, int] = (TILE_PX, TILE_PY, STEPS),
+    local_width: int | None = None,
+    slab_x: int | None = None,
 ):
+    """``spr`` is the LOCAL sample count of this segment; the global sample
+    index is ``scal[30] + local`` (full renders pass s_start=0 so the two
+    coincide).  ``local_width``/``scal[29]`` and ``slab_x``/``scal[31]``
+    likewise carry the ray-column tile and the volume x-slab for sharded
+    segments (parallel/render_dist.py) — see render_vrc_pallas_segment."""
     d1, d2, d3 = dims
+    lw = width if local_width is None else local_width
+    slab = slab_x is not None
+    dx_local = slab_x if slab else d1  # x extent of the staged rows
     tpx, tpy, steps = tile  # pixel-tile width/height, samples per register
     nrays = tpx * tpy
     E = nrays * steps // 128  # sublane rows of the full element grid
@@ -157,6 +167,9 @@ def _march_kernel(
     rsh = scal_ref[21]
     box_lo = [scal_ref[22 + c] for c in range(3)]  # dataset box, pos space
     box_hi = [scal_ref[25 + c] for c in range(3)]
+    x_off_i = scal_ref[29].astype(_i32)  # ray-column offset (segments)
+    s_start_i = scal_ref[30].astype(_i32)  # global index of local sample 0
+    x0_i = scal_ref[31].astype(_i32)  # volume-slab x offset (slab mode)
 
     tx = pl.program_id(0)
     ty = pl.program_id(1)
@@ -167,9 +180,10 @@ def _march_kernel(
     f = e % nrays
     u = f // tpy
     v = f % tpy
-    pxi = tx * tpx + u
+    lxp = tx * tpx + u  # local pixel column
+    pxi = lxp + x_off_i  # global pixel column (ray math uses global)
     pyi = ty * tpy + v
-    pix_ok = (pxi < width) & (pyi < height)
+    pix_ok = (lxp < lw) & (pyi < height)
     px = pxi.astype(_f32)
     py = pyi.astype(_f32)
 
@@ -205,8 +219,8 @@ def _march_kernel(
     big = jnp.asarray(3.4e38, _f32)
     t_enter = jnp.min(jnp.where(hit, t_lo, big))
     t_exit = jnp.max(jnp.where(hit, t_hi, -big))
-    i_lo = jnp.floor((t_enter - clip) / ds).astype(_i32) - 1
-    i_hi = jnp.ceil((t_exit - clip) / ds).astype(_i32) + 1
+    i_lo = jnp.floor((t_enter - clip) / ds).astype(_i32) - 1 - s_start_i
+    i_hi = jnp.ceil((t_exit - clip) / ds).astype(_i32) + 1 - s_start_i
     chunk_lo = jnp.clip(i_lo // steps, 0, nchunks)
     chunk_hi = jnp.clip(i_hi // steps + 1, 0, nchunks)
     # TF(0).alpha > 0: out-of-volume samples are visible, march everything
@@ -246,8 +260,8 @@ def _march_kernel(
         # every transform below is monotone, so pushing the widened bounds
         # through the exact index chain bounds the chunk's voxel footprint;
         # the 1e-5 margin dominates any 1-ulp reassociation difference
-        t0s = (ci * steps).astype(_f32) * ds + clip
-        t1s = (ci * steps + (steps - 1)).astype(_f32) * ds + clip
+        t0s = (s_start_i + ci * steps).astype(_f32) * ds + clip
+        t1s = (s_start_i + ci * steps + (steps - 1)).astype(_f32) * ds + clip
         blo, bhi = [], []
         box_ok = jnp.asarray(True)
         for c in range(3):
@@ -268,8 +282,15 @@ def _march_kernel(
             box_ok &= rhi >= hg[c]
             ilo = jnp.trunc((rlo + halfd[c]) - halfL).astype(_i32)
             ihi = jnp.trunc((rhi + halfd[c]) - halfL).astype(_i32)
-            blo.append(jnp.clip(ilo, 0, dims[c] - 1) // BRICK)
-            bhi.append(jnp.clip(ihi, 0, dims[c] - 1) // BRICK)
+            if c == 0 and slab:
+                # occupancy bricks live on the slab's local x grid
+                ilo = ilo - x0_i
+                ihi = ihi - x0_i
+                box_ok &= ihi >= 0
+                box_ok &= ilo < slab_x
+            ext = dx_local if c == 0 else dims[c]
+            blo.append(jnp.clip(ilo, 0, ext - 1) // BRICK)
+            bhi.append(jnp.clip(ihi, 0, ext - 1) // BRICK)
 
         # ---- brick occupancy: any alpha>0 voxel in the box? ------------
         zero_i = jnp.asarray(0, _i32)
@@ -290,7 +311,7 @@ def _march_kernel(
 
         def work(args):
             cr, cg, cb, t = args
-            i_f = (ci * steps + s_idx).astype(_f32)
+            i_f = (s_start_i + ci * steps + s_idx).astype(_f32)
             ti = i_f * ds + clip  # kernel.cu:54,59
             p = [(o[c] + ti * d[c]) + 0.5 for c in range(3)]  # modelAux
 
@@ -308,23 +329,34 @@ def _march_kernel(
                 valid &= (res[c] >= hg[c]) & (res[c] < hg_hi[c])
             ijk = [jnp.trunc((res[c] + halfd[c]) - halfL).astype(_i32)
                    for c in range(3)]
+            if slab:
+                # ownership: every sample belongs to exactly one slab — the
+                # one owning its x-clamped voxel (matches the XLA slab path,
+                # ops/sampling.octree_nn_sample_slab); non-owned samples
+                # contribute the over identity (alpha forced 0 below)
+                gx = jnp.clip(ijk[0], 0, d1 - 1)
+                owned = (gx >= x0_i) & (gx < x0_i + slab_x)
+                valid &= owned
+                lxv = ijk[0] - x0_i
+            else:
+                lxv = ijk[0]
             if packed:
                 # material-id grid: row = (ix, iy//ypack), lane =
                 # (iy%ypack)*zw + iz//8, nibble = (iz%8)*4
                 ygrp = jnp.where(valid, ijk[1] // ypack, 0)
-                rowid = jnp.where(valid, ijk[0] * nyg + ygrp, -1)
+                rowid = jnp.where(valid, lxv * nyg + ygrp, -1)
                 iz = jnp.where(
                     valid, (ijk[1] - ygrp * ypack) * zw + ijk[2] // 8, 0)
                 ry = ygrp
                 stride = nyg
             else:
-                rowid = jnp.where(valid, ijk[0] * d2 + ijk[1], -1)
+                rowid = jnp.where(valid, lxv * d2 + ijk[1], -1)
                 iz = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
                 ry = ijk[1]
                 stride = d2
-            rxmin = jnp.min(jnp.where(valid, ijk[0], _BIG))
+            rxmin = jnp.min(jnp.where(valid, lxv, _BIG))
             rymin = jnp.min(jnp.where(valid, ry, _BIG))
-            rxmax = jnp.max(jnp.where(valid, ijk[0], -1))
+            rxmax = jnp.max(jnp.where(valid, lxv, -1))
             rymax = jnp.max(jnp.where(valid, ry, -1))
 
             # ---- fetch: footprint loop, one row per (ix, iy[-group]) ---
@@ -358,6 +390,9 @@ def _march_kernel(
                 sr, sg, sb, sa = classify(vn)
             if density_scale != 1.0:
                 sa = jnp.clip(sa * np.float32(density_scale), 0.0, 1.0)
+            if slab:
+                # non-owned samples are the over identity for this device
+                sa = jnp.where(owned, sa, 0.0)
 
             # ---- blend the 4 steps in order (front-to-back (C,T)) ------
             for s in range(steps):
@@ -393,12 +428,19 @@ def _march_kernel(
 
 
 def brick_occupancy(
-    volume: Volume, tf: TransferFunction, cal_max_trunc: jnp.ndarray
+    data: jnp.ndarray | Volume,
+    tf: TransferFunction,
+    cal_max_trunc: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, Tuple[int, int, int]]:
     """[nbx*nby*nbz] i32: 1 where any voxel in the 8^3 brick classifies to
-    alpha > 0 (a1 value semantics: negatives clamped, /trunc(cal_max))."""
-    d1, d2, d3 = volume.dims
-    vn = jnp.maximum(volume.data, 0.0) / cal_max_trunc
+    alpha > 0 (a1 value semantics: negatives clamped, /trunc(cal_max)).
+
+    ``data`` is a [X, Y, Z] array (possibly an x-slab of a sharded volume)
+    or a Volume."""
+    if isinstance(data, Volume):
+        data = data.data
+    d1, d2, d3 = data.shape
+    vn = jnp.maximum(data, 0.0) / cal_max_trunc
     alpha = tf.classify(vn)[..., 3]
     occ = (alpha > 0.0).astype(_f32)
     pd = [_pad_to(x, BRICK) for x in (d1, d2, d3)]
@@ -429,7 +471,7 @@ def packed_geometry(
 
 
 def pack_material_grid(
-    volume: Volume,
+    data: jnp.ndarray | Volume,
     tf: TransferFunction,
     cal_max_trunc: jnp.ndarray,
     zpack: Tuple[int, int, int],
@@ -438,10 +480,14 @@ def pack_material_grid(
     last-match-wins interval index per voxel (a1 value semantics:
     negatives clamped, / trunc(cal_max) — kernel.cu:42,64-66), 8 ids per
     i32 word (4-bit nibbles, z-major), ``ypack`` y-rows per 128-lane row;
-    plus the classify index of intensity 0 (the off-volume fallback)."""
-    d1, d2, d3 = volume.dims
+    plus the classify index of intensity 0 (the off-volume fallback).
+
+    ``data`` is a [X, Y, Z] array (possibly an x-slab) or a Volume."""
+    if isinstance(data, Volume):
+        data = data.data
+    d1, d2, d3 = data.shape
     zw, ypack, nyg = zpack
-    vn = jnp.maximum(volume.data.reshape(d1, d2, d3), 0.0) / cal_max_trunc
+    vn = jnp.maximum(data, 0.0) / cal_max_trunc
     ids = jnp.zeros((d1, d2, d3), _i32)
     id0 = jnp.zeros((), _i32)
     for k in range(tf.num_intervals):
@@ -460,40 +506,28 @@ def pack_material_grid(
     return grid, id0.astype(_f32)
 
 
-def render_vrc_pallas(
-    volume: Volume,
-    tf: TransferFunction,
-    camera: Camera,
+def _check_eligible(
+    dims_local: Tuple[int, int, int],
+    channels: int,
+    num_intervals: int,
     config: RenderConfig,
-    *,
-    early_eps: float = 1e-3,
-    interpret: bool = False,
-    packed: bool | None = None,
-    tile: Tuple[int, int, int] | None = None,
-) -> jnp.ndarray:
-    """a1/VRC render via the fused Pallas kernel -> [W, H, 4].
-
-    Matches ``render_vrc(..., mode="fast")`` up to the early-termination
-    epsilon (``early_eps=0`` for exact agreement).  Requires a single
-    channel and the default classify path (no lighting / LUT / trilinear
-    modes — the dispatcher falls back to the XLA renderer there).  The
-    default packed material-grid mode handles z up to 1024 (MNI-1mm-class
-    volumes); the f32 mode (``packed=False``) needs dims[2] <= 128.
-    """
-    d1, d2, d3 = volume.dims
-    zpack = packed_geometry(volume.dims, tf.num_intervals)
+    packed: bool | None,
+) -> Tuple[bool, Tuple[int, int, int] | None]:
+    """Validate the config against kernel capabilities; resolve packed mode."""
+    d1, d2, d3 = dims_local
+    zpack = packed_geometry(dims_local, num_intervals)
     if packed is None:
         packed = zpack is not None
     if packed and zpack is None:
         raise ValueError(
             "packed pallas path needs <= 16 TF intervals, z <= 1024, and a "
-            f"material grid within the VMEM budget (dims {volume.dims}, "
-            f"{tf.num_intervals} intervals)")
+            f"material grid within the VMEM budget (dims {dims_local}, "
+            f"{num_intervals} intervals)")
     if not packed and d3 > 128:
         raise ValueError(
             f"unpacked pallas path needs z dim <= 128 (got {d3}); "
             "use packed mode or the XLA renderer for larger volumes")
-    if volume.channels != 1:
+    if channels != 1:
         raise ValueError("pallas path supports single-channel volumes")
     if config.lighting:
         raise ValueError("pallas path has no lighting; use the XLA renderer")
@@ -501,43 +535,88 @@ def render_vrc_pallas(
         raise ValueError("pallas path is nearest-neighbor (a1) only")
     if config.tf_lut:
         raise ValueError("pallas path uses the exact TF scan, not a LUT")
+    return packed, (zpack if packed else None)
+
+
+def _march_tiles(
+    data: jnp.ndarray,
+    dims: Tuple[int, int, int],
+    depth: int,
+    cal_max: jnp.ndarray,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    early_eps: float,
+    interpret: bool,
+    packed: bool | None,
+    tile: Tuple[int, int, int] | None,
+    x_offset=0,
+    local_width: int | None = None,
+    s_start=0,
+    s_count: int | None = None,
+    x0=0,
+    slab_x: int | None = None,
+):
+    """Shared kernel driver -> (cr, cg, cb, t), each [w_local, height] f32.
+
+    ``data`` is the full [X, Y, Z] volume, or an x-slab of it when
+    ``slab_x`` is set (``x0`` = the slab's global x offset, traced OK).
+    ``x_offset``/``local_width`` select a ray-column tile and
+    ``s_start``/``s_count`` a sample segment — all static-shape, traced
+    offsets, so the call is shard_map-friendly.
+    """
+    d1, d2, d3 = dims
+    dims_local = (slab_x if slab_x is not None else d1, d2, d3)
+    packed, zpack = _check_eligible(
+        dims_local, 1, tf.num_intervals, config, packed)
 
     w, h = config.width, config.height
+    w_local = w if local_width is None else local_width
+    s_count = config.samples_per_ray if s_count is None else s_count
     if tile is None:
         tile = DEFAULT_TILE
     tpx, tpy, steps = tile
     if (tpx * tpy) % 128 or (tpx * tpy * steps) % 1024:
         raise ValueError(f"tile {tile}: rays must fill 128-lane rows and "
                          "rays*steps must fill [8,128] registers")
-    ntx = -(-w // tpx)
+    ntx = -(-w_local // tpx)
     nty = -(-h // tpy)
     rt = (tpx * tpy) // 128
 
-    cal_max_trunc = jnp.trunc(jnp.asarray(volume.cal_max, _f32))
+    cal_max_trunc = jnp.trunc(jnp.asarray(cal_max, _f32))
     id0 = jnp.zeros((), _f32)
     if packed:
-        vol_rows, id0 = pack_material_grid(volume, tf, cal_max_trunc, zpack)
+        vol_rows, id0 = pack_material_grid(data, tf, cal_max_trunc, zpack)
     else:
-        zpack = None
-        rows = _pad_to(d1 * d2, 8)
+        rows = _pad_to(dims_local[0] * d2, 8)
         vol_rows = jnp.zeros((rows, 128), _f32)
-        vol_rows = vol_rows.at[: d1 * d2, :d3].set(
-            volume.data.reshape(d1 * d2, d3))
+        vol_rows = vol_rows.at[: dims_local[0] * d2, :d3].set(
+            data.reshape(dims_local[0] * d2, d3))
     rows = vol_rows.shape[0]
 
-    occ, nb = brick_occupancy(volume, tf, cal_max_trunc)
+    occ, nb = brick_occupancy(data, tf, cal_max_trunc)
 
     alpha0 = tf.classify(jnp.zeros((), _f32))[3]
     if config.density_scale != 1.0:
         alpha0 = jnp.clip(alpha0 * np.float32(config.density_scale), 0.0, 1.0)
 
-    L = float(max(volume.dims))
+    L = float(max(dims))
     # dataset box in ray space (p = pos + 0.5 in [hg/L, (hg+dim)/L + 1/n]),
     # intersected with the root cube; conservative by half a voxel
-    n = float(2**volume.octree_depth)
-    box_lo = [max(0.0, (L / 2 - dim / 2) / L) - 0.5 for dim in volume.dims]
-    box_hi = [min(1.0, (L / 2 + dim / 2) / L + 1.0 / n) - 0.5
-              for dim in volume.dims]
+    n = float(2**depth)
+    box_lo = [max(0.0, (L / 2 - dim / 2) / L) - 0.5 for dim in dims]
+    box_hi = [min(1.0, (L / 2 + dim / 2) / L + 1.0 / n) - 0.5 for dim in dims]
+    box_lo = [jnp.asarray(v, _f32) for v in box_lo]
+    box_hi = [jnp.asarray(v, _f32) for v in box_hi]
+    if slab_x is not None:
+        # tighten the x extent to this slab (chunk-range clipping only;
+        # with TF(0).alpha > 0 the kernel full-marches regardless)
+        hg0 = np.float32(L / 2) - np.float32(d1 / 2)
+        x0f = jnp.asarray(x0, _f32)
+        box_lo[0] = jnp.maximum(box_lo[0], (hg0 + x0f) / L - 0.5)
+        box_hi[0] = jnp.minimum(
+            box_hi[0], (hg0 + x0f + slab_x) / L + 1.0 / n - 0.5)
 
     top_left = camera.top_left
     if config.conic and config.conic_corrected:
@@ -556,25 +635,29 @@ def render_vrc_pallas(
         top_left.astype(_f32),
         jnp.asarray([config.real_screen_width, config.real_screen_height],
                     _f32),
-        jnp.asarray(box_lo, _f32),
-        jnp.asarray(box_hi, _f32),
+        jnp.stack(box_lo),
+        jnp.stack(box_hi),
         id0[None],  # [28] classify-index of vn=0 (packed mode)
-        jnp.zeros((3,), _f32),
+        jnp.asarray(x_offset, _f32)[None],  # [29] ray-column offset
+        jnp.asarray(s_start, _f32)[None],  # [30] sample-segment start
+        jnp.asarray(x0, _f32)[None],  # [31] volume-slab x offset
     ])
 
     kernel = functools.partial(
         _march_kernel,
-        dims=volume.dims,
-        depth=volume.octree_depth,
+        dims=dims,
+        depth=depth,
         num_intervals=tf.num_intervals,
         width=w,
         height=h,
-        spr=config.samples_per_ray,
+        spr=s_count,
         conic=bool(config.conic),
         density_scale=float(config.density_scale),
         nbricks=nb,
         zpack=zpack,
         tile=tile,
+        local_width=w_local,
+        slab_x=slab_x,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -607,9 +690,102 @@ def render_vrc_pallas(
     def unpack(a):
         a = a.reshape(ntx, nty, tpx, tpy)
         a = a.transpose(0, 2, 1, 3).reshape(ntx * tpx, nty * tpy)
-        return a[:w, :h]
+        return a[:w_local, :h]
 
+    return unpack(cr), unpack(cg), unpack(cb), unpack(t)
+
+
+def render_vrc_pallas(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    early_eps: float = 1e-3,
+    interpret: bool = False,
+    packed: bool | None = None,
+    tile: Tuple[int, int, int] | None = None,
+) -> jnp.ndarray:
+    """a1/VRC render via the fused Pallas kernel -> [W, H, 4].
+
+    Matches ``render_vrc(..., mode="fast")`` up to the early-termination
+    epsilon (``early_eps=0`` for exact agreement).  Requires a single
+    channel and the default classify path (no lighting / LUT / trilinear
+    modes — the dispatcher falls back to the XLA renderer there).  The
+    default packed material-grid mode handles z up to 1024 (MNI-1mm-class
+    volumes); the f32 mode (``packed=False``) needs dims[2] <= 128.
+    """
+    if volume.channels != 1:
+        raise ValueError("pallas path supports single-channel volumes")
+    cr, cg, cb, t = _march_tiles(
+        volume.data.reshape(volume.dims),
+        volume.dims,
+        volume.octree_depth,
+        volume.cal_max,
+        tf,
+        camera,
+        config,
+        early_eps=early_eps,
+        interpret=interpret,
+        packed=packed,
+        tile=tile,
+    )
     bg = jnp.asarray(config.background, _f32)
-    t2 = unpack(t)
-    rgb = [unpack(c) + t2 * bg[i] for i, c in enumerate((cr, cg, cb))]
+    w, h = config.width, config.height
+    rgb = [c + t * bg[i] for i, c in enumerate((cr, cg, cb))]
     return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)
+
+
+def render_vrc_pallas_segment(
+    data: jnp.ndarray,
+    dims: Tuple[int, int, int],
+    depth: int,
+    cal_max: jnp.ndarray,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    x_offset=0,
+    local_width: int | None = None,
+    s_start=0,
+    s_count: int | None = None,
+    x0=0,
+    slab_x: int | None = None,
+    early_eps: float = 0.0,
+    interpret: bool = False,
+    packed: bool | None = None,
+    tile: Tuple[int, int, int] | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shard_map-friendly fused-kernel work unit -> (C, T) segment.
+
+    Marches ray columns [x_offset, x_offset + local_width) x samples
+    [s_start, s_start + s_count) and returns the front-to-back
+    (C [w, h, 3], T [w, h, 1]) pair — the associative compositing unit of
+    ops/composite.segment_compose, so segments from the rays / samples /
+    volume mesh axes compose exactly like the XLA scan path's
+    (parallel/render_dist.py).  When ``slab_x`` is set, ``data`` is this
+    device's x-slab [slab_x, Y, Z] of the global ``dims`` volume starting
+    at global voxel x ``x0``; non-owned samples contribute the over
+    identity (the fused-kernel mirror of ops/sampling.octree_nn_sample_slab).
+    Offsets may be traced (e.g. axis_index-derived); shapes are static.
+    """
+    cr, cg, cb, t = _march_tiles(
+        data,
+        dims,
+        depth,
+        cal_max,
+        tf,
+        camera,
+        config,
+        early_eps=early_eps,
+        interpret=interpret,
+        packed=packed,
+        tile=tile,
+        x_offset=x_offset,
+        local_width=local_width,
+        s_start=s_start,
+        s_count=s_count,
+        x0=x0,
+        slab_x=slab_x,
+    )
+    return jnp.stack([cr, cg, cb], axis=-1), t[..., None]

@@ -147,6 +147,13 @@ def octree_nn_sample_slab(
     return vals, owned
 
 
+def slab_owner_x(pos_or_ijk_x: jnp.ndarray, d1: int) -> jnp.ndarray:
+    """Clamped global voxel-x index that defines slab ownership: every
+    sample (even out-of-volume ones) belongs to exactly one x-slab — the
+    one containing its x-clamped voxel (see octree_nn_sample_slab)."""
+    return jnp.clip(pos_or_ijk_x, 0, d1 - 1)
+
+
 # Corner offsets in the a5 kernel's fetch order (kernel.cu:129-159):
 # X1..X8 = (0,0,0),(0,0,1),(0,1,0),(0,1,1),(1,0,0),(1,0,1),(1,1,0),(1,1,1)
 _A5_OFFSETS = (
@@ -269,3 +276,137 @@ def trilinear_intensity_sample(
     c1 = c10 * (1 - fy) + c11 * fy
     out = c0 * (1 - fx) + c1 * fx
     return out.squeeze(-1) if out.shape[-1] == 1 else out
+
+
+# ---------------------------------------------------------------------------
+# Halo-extended x-slab samplers (volume-axis sharding with trilinear /
+# gradient taps — SURVEY.md §2 "halo exchange"; parallel/render_dist.py
+# exchanges one-voxel x-halos with lax.ppermute and passes the extended slab
+# here).  All of these return ``(value_or_rgba, owned)`` where ``owned`` is
+# the exactly-one-device ownership mask (slab_owner_x of the sample).
+# ---------------------------------------------------------------------------
+
+
+def corner_intensities_slab(
+    slab_ext_flat: jnp.ndarray,
+    dims: Tuple[int, int, int],
+    pos: jnp.ndarray,
+    x0: jnp.ndarray,
+    slab_x: int,
+    hw: int,
+) -> jnp.ndarray:
+    """The a5 corner fetch (see :func:`corner_intensities`) against an
+    x-slab extended by ``hw`` halo planes on each side.
+
+    Exactness: the reference's only guard is ``flat < totaldim``
+    (kernel.cu:130), indices wrapping across rows.  For a sample owned by
+    this slab (trunc x in [x0, x0+slab_x)), a corner's wrapped flat index
+    lies in x rows [x0, x0+slab_x+2) — the +1 x offset plus compounded
+    y-wrap (iy=d2 adds one full x row) and z-wrap — so ``hw >= 2``
+    reproduces the global fetch bit-for-bit; non-owned samples may read
+    clamped garbage — their result is discarded by the caller's ``owned``
+    mask.
+    """
+    d1, d2, d3 = dims
+    total = d1 * d2 * d3
+    ext_total = (slab_x + 2 * hw) * d2 * d3
+    base = (x0 - hw) * (d2 * d3)
+    pos = pos.astype(_f32)
+    outs = []
+    for off in _A5_OFFSETS:
+        q = pos + jnp.asarray(off, _f32)
+        ijk = jnp.trunc(q).astype(jnp.int32)
+        flat = ijk[..., 0] * (d2 * d3) + ijk[..., 1] * d3 + ijk[..., 2]
+        lflat = flat - base
+        ok = (flat < total) & (lflat >= 0) & (lflat < ext_total)
+        vals = jnp.take(slab_ext_flat, jnp.clip(lflat, 0, ext_total - 1),
+                        axis=0)
+        outs.append(jnp.where(ok, vals, jnp.asarray(0.0, _f32)))
+    return jnp.stack(outs, axis=-1)
+
+
+def trilinear_color_sample_slab(
+    slab_ext_flat: jnp.ndarray,
+    dims: Tuple[int, int, int],
+    pos: jnp.ndarray,
+    classify_fn,
+    cal_max: jnp.ndarray,
+    x0: jnp.ndarray,
+    slab_x: int,
+    hw: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slab variant of :func:`trilinear_color_sample` -> (rgba, owned)."""
+    d1 = dims[0]
+    pos = pos.astype(_f32)
+    dimv = jnp.asarray(dims, _f32)
+    inside = jnp.all((pos >= 0.0) & (pos < dimv), axis=-1)
+    gx = slab_owner_x(jnp.trunc(pos[..., 0]).astype(jnp.int32), d1)
+    owned = (gx >= x0) & (gx < x0 + slab_x)
+
+    intens = corner_intensities_slab(
+        slab_ext_flat, dims, pos, x0, slab_x, hw)
+    colors8 = classify_fn(intens / cal_max)
+    frac = pos - jnp.trunc(pos)
+    mixed = trilinear_mix_colors(colors8, frac)
+    outside_color = classify_fn(jnp.zeros_like(cal_max))
+    rgba = jnp.where(inside[..., None], mixed, outside_color)
+    return jnp.where(owned[..., None], rgba, jnp.zeros_like(rgba)), owned
+
+
+def trilinear_intensity_sample_slab(
+    slab_ext: jnp.ndarray,
+    dims: Tuple[int, int, int],
+    pos: jnp.ndarray,
+    x0: jnp.ndarray,
+    slab_x: int,
+    hw: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slab variant of :func:`trilinear_intensity_sample` -> (value, owned).
+
+    Ownership is by the zero-padded interpolation's base voxel (floor),
+    x-clamped; taps reach floor+1 so ``hw >= 1``.
+    """
+    d1, d2, d3 = dims
+    pos = pos.astype(_f32)
+    base = jnp.floor(pos)
+    frac = pos - base
+    basei = base.astype(jnp.int32)
+    gx = slab_owner_x(basei[..., 0], d1)
+    owned = (gx >= x0) & (gx < x0 + slab_x)
+    ext_x = slab_x + 2 * hw
+    flat2d = slab_ext.reshape(ext_x * d2 * d3, -1)
+
+    def fetch(ox, oy, oz):
+        ix = basei[..., 0] + ox
+        iy = basei[..., 1] + oy
+        iz = basei[..., 2] + oz
+        ok = (
+            (ix >= 0) & (ix < d1) & (iy >= 0) & (iy < d2)
+            & (iz >= 0) & (iz < d3)
+        )
+        lx = ix - (x0 - hw)
+        ok &= (lx >= 0) & (lx < ext_x)
+        flat = (
+            jnp.clip(lx, 0, ext_x - 1) * (d2 * d3)
+            + jnp.clip(iy, 0, d2 - 1) * d3
+            + jnp.clip(iz, 0, d3 - 1)
+        )
+        v = jnp.take(flat2d, flat, axis=0)
+        return jnp.where(ok[..., None], v, jnp.asarray(0.0, _f32))
+
+    fx = frac[..., 0:1]
+    fy = frac[..., 1:2]
+    fz = frac[..., 2:3]
+    c000, c001 = fetch(0, 0, 0), fetch(0, 0, 1)
+    c010, c011 = fetch(0, 1, 0), fetch(0, 1, 1)
+    c100, c101 = fetch(1, 0, 0), fetch(1, 0, 1)
+    c110, c111 = fetch(1, 1, 0), fetch(1, 1, 1)
+    c00 = c000 * (1 - fz) + c001 * fz
+    c01 = c010 * (1 - fz) + c011 * fz
+    c10 = c100 * (1 - fz) + c101 * fz
+    c11 = c110 * (1 - fz) + c111 * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    out = c0 * (1 - fx) + c1 * fx
+    out = out.squeeze(-1) if out.shape[-1] == 1 else out
+    return jnp.where(owned, out, jnp.asarray(0.0, _f32)), owned

@@ -62,6 +62,38 @@ def _fold_segments_front_to_back(segs_c, segs_t, reverse_pred):
     return jax.lax.fori_loop(0, k, body, seg)
 
 
+def _pallas_segment_eligible(
+    volume: Volume,
+    tf: TransferFunction,
+    config: RenderConfig,
+    slab_x: int | None,
+) -> bool:
+    """True when the fused Pallas segment kernel implements the per-device
+    work unit exactly (mirrors models/raycast._pallas_eligible, evaluated at
+    the *local* slab geometry)."""
+    from ..utils.config import Algorithm, Interp
+    from ..ops.pallas_march import packed_geometry
+
+    dims_local = (
+        (slab_x, volume.dims[1], volume.dims[2])
+        if slab_x is not None
+        else volume.dims
+    )
+    fits = (
+        dims_local[2] <= 128
+        or packed_geometry(dims_local, tf.num_intervals) is not None
+    )
+    return (
+        config.algorithm is Algorithm.VRC
+        and volume.channels == 1
+        and fits
+        and not config.lighting
+        and config.interp is Interp.NEAREST
+        and not config.tf_lut
+        and config.empty_space_skipping
+    )
+
+
 def render_vrc_sharded(
     volume: Volume,
     tf: TransferFunction,
@@ -70,6 +102,8 @@ def render_vrc_sharded(
     mesh: Mesh,
     *,
     remat: bool = True,
+    use_pallas: bool | None = None,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """Distributed a1/VRC render over a ("rays", "samples", "volume") mesh.
 
@@ -77,6 +111,14 @@ def render_vrc_sharded(
     axis is > 1, in which case data is x-slab-sharded by shard_map's
     in_spec.  Returns the full [W, H, 4] image (columns sharded over
     "rays" in the output sharding).
+
+    Each device's work unit routes to the fused Pallas march
+    (ops/pallas_march.render_vrc_pallas_segment) whenever that kernel
+    implements the requested semantics exactly, so multi-device rendering
+    keeps single-chip kernel throughput; ineligible configs (lighting,
+    trilinear modes, multi-channel, oversize slabs) fall back to the XLA
+    scan segments.  ``use_pallas=None`` auto-detects (TPU backend or
+    ``pallas_interpret``); True forces, False disables.
     """
     n_rays = mesh.shape["rays"]
     n_samp = mesh.shape["samples"]
@@ -99,35 +141,54 @@ def render_vrc_sharded(
             "volume-axis sharding requires a consistent slab visit order; "
             "conic rays can disagree on sign(dir.x) — use rays/samples axes"
         )
-    from ..utils.config import Algorithm, Interp
-
-    if config.algorithm is Algorithm.TEST and n_vol > 1:
-        raise NotImplementedError(
-            "a5/TEST sharding supports rays/samples axes (trilinear taps "
-            "cross slab boundaries)"
-        )
-    if n_vol > 1 and (config.lighting or config.interp is not Interp.NEAREST):
-        raise NotImplementedError(
-            "volume-axis sharding supports the nearest-neighbor unlit path; "
-            "use rays/samples axes for lighting or interpolation modes"
-        )
     w_local = config.width // n_rays
     s_local = config.samples_per_ray // n_samp
+    slab_x = volume.dims[0] // n_vol if n_vol > 1 else None
+
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" or pallas_interpret
+        ) and _pallas_segment_eligible(volume, tf, config, slab_x)
 
     def tile_fn(vol_data, cal_max, tf_, cam):
         ri = jax.lax.axis_index("rays")
         si = jax.lax.axis_index("samples")
-        vol_local = Volume(
-            data=vol_data,
-            cal_max=cal_max,
-            cal_min=volume.cal_min,
-            pixdim=volume.pixdim,
-            dims=volume.dims,
-            channels=volume.channels,
-        )
-        if n_vol == 1:
+        if use_pallas:
+            from ..ops.pallas_march import render_vrc_pallas_segment
+
+            vi = jax.lax.axis_index("volume") if n_vol > 1 else 0
+            seg = render_vrc_pallas_segment(
+                vol_data.reshape(
+                    (slab_x if n_vol > 1 else volume.dims[0]),
+                    volume.dims[1],
+                    volume.dims[2],
+                ),
+                volume.dims,
+                volume.octree_depth,
+                cal_max,
+                tf_,
+                cam,
+                config,
+                x_offset=ri * w_local,
+                local_width=w_local,
+                s_start=si * s_local,
+                s_count=s_local,
+                x0=vi * slab_x if n_vol > 1 else 0,
+                slab_x=slab_x,
+                early_eps=config.early_termination,
+                interpret=pallas_interpret,
+            )
+        elif n_vol == 1:
             from ..utils.config import Algorithm as _Alg
 
+            vol_local = Volume(
+                data=vol_data,
+                cal_max=cal_max,
+                cal_min=volume.cal_min,
+                pixdim=volume.pixdim,
+                dims=volume.dims,
+                channels=volume.channels,
+            )
             segment_fn = (
                 raycast.render_test_segment
                 if config.algorithm is _Alg.TEST
@@ -159,6 +220,7 @@ def render_vrc_sharded(
                 depth=volume.octree_depth,
                 remat=remat,
             )
+        if n_vol > 1:
             # compose slabs in visibility order: front.x >= 0 means rays
             # move toward +x, so slab 0 is nearest the camera.
             segs_c = jax.lax.all_gather(seg[0], "volume")
@@ -186,6 +248,38 @@ def render_vrc_sharded(
     return fn(volume.data, volume.cal_max, tf, camera)
 
 
+def _with_x_halo(slab: jnp.ndarray, hw: int, axis_name: str = "volume"
+                 ) -> jnp.ndarray:
+    """Extend an x-slab with ``hw`` halo planes from each x neighbor via
+    ``lax.ppermute`` (SURVEY.md §2 "halo exchange for trilinear/gradient
+    taps").  Edge devices receive zeros — matching the renderer's
+    out-of-volume semantics (zero-padded gradients, guarded corner taps).
+
+    When the slab is narrower than the halo (tiny test meshes), falls back
+    to an all_gather + dynamic window — same result, more communication."""
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        z = jnp.zeros((hw,) + slab.shape[1:], slab.dtype)
+        return jnp.concatenate([z, slab, z], axis=0)
+    slab_x = slab.shape[0]
+    if slab_x < hw:
+        full = jax.lax.all_gather(slab, axis_name, tiled=True)
+        z = jnp.zeros((hw,) + slab.shape[1:], slab.dtype)
+        padded = jnp.concatenate([z, full, z], axis=0)
+        vi = jax.lax.axis_index(axis_name)
+        return jax.lax.dynamic_slice_in_dim(
+            padded, vi * slab_x, slab_x + 2 * hw, axis=0
+        )
+    # left halo = my left neighbor's last hw planes (unreceived -> zeros)
+    left = jax.lax.ppermute(
+        slab[-hw:], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    right = jax.lax.ppermute(
+        slab[:hw], axis_name, [(i, i - 1) for i in range(1, n)]
+    )
+    return jnp.concatenate([left, slab, right], axis=0)
+
+
 def _render_segment_volume_slab(
     vol_slab: jnp.ndarray,
     cal_max: jnp.ndarray,
@@ -203,38 +297,126 @@ def _render_segment_volume_slab(
 ):
     """March a ray/sample tile against one x-slab of the volume.
 
-    Samples whose nearest voxel lies outside this slab classify as the
-    over-identity (alpha 0 via intensity 0 -> TF interval 0; for TF tables
-    whose interval 0 is not transparent this would be wrong, so we force the
-    identity explicitly)."""
+    Samples whose owning voxel lies outside this slab classify as the over
+    identity (each sample is owned by exactly one slab, so the composed
+    segments equal the replicated render).  Trilinear taps, a5 corner
+    fetches, and gradient-normal lighting reach across slab boundaries
+    through a one-voxel x-halo exchanged with lax.ppermute."""
+    from ..utils.config import Algorithm, Interp
+
     vi = jax.lax.axis_index("volume")
     slab_x = vol_slab.shape[0]
     x0 = vi * slab_x
+    slab3d = vol_slab if vol_slab.ndim == 3 else vol_slab[..., 0]
+    d1, d2, d3 = dims
+
+    a5 = config.algorithm is Algorithm.TEST
+    need_halo = (
+        a5 or config.lighting or config.interp is not Interp.NEAREST
+    )
+    # hw=2: the a5/trilinear-color corner fetch guards only flat < totaldim
+    # (kernel.cu:130), so a y-wrap AND z-wrap can compound into the row two
+    # x planes ahead of the sample's voxel; gradients need just +-1.
+    hw = 2
+    ext = _with_x_halo(slab3d, hw) if need_halo else None
+    ext_flat = ext.reshape(-1) if need_halo else None
+
+    shading = None
+    if config.lighting:
+        from ..ops import conv3d, phong
+
+        # gradient on the extended slab: owned voxels see the same
+        # neighborhood as the replicated volume (zero halos at the edges
+        # match conv3d's zero padding)
+        grad_ext = conv3d.central_difference_gradient(ext).reshape(-1, 3)
+        shading = (grad_ext, phong.default_light())
 
     origins = raycast.ray_origins(camera, config, x_offset, local_width)
     dirs = raycast.primary_ray_dirs(camera, config, x_offset, local_width)
     ds = jnp.asarray(config.sample_distance, _f32)
-    clip = jnp.asarray(config.front_clip, _f32)
-    slab_flat = vol_slab.reshape(-1) if vol_slab.ndim == 3 else vol_slab[..., 0].reshape(-1)
+    clipf = jnp.asarray(config.front_clip, _f32)
+    slab_flat = slab3d.reshape(-1)
+    ext_base = (x0 - hw) * (d2 * d3)
+    ext_total_rows = slab_x + 2 * hw
 
-    def sample_rgba(i):
-        t = i * ds + clip
-        pos = origins + t * dirs
-        p = pos + jnp.asarray(0.5, _f32)
-        v, owned = sampling.octree_nn_sample_slab(
-            slab_flat, dims, depth, p, x0, slab_x
-        )
-        # int-truncated cal_max: kernel.cu:42 `int max_intensity`
-        rgba = tf.classify(v / jnp.trunc(cal_max))
-        if config.density_scale != 1.0:
-            a = jnp.clip(
-                rgba[..., 3:4] * jnp.asarray(config.density_scale, _f32),
-                0.0,
-                1.0,
+    def _ext_index(flat_global, valid):
+        """Global flat voxel index -> extended-slab flat index (+validity)."""
+        lflat = flat_global - ext_base
+        ok = valid & (lflat >= 0) & (lflat < ext_total_rows * d2 * d3)
+        return jnp.clip(lflat, 0, ext_total_rows * d2 * d3 - 1), ok
+
+    def _shade(rgba, flat_global, valid, view_dir):
+        from ..ops import phong as _phong
+
+        grad_ext, light = shading
+        lflat, ok = _ext_index(flat_global, valid)
+        normal = jnp.take(grad_ext, lflat, axis=0)
+        normal = jnp.where(ok[..., None], normal, 0.0)
+        shaded = _phong.phong_shade(rgba[..., :3], normal, view_dir, light)
+        return jnp.concatenate([shaded, rgba[..., 3:4]], axis=-1)
+
+    if a5:
+        x, y = raycast.pixel_grid(config, x_offset, local_width)
+
+        def sample_rgba(i):
+            pos = raycast._a5_positions(x, y, i, camera, _VolDims(dims), config)
+            rgba, owned = sampling.trilinear_color_sample_slab(
+                ext_flat, dims, pos, tf.classify, cal_max, x0, slab_x, hw
             )
-            rgba = jnp.concatenate([rgba[..., :3], a], axis=-1)
-        # identity (all-zero rgba) for samples another slab owns
-        return jnp.where(owned[..., None], rgba, jnp.zeros_like(rgba))
+            if shading is not None:
+                ijk = jnp.trunc(pos).astype(jnp.int32)
+                inside = jnp.all(
+                    (pos >= 0.0) & (pos < jnp.asarray(dims, _f32)), axis=-1
+                )
+                flat = (
+                    jnp.clip(ijk[..., 0], 0, d1 - 1) * (d2 * d3)
+                    + jnp.clip(ijk[..., 1], 0, d2 - 1) * d3
+                    + jnp.clip(ijk[..., 2], 0, d3 - 1)
+                )
+                rgba = _shade(rgba, flat, inside & owned, -camera.front)
+                rgba = jnp.where(owned[..., None], rgba, 0.0)
+            return rgba
+
+    else:
+
+        def sample_rgba(i):
+            t = i * ds + clipf
+            pos = origins + t * dirs
+            p = pos + jnp.asarray(0.5, _f32)
+            if config.interp is Interp.TRILINEAR:
+                vox = raycast._to_volume_space(p, _VolDims(dims))
+                v, owned = sampling.trilinear_intensity_sample_slab(
+                    ext, dims, vox, x0, slab_x, hw
+                )
+                rgba = tf.classify_smooth(
+                    v / cal_max, config.tf_sharpness
+                )
+                rgba = jnp.where(owned[..., None], rgba, 0.0)
+                flat, valid = sampling.octree_nn_index(dims, depth, p)
+            elif config.interp is Interp.TRILINEAR_COLOR:
+                vox = raycast._to_volume_space(p, _VolDims(dims))
+                rgba, owned = sampling.trilinear_color_sample_slab(
+                    ext_flat, dims, vox, tf.classify, cal_max, x0, slab_x, hw
+                )
+                flat, valid = sampling.octree_nn_index(dims, depth, p)
+            else:
+                v, owned = sampling.octree_nn_sample_slab(
+                    slab_flat, dims, depth, p, x0, slab_x
+                )
+                # int-truncated cal_max: kernel.cu:42 `int max_intensity`
+                rgba = tf.classify(v / jnp.trunc(cal_max))
+                flat, valid = sampling.octree_nn_index(dims, depth, p)
+            if shading is not None:
+                rgba = _shade(rgba, flat, valid & owned, -dirs)
+            if config.density_scale != 1.0:
+                a = jnp.clip(
+                    rgba[..., 3:4] * jnp.asarray(config.density_scale, _f32),
+                    0.0,
+                    1.0,
+                )
+                rgba = jnp.concatenate([rgba[..., :3], a], axis=-1)
+            # identity (all-zero rgba) for samples another slab owns
+            return jnp.where(owned[..., None], rgba, jnp.zeros_like(rgba))
 
     return raycast._march(
         sample_rgba,
@@ -247,8 +429,22 @@ def _render_segment_volume_slab(
     )
 
 
+class _VolDims:
+    """Minimal duck-typed stand-in for Volume where only dims-derived
+    geometry is consumed (raycast._to_volume_space / _a5_positions)."""
+
+    def __init__(self, dims: Tuple[int, int, int]):
+        self.dims = dims
+
+    @property
+    def longest_dimension(self) -> int:
+        return max(self.dims)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("config", "mesh", "remat")
+    jax.jit,
+    static_argnames=("config", "mesh", "remat", "use_pallas",
+                     "pallas_interpret"),
 )
 def render_vrc_sharded_jit(
     volume: Volume,
@@ -257,7 +453,10 @@ def render_vrc_sharded_jit(
     config: RenderConfig,
     mesh: Mesh,
     remat: bool = True,
+    use_pallas: bool | None = None,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     return render_vrc_sharded(
-        volume, tf, camera, config, mesh, remat=remat
+        volume, tf, camera, config, mesh, remat=remat,
+        use_pallas=use_pallas, pallas_interpret=pallas_interpret,
     )
