@@ -150,3 +150,53 @@ def test_segment_matches_scan_segment_bitwise(scene):
             )
         )
     np.testing.assert_array_equal(np.concatenate(cols, axis=0), want)
+
+
+def test_streamed_matches_resident(scene):
+    """HBM-streamed block sweep (hbm_mode) must match the XLA renderer for
+    both block visit directions and with early termination."""
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        render_vrc_pallas_streamed,
+    )
+
+    rng = np.random.default_rng(11)
+    volume = make_volume(rng.uniform(0, 255, (20, 12, 11)).astype(np.float32))
+    tf = default_transfer_function()
+    cfg = RenderConfig(width=20, height=14, samples_per_ray=40)
+    for pos in ((0.35, 0.45, 0.85), (-0.5, 0.3, -0.8)):
+        cam = Camera.initial(position=pos)
+        want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+        got = np.asarray(
+            render_vrc_pallas_streamed(
+                volume, tf, cam, cfg, early_eps=0.0, interpret=True,
+                block_x=8,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        early = np.asarray(
+            render_vrc_pallas_streamed(
+                volume, tf, cam, cfg, early_eps=1e-3, interpret=True,
+                block_x=8,
+            )
+        )
+        np.testing.assert_allclose(early, want, atol=2e-3)
+
+
+def test_streamed_geometry_selection():
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        packed_geometry,
+        streamed_geometry,
+    )
+
+    # MNI-1mm-class fits the resident packed kernel
+    assert packed_geometry((182, 218, 182), 4) is not None
+    # 512^3 exceeds the resident budget but streams
+    assert packed_geometry((512, 512, 512), 4) is None
+    geo = streamed_geometry((512, 512, 512), 4)
+    assert geo is not None
+    block_x, zpack = geo
+    assert block_x % 8 == 0 and zpack is not None
+    # z > 1024 can't pack; z <= 128 still streams as f32 rows
+    assert streamed_geometry((64, 64, 1100), 4) is None
+    bx, zp = streamed_geometry((2048, 64, 100), 20)  # >16 intervals -> f32
+    assert zp is None

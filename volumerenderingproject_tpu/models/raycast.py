@@ -545,6 +545,29 @@ def _pallas_eligible(volume: Volume, tf, config: RenderConfig,
     )
 
 
+def _pallas_streamed_eligible(volume: Volume, tf, config: RenderConfig,
+                              mode: str) -> bool:
+    """True when the HBM-streamed fused kernel
+    (ops/pallas_march.render_vrc_pallas_streamed) implements this render:
+    volumes beyond the resident kernel's VMEM budget, ortho camera (one
+    global block visit order), plain a1 classify."""
+    import jax as _jax
+
+    from ..ops.pallas_march import streamed_geometry
+
+    return (
+        _jax.default_backend() == "tpu"
+        and mode == "fast"
+        and volume.channels == 1
+        and not config.conic
+        and streamed_geometry(volume.dims, tf.num_intervals) is not None
+        and not config.lighting
+        and config.interp is Interp.NEAREST
+        and not config.tf_lut
+        and config.empty_space_skipping
+    )
+
+
 def _pallas_a5_eligible(volume: Volume, config: RenderConfig,
                         mode: str) -> bool:
     """True when the fused a5 Pallas kernel (ops/pallas_a5.py) implements
@@ -594,6 +617,13 @@ def render(
         from ..ops.pallas_march import render_vrc_pallas
 
         return render_vrc_pallas(
+            volume, tf, camera, config, early_eps=config.early_termination
+        )
+    if _pallas_streamed_eligible(volume, tf, config, mode):
+        # beyond the resident kernel's VMEM budget: stream x-blocks from HBM
+        from ..ops.pallas_march import render_vrc_pallas_streamed
+
+        return render_vrc_pallas_streamed(
             volume, tf, camera, config, early_eps=config.early_termination
         )
     return render_vrc(volume, tf, camera, config, mode=mode, remat=remat)

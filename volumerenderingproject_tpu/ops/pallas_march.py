@@ -126,12 +126,20 @@ def _march_kernel(
     tile: Tuple[int, int, int] = (TILE_PX, TILE_PY, STEPS),
     local_width: int | None = None,
     slab_x: int | None = None,
+    hbm_mode: bool = False,
 ):
     """``spr`` is the LOCAL sample count of this segment; the global sample
     index is ``scal[30] + local`` (full renders pass s_start=0 so the two
     coincide).  ``local_width``/``scal[29]`` and ``slab_x``/``scal[31]``
     likewise carry the ray-column tile and the volume x-slab for sharded
-    segments (parallel/render_dist.py) — see render_vrc_pallas_segment."""
+    segments (parallel/render_dist.py) — see render_vrc_pallas_segment.
+
+    ``hbm_mode``: the volume stays in HBM and grid dim 2 streams it through
+    VMEM one x-block (``slab_x`` planes) at a time — Pallas double-buffers
+    the block DMA against compute.  Each (tile, block) invocation marches
+    only its block's samples (slab ownership) into a local (C, T) segment
+    and composes it into the persistent output block in visibility order
+    (sign(front.x)); see render_vrc_pallas_streamed."""
     d1, d2, d3 = dims
     lw = width if local_width is None else local_width
     slab = slab_x is not None
@@ -173,6 +181,19 @@ def _march_kernel(
 
     tx = pl.program_id(0)
     ty = pl.program_id(1)
+    if hbm_mode:
+        # grid dim 2 streams x-blocks of the volume; this invocation owns
+        # the block starting at global voxel x0
+        kblk = pl.program_id(2)
+        x0_i = x0_i + kblk * slab_x
+        # tighten the chunk-range box to this block's x extent (the
+        # sharded-segment wrapper does this on the host; here x0 varies
+        # per grid step).  hg/L constants are compile-time f32.
+        x0f = x0_i.astype(_f32)
+        blk_lo = (hg[0] + x0f) / L - 0.5
+        blk_hi = (hg[0] + (x0f + np.float32(slab_x))) / L + 1.0 / n - 0.5
+        box_lo = [jnp.maximum(box_lo[0], blk_lo), box_lo[1], box_lo[2]]
+        box_hi = [jnp.minimum(box_hi[0], blk_hi), box_hi[1], box_hi[2]]
 
     # ---- slot decode: e = step*nrays + u*tpy + v -----------------------
     e = _iota(0, E) * 128 + _iota(1, E)
@@ -294,11 +315,15 @@ def _march_kernel(
 
         # ---- brick occupancy: any alpha>0 voxel in the box? ------------
         zero_i = jnp.asarray(0, _i32)
+        # hbm_mode streams blocks against the GLOBAL brick map (block_x is
+        # a multiple of BRICK, so local brick x + x0/BRICK is exact); the
+        # sharded slab path passes slab-local bricks (no offset)
+        bx_off = (x0_i // BRICK) if hbm_mode else jnp.asarray(0, _i32)
 
         def occ_x(bx, acc):
             def occ_y(by, acc):
                 def occ_z(bz, acc):
-                    return acc | occ_ref[(bx * nby + by) * nbz + bz]
+                    return acc | occ_ref[((bx + bx_off) * nby + by) * nbz + bz]
                 return jax.lax.fori_loop(blo[2], bhi[2] + 1, occ_z, acc)
             return jax.lax.fori_loop(blo[1], bhi[1] + 1, occ_y, acc)
 
@@ -419,12 +444,51 @@ def _march_kernel(
 
     zeros = jnp.zeros((RT, 128), _f32)
     ones = jnp.ones((RT, 128), _f32)
-    _, cr, cg, cb, t = jax.lax.while_loop(
-        chunk_cond, chunk_body, (chunk_lo, zeros, zeros, zeros, ones))
-    out_r_ref[0, 0] = cr
-    out_g_ref[0, 0] = cg
-    out_b_ref[0, 0] = cb
-    out_t_ref[0, 0] = t
+    if not hbm_mode:
+        _, cr, cg, cb, t = jax.lax.while_loop(
+            chunk_cond, chunk_body, (chunk_lo, zeros, zeros, zeros, ones))
+        out_r_ref[0, 0] = cr
+        out_g_ref[0, 0] = cg
+        out_b_ref[0, 0] = cb
+        out_t_ref[0, 0] = t
+        return
+
+    # ---- hbm_mode: compose this block's segment into the persistent ----
+    # output block (index map ignores grid dim 2, so it stays resident
+    # across the block sweep).  Visit order is +x (k ascending); the over
+    # operator composes front-to-back, so for front.x >= 0 the accumulator
+    # is the front segment, otherwise the block is.
+    @pl.when(kblk == 0)
+    def _():
+        out_r_ref[0, 0] = zeros
+        out_g_ref[0, 0] = zeros
+        out_b_ref[0, 0] = zeros
+        out_t_ref[0, 0] = ones
+
+    acc_t = out_t_ref[0, 0]
+    fwd = front[0] >= 0.0
+    # early termination across blocks: when marching front-to-back and the
+    # whole tile is saturated, later blocks cannot change the output by
+    # more than eps
+    do_k = jnp.logical_not(fwd & (jnp.max(acc_t) <= eps))
+
+    def march(_):
+        _, cr, cg, cb, t = jax.lax.while_loop(
+            chunk_cond, chunk_body, (chunk_lo, zeros, zeros, zeros, ones))
+        return cr, cg, cb, t
+
+    cr, cg, cb, t = jax.lax.cond(
+        do_k, march, lambda _: (zeros, zeros, zeros, ones), None)
+
+    acc_r = out_r_ref[0, 0]
+    acc_g = out_g_ref[0, 0]
+    acc_b = out_b_ref[0, 0]
+    # fwd:  (C, T) = (C_acc + T_acc*C_blk, T_acc*T_blk)
+    # bwd:  block is nearer the camera: (C_blk + T_blk*C_acc, same T)
+    out_r_ref[0, 0] = jnp.where(fwd, acc_r + acc_t * cr, cr + t * acc_r)
+    out_g_ref[0, 0] = jnp.where(fwd, acc_g + acc_t * cg, cg + t * acc_g)
+    out_b_ref[0, 0] = jnp.where(fwd, acc_b + acc_t * cb, cb + t * acc_b)
+    out_t_ref[0, 0] = acc_t * t
 
 
 def brick_occupancy(
@@ -538,6 +602,34 @@ def _check_eligible(
     return packed, (zpack if packed else None)
 
 
+def _scal_vector(camera, config, cal_max_trunc, early_eps, alpha0,
+                 box_lo, box_hi, id0, x_offset, s_start, x0):
+    """The kernel's 32-slot SMEM scalar vector (layout in _march_kernel)."""
+    top_left = camera.top_left
+    if config.conic and config.conic_corrected:
+        top_left = top_left + jnp.asarray(
+            config.viewplane_distance, _f32) * camera.front
+    return jnp.concatenate([
+        jnp.asarray([config.sample_distance, config.front_clip], _f32),
+        cal_max_trunc[None],
+        jnp.asarray([early_eps], _f32),
+        alpha0[None],
+        camera.position.astype(_f32),
+        camera.front.astype(_f32),
+        camera.right.astype(_f32),
+        camera.up.astype(_f32),
+        top_left.astype(_f32),
+        jnp.asarray([config.real_screen_width, config.real_screen_height],
+                    _f32),
+        jnp.stack([jnp.asarray(v, _f32) for v in box_lo]),
+        jnp.stack([jnp.asarray(v, _f32) for v in box_hi]),
+        jnp.asarray(id0, _f32)[None],  # [28] classify-index of vn=0 (packed)
+        jnp.asarray(x_offset, _f32)[None],  # [29] ray-column offset
+        jnp.asarray(s_start, _f32)[None],  # [30] sample-segment start
+        jnp.asarray(x0, _f32)[None],  # [31] volume-slab x offset
+    ])
+
+
 def _march_tiles(
     data: jnp.ndarray,
     dims: Tuple[int, int, int],
@@ -618,30 +710,8 @@ def _march_tiles(
         box_hi[0] = jnp.minimum(
             box_hi[0], (hg0 + x0f + slab_x) / L + 1.0 / n - 0.5)
 
-    top_left = camera.top_left
-    if config.conic and config.conic_corrected:
-        top_left = top_left + jnp.asarray(
-            config.viewplane_distance, _f32) * camera.front
-
-    scal = jnp.concatenate([
-        jnp.asarray([config.sample_distance, config.front_clip], _f32),
-        cal_max_trunc[None],
-        jnp.asarray([early_eps], _f32),
-        alpha0[None],
-        camera.position.astype(_f32),
-        camera.front.astype(_f32),
-        camera.right.astype(_f32),
-        camera.up.astype(_f32),
-        top_left.astype(_f32),
-        jnp.asarray([config.real_screen_width, config.real_screen_height],
-                    _f32),
-        jnp.stack(box_lo),
-        jnp.stack(box_hi),
-        id0[None],  # [28] classify-index of vn=0 (packed mode)
-        jnp.asarray(x_offset, _f32)[None],  # [29] ray-column offset
-        jnp.asarray(s_start, _f32)[None],  # [30] sample-segment start
-        jnp.asarray(x0, _f32)[None],  # [31] volume-slab x offset
-    ])
+    scal = _scal_vector(camera, config, cal_max_trunc, early_eps, alpha0,
+                        box_lo, box_hi, id0, x_offset, s_start, x0)
 
     kernel = functools.partial(
         _march_kernel,
@@ -789,3 +859,168 @@ def render_vrc_pallas_segment(
         slab_x=slab_x,
     )
     return jnp.stack([cr, cg, cb], axis=-1), t[..., None]
+
+
+def streamed_geometry(
+    dims: Tuple[int, int, int], num_intervals: int,
+    block_bytes: int = 4 * 2**20,
+) -> Tuple[int, Tuple[int, int, int] | None] | None:
+    """(block_x, zpack) for the HBM-streamed march, or None when even
+    streaming can't express the volume (z > 1024 packed / > 128 unpacked).
+
+    ``zpack`` is None for the f32 row layout.  block_x is a multiple of
+    BRICK sized so one block (double-buffered by the pipeline) fits the
+    VMEM budget."""
+    d1, d2, d3 = dims
+    if num_intervals <= 16 and -(-d3 // 8) <= 128:
+        zw = -(-d3 // 8)
+        ypack = min(128 // zw, d2)
+        nyg = -(-d2 // ypack)
+        row_bytes = nyg * 128 * 4  # i32 rows per x plane
+        zp = (zw, ypack, nyg)
+    elif d3 <= 128:
+        row_bytes = d2 * 128 * 4  # f32 rows per x plane
+        zp = None
+    else:
+        return None
+    per_plane = max(1, row_bytes)
+    block_x = max(BRICK, (block_bytes // per_plane) // BRICK * BRICK)
+    block_x = min(block_x, _pad_to(d1, BRICK))
+    return block_x, zp
+
+
+def render_vrc_pallas_streamed(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    early_eps: float = 1e-3,
+    interpret: bool = False,
+    block_x: int | None = None,
+    tile: Tuple[int, int, int] | None = None,
+) -> jnp.ndarray:
+    """a1/VRC render with the volume streamed from HBM -> [W, H, 4].
+
+    For volumes whose (packed) row grid exceeds the resident kernel's VMEM
+    budget (f32 >= ~256^3, MNI-1mm multi-channel, 512^3-class data —
+    DESIGN.md §4 roadmap item 1): grid dim 2 sweeps x-blocks of the volume
+    and Pallas pipelines each block's HBM->VMEM copy against the previous
+    block's march (automatic double buffering); per-(tile, block) segments
+    compose in visibility order with early termination across blocks.
+    Ortho cameras only (one global slab visit order, like the volume mesh
+    axis); matches render_vrc(..., mode="fast") to the early_eps bound.
+    """
+    if volume.channels != 1:
+        raise ValueError("streamed pallas path supports single-channel")
+    if config.conic:
+        raise ValueError(
+            "streamed pallas path needs one global block visit order; "
+            "conic rays can disagree on sign(dir.x)")
+    if config.lighting or config.interp is not Interp.NEAREST or config.tf_lut:
+        raise ValueError("streamed pallas path is the plain a1 classify only")
+    d1, d2, d3 = volume.dims
+    geo = streamed_geometry(volume.dims, tf.num_intervals)
+    if geo is None:
+        raise ValueError(f"volume dims {volume.dims} not streamable")
+    bx_auto, zpack = geo
+    if block_x is None:
+        block_x = bx_auto
+    if block_x % BRICK:
+        raise ValueError(f"block_x {block_x} must be a multiple of {BRICK}")
+    d1p = _pad_to(d1, block_x)
+    nxb = d1p // block_x
+    packed = zpack is not None
+
+    w, h = config.width, config.height
+    if tile is None:
+        tile = DEFAULT_TILE
+    tpx, tpy, steps = tile
+    if (tpx * tpy) % 128 or (tpx * tpy * steps) % 1024:
+        raise ValueError(f"tile {tile}: rays must fill 128-lane rows and "
+                         "rays*steps must fill [8,128] registers")
+    ntx = -(-w // tpx)
+    nty = -(-h // tpy)
+    rt = (tpx * tpy) // 128
+
+    data = volume.data.reshape(volume.dims)
+    data_p = jnp.pad(data, ((0, d1p - d1), (0, 0), (0, 0)))
+    cal_max_trunc = jnp.trunc(jnp.asarray(volume.cal_max, _f32))
+    id0 = jnp.zeros((), _f32)
+    if packed:
+        vol_rows, id0 = pack_material_grid(data_p, tf, cal_max_trunc, zpack)
+        nyg = zpack[2]
+        block_rows = block_x * nyg
+    else:
+        block_rows = block_x * d2
+        vol_rows = jnp.zeros((d1p * d2, 128), _f32)
+        vol_rows = vol_rows.at[:, :d3].set(data_p.reshape(d1p * d2, d3))
+    assert vol_rows.shape[0] == nxb * block_rows, (
+        vol_rows.shape, nxb, block_rows)
+
+    occ, nb = brick_occupancy(data, tf, cal_max_trunc)  # global bricks
+
+    alpha0 = tf.classify(jnp.zeros((), _f32))[3]
+    if config.density_scale != 1.0:
+        alpha0 = jnp.clip(alpha0 * np.float32(config.density_scale), 0.0, 1.0)
+
+    L = float(max(volume.dims))
+    n = float(2**volume.octree_depth)
+    box_lo = [max(0.0, (L / 2 - dim / 2) / L) - 0.5 for dim in volume.dims]
+    box_hi = [min(1.0, (L / 2 + dim / 2) / L + 1.0 / n) - 0.5
+              for dim in volume.dims]
+    scal = _scal_vector(camera, config, cal_max_trunc, early_eps, alpha0,
+                        box_lo, box_hi, id0, 0, 0, 0)
+
+    kernel = functools.partial(
+        _march_kernel,
+        dims=volume.dims,
+        depth=volume.octree_depth,
+        num_intervals=tf.num_intervals,
+        width=w,
+        height=h,
+        spr=config.samples_per_ray,
+        conic=False,
+        density_scale=float(config.density_scale),
+        nbricks=nb,
+        zpack=zpack,
+        tile=tile,
+        slab_x=block_x,
+        hbm_mode=True,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(ntx, nty, nxb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf lower
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf upper
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tf colors
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # occupancy bricks
+            pl.BlockSpec((block_rows, 128), lambda i, j, k: (k, 0),
+                         memory_space=pltpu.VMEM),  # streamed volume block
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rt, 128), lambda i, j, k: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+    )
+    out_shape = [jax.ShapeDtypeStruct((ntx, nty, rt, 128), _f32)
+                 for _ in range(4)]
+    cr, cg, cb, t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows)
+
+    def unpack(a):
+        a = a.reshape(ntx, nty, tpx, tpy)
+        a = a.transpose(0, 2, 1, 3).reshape(ntx * tpx, nty * tpy)
+        return a[:w, :h]
+
+    bg = jnp.asarray(config.background, _f32)
+    t2 = unpack(t)
+    rgb = [unpack(c) + t2 * bg[i] for i, c in enumerate((cr, cg, cb))]
+    return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)
