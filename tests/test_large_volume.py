@@ -110,3 +110,24 @@ def test_pallas_packed_handles_mni_scale(mni_like):
     with pytest.raises(ValueError):
         render_vrc_pallas(mni_like, tf, cam, cfg, interpret=True,
                           packed=False)
+
+
+def test_diff_pallas_accepts_mni_scale(mni_like):
+    """Round 1's diff kernel rejected z > 128; the packed VJP path now
+    accepts MNI-1mm-class geometry (VERDICT item 3 'done' criterion).
+    Eligibility is gated on the TPU backend, so assert the geometry checks
+    directly and run a tiny packed forward in interpret mode."""
+    from volumerenderingproject_tpu.ops.pallas_march import packed_geometry
+    from volumerenderingproject_tpu.ops.pallas_march_vjp import (
+        render_vrc_pallas_diff,
+    )
+    from volumerenderingproject_tpu.models.raycast import render_vrc
+
+    tf = default_transfer_function()
+    assert packed_geometry(mni_like.dims, tf.num_intervals) is not None
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
+    cfg = RenderConfig(width=8, height=8, samples_per_ray=12)
+    want = np.asarray(render_vrc(mni_like, tf, cam, cfg, mode="fast"))
+    got = np.asarray(
+        render_vrc_pallas_diff(mni_like, tf, cam, cfg, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -89,9 +89,9 @@ def _march_bwd_kernel(
     tf_upper_ref,  # [K]
     tf_colors_ref,  # [K, 4]
     # VMEM
-    vol_ref,  # [pad8(d1*d2), 128]
+    vol_ref,  # [pad8(d1*d2), 128] f32 rows, or the packed material grid
     g_r_ref, g_g_ref, g_b_ref, g_t_ref,  # [1, 1, 2, 128] tile cotangents
-    dcol_ref,  # out [1, 1, 8, 128]: row k, lanes 0..3 = dL/dcolors[k]
+    dcol_ref,  # out [1, 1, KR, 128]: row k, lanes 0..3 = dL/dcolors[k]
     *,
     dims: Tuple[int, int, int],
     depth: int,
@@ -100,8 +100,13 @@ def _march_bwd_kernel(
     height: int,
     spr: int,
     conic: bool,
+    zpack: Tuple[int, int, int] | None = None,
+    krows: int = 8,
 ):
     d1, d2, d3 = dims
+    packed = zpack is not None
+    if packed:
+        zw, ypack, nyg = zpack
     L = np.float32(max(dims))
     n = np.float32(2**depth)
     nchunks = -(-spr // STEPS)
@@ -176,19 +181,32 @@ def _march_bwd_kernel(
             valid &= (res[c] >= hg[c]) & (res[c] < hg_hi[c])
         ijk = [jnp.trunc((res[c] + halfd[c]) - halfL).astype(_i32)
                for c in range(3)]
-        rowid = jnp.where(valid, ijk[0] * d2 + ijk[1], -1)
-        iz = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
+        if packed:
+            # material-id grid fetch (mirrors _march_kernel's packed mode)
+            ygrp = jnp.where(valid, ijk[1] // ypack, 0)
+            rowid = jnp.where(valid, ijk[0] * nyg + ygrp, -1)
+            iz = jnp.where(
+                valid, (ijk[1] - ygrp * ypack) * zw + ijk[2] // 8, 0)
+            ry = ygrp
+            stride = nyg
+            acc_dtype = _i32
+        else:
+            rowid = jnp.where(valid, ijk[0] * d2 + ijk[1], -1)
+            iz = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
+            ry = ijk[1]
+            stride = d2
+            acc_dtype = _f32
         rxmin = jnp.min(jnp.where(valid, ijk[0], _BIG))
-        rymin = jnp.min(jnp.where(valid, ijk[1], _BIG))
+        rymin = jnp.min(jnp.where(valid, ry, _BIG))
         rxmax = jnp.max(jnp.where(valid, ijk[0], -1))
-        rymax = jnp.max(jnp.where(valid, ijk[1], -1))
+        rymax = jnp.max(jnp.where(valid, ry, -1))
 
         def fx(dx, acc):
             cx = rxmin + dx
 
             def fy(dy, acc):
                 cy = rymin + dy
-                crow = cx * d2 + cy
+                crow = cx * stride + cy
                 rowv = vol_ref[pl.ds(crow, 1), :]
                 bc = jnp.broadcast_to(rowv, (8, 128))
                 g = jnp.take_along_axis(bc, iz, axis=1)
@@ -197,18 +215,25 @@ def _march_bwd_kernel(
             return jax.lax.fori_loop(0, rymax - rymin + 1, fy, acc)
 
         acc = jax.lax.fori_loop(
-            0, rxmax - rxmin + 1, fx, jnp.zeros((8, 128), _f32))
-        vn = jnp.maximum(acc, 0.0) / cal_max
+            0, rxmax - rxmin + 1, fx, jnp.zeros((8, 128), acc_dtype))
 
-        # classify + last-match-wins interval masks (TransferFunction.cu:46-55)
-        matches = []
-        seen = jnp.zeros((8, 128), jnp.bool_)
-        for k in range(num_intervals - 1, -1, -1):
-            m = (vn >= tf_lower_ref[k]) & (vn <= tf_upper_ref[k])
-            matches.append(m & ~seen)
-            seen = seen | m
-        matches.reverse()
-        matches[0] = matches[0] | ~seen  # no-match fallback -> interval 0
+        # last-match-wins interval masks (TransferFunction.cu:46-55)
+        if packed:
+            sh = (ijk[2] & 7) * 4
+            mid = jax.lax.shift_right_logical(acc, sh) & 15
+            id0 = scal_ref[28].astype(_i32)
+            mid = jnp.where(valid, mid, id0)
+            matches = [mid == k for k in range(num_intervals)]
+        else:
+            vn = jnp.maximum(acc, 0.0) / cal_max
+            matches = []
+            seen = jnp.zeros((8, 128), jnp.bool_)
+            for k in range(num_intervals - 1, -1, -1):
+                m = (vn >= tf_lower_ref[k]) & (vn <= tf_upper_ref[k])
+                matches.append(m & ~seen)
+                seen = seen | m
+            matches.reverse()
+            matches[0] = matches[0] | ~seen  # no-match fallback -> interval 0
 
         out = [jnp.zeros((8, 128), _f32) for _ in range(4)]
         for k in range(num_intervals):
@@ -239,8 +264,8 @@ def _march_bwd_kernel(
     t_final, total = jax.lax.fori_loop(0, nchunks, pass_a, (ones, zeros))
     bg_term = t_final * g_t  # d(rgb)/dT_N routed through the caller's + T*bg
 
-    row_i = _iota(0)
-    col_i = _iota(1)
+    row_i = _iota(0, krows)
+    col_i = _iota(1, krows)
 
     # ---- pass B: prefix re-march + per-interval gradient scatter ------
     def pass_b(ci, carry):
@@ -277,56 +302,36 @@ def _march_bwd_kernel(
         return t, pfx, dc
 
     _, _, dc = jax.lax.fori_loop(
-        0, nchunks, pass_b, (ones, zeros, jnp.zeros((8, 128), _f32)))
+        0, nchunks, pass_b, (ones, zeros, jnp.zeros((krows, 128), _f32)))
     dcol_ref[0, 0] = dc
-
-
-def _tf_alpha_at_zero(lower, upper, colors):
-    """classify(0).alpha — the forward kernel's skip-safety scalar."""
-    tf = TransferFunction(
-        lower=lower, upper=upper, colors=colors,
-        hg_g=jnp.zeros_like(lower))
-    return tf.classify(jnp.zeros((), _f32))[3]
-
-
-def _occupancy_from_rows(vol_rows, lower, upper, colors, cal_max_trunc,
-                         dims, nb):
-    """brick_occupancy (pallas_march.py) recomputed from the padded row
-    layout, so it can live inside the custom_vjp function body (control
-    input only — gated through stop_gradient by the caller)."""
-    d1, d2, d3 = dims
-    data = vol_rows[: d1 * d2, :d3].reshape(dims)
-    tf = TransferFunction(
-        lower=lower, upper=upper, colors=colors,
-        hg_g=jnp.zeros_like(lower))
-    vn = jnp.maximum(data, 0.0) / cal_max_trunc
-    alpha = tf.classify(vn)[..., 3]
-    occ = (alpha > 0.0).astype(_f32)
-    pd = [_pad_to(x, BRICK) for x in dims]
-    occ = jnp.pad(occ, [(0, pd[c] - dims[c]) for c in range(3)])
-    occ = occ.reshape(nb[0], BRICK, nb[1], BRICK, nb[2], BRICK)
-    occ = occ.max(axis=(1, 3, 5))
-    return occ.reshape(-1).astype(_i32)
 
 
 @functools.lru_cache(maxsize=32)
 def _make_core(dims, depth, num_intervals, width, height, spr, conic,
-               nb, rows, interpret):
+               nb, rows, interpret, zpack=None):
     """Build (and cache per static config) the custom_vjp'd tile renderer:
-    (colors, lower, upper, scal, vol_rows) -> (cr, cg, cb, t) tile arrays."""
+    (colors, lower, upper, scal, vol_rows, occ) -> (cr, cg, cb, t) tiles.
+
+    ``occ``/``scal[4]`` are skip-control inputs (they affect which chunks
+    are marched, never the value — all skips are alpha=0-exact), computed
+    by the caller under stop_gradient; their cotangents are zero.  With
+    ``zpack`` set, ``vol_rows`` is the packed material-id grid (i32) and
+    both kernels run in packed mode (z <= 1024, bit-exact vs f32)."""
     ntx = -(-width // TILE_PX)
     nty = -(-height // TILE_PY)
+    krows = 8 if num_intervals <= 8 else 16
 
     fwd_kernel = functools.partial(
         _march_kernel,
         dims=dims, depth=depth, num_intervals=num_intervals,
         width=width, height=height, spr=spr, conic=conic,
-        density_scale=1.0, nbricks=nb,
+        density_scale=1.0, nbricks=nb, zpack=zpack,
     )
     bwd_kernel = functools.partial(
         _march_bwd_kernel,
         dims=dims, depth=depth, num_intervals=num_intervals,
         width=width, height=height, spr=spr, conic=conic,
+        zpack=zpack, krows=krows,
     )
 
     fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -365,47 +370,47 @@ def _make_core(dims, depth, num_intervals, width, height, spr, conic,
                          memory_space=pltpu.VMEM)  # 4 cotangent tile arrays
             for _ in range(4)
         ],
-        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, krows, 128), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
-    def forward_tiles(colors, lower, upper, scal, vol_rows):
-        sg = jax.lax.stop_gradient
-        # skip-control inputs: affect which chunks are marched, never the
-        # value (all skips are alpha=0-exact), so they are gradient-inert
-        occ = _occupancy_from_rows(
-            sg(vol_rows), sg(lower), sg(upper), sg(colors), sg(scal[2]),
-            dims, nb)
-        scal2 = scal.at[4].set(
-            sg(_tf_alpha_at_zero(lower, upper, colors)))
+    def forward_tiles(colors, lower, upper, scal, vol_rows, occ):
         out = pl.pallas_call(
             fwd_kernel,
             grid_spec=fwd_grid_spec,
             out_shape=tile_shape,
             interpret=interpret,
-        )(scal2, lower, upper, colors, occ, vol_rows)
+        )(scal, lower, upper, colors, occ, vol_rows)
         return tuple(out)
 
     @jax.custom_vjp
-    def core(colors, lower, upper, scal, vol_rows):
-        return forward_tiles(colors, lower, upper, scal, vol_rows)
+    def core(colors, lower, upper, scal, vol_rows, occ):
+        return forward_tiles(colors, lower, upper, scal, vol_rows, occ)
 
-    def core_fwd(colors, lower, upper, scal, vol_rows):
-        out = forward_tiles(colors, lower, upper, scal, vol_rows)
-        return out, (colors, lower, upper, scal, vol_rows)
+    def core_fwd(colors, lower, upper, scal, vol_rows, occ):
+        out = forward_tiles(colors, lower, upper, scal, vol_rows, occ)
+        return out, (colors, lower, upper, scal, vol_rows, occ)
+
+    def _zero_cot(x):
+        # integer primals (packed material grid, occupancy bricks) take
+        # float0 cotangents per the custom_vjp contract
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return np.zeros(x.shape, jax.dtypes.float0)
+        return jnp.zeros_like(x)
 
     def core_bwd(res, g):
-        colors, lower, upper, scal, vol_rows = res
+        colors, lower, upper, scal, vol_rows, occ = res
         g_cr, g_cg, g_cb, g_t = g
         dtiles = pl.pallas_call(
             bwd_kernel,
             grid_spec=bwd_grid_spec,
-            out_shape=jax.ShapeDtypeStruct((ntx, nty, 8, 128), _f32),
+            out_shape=jax.ShapeDtypeStruct((ntx, nty, krows, 128), _f32),
             interpret=interpret,
         )(scal, lower, upper, colors, vol_rows, g_cr, g_cg, g_cb, g_t)
         dcolors = dtiles.sum(axis=(0, 1))[:num_intervals, :4]
         z = jnp.zeros_like
-        return (dcolors, z(lower), z(upper), z(scal), z(vol_rows))
+        return (dcolors, z(lower), z(upper), z(scal), _zero_cot(vol_rows),
+                _zero_cot(occ))
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -414,17 +419,25 @@ def _make_core(dims, depth, num_intervals, width, height, spr, conic,
 def diff_pallas_eligible(volume: Volume, tf: TransferFunction,
                          config: RenderConfig) -> bool:
     """True when the fused differentiable kernel implements this render
-    exactly (cf. models/raycast._pallas_eligible, plus K <= 8 rows of the
-    gradient register and density pre-folded into the alpha column)."""
+    exactly (cf. models/raycast._pallas_eligible): plain a1 classify,
+    K <= 16 intervals, and either the f32 rows (z <= 128) or the packed
+    material grid (z <= 1024, MNI-1mm-class) fit VMEM.  Static
+    density_scale is folded into the alpha column internally; traced
+    density folds externally (diff/fit.py)."""
+    from .pallas_march import packed_geometry
+
+    fits = (
+        volume.dims[2] <= 128
+        or packed_geometry(volume.dims, tf.num_intervals) is not None
+    )
     return (
         jax.default_backend() == "tpu"
         and volume.channels == 1
-        and volume.dims[2] <= 128
+        and fits
         and not config.lighting
         and config.interp is Interp.NEAREST
         and not config.tf_lut
-        and tf.num_intervals <= 8
-        and config.density_scale == 1.0
+        and tf.num_intervals <= 16
     )
 
 
@@ -435,46 +448,88 @@ def render_vrc_pallas_diff(
     config: RenderConfig,
     *,
     interpret: bool = False,
+    packed: bool | None = None,
 ) -> jnp.ndarray:
     """a1/VRC render -> [W, H, 4], differentiable w.r.t. ``tf.colors``
     through fused Pallas forward AND backward kernels.
 
     Value-identical to ``render_vrc_pallas(..., early_eps=0)`` ==
     ``render_vrc(..., mode="fast")``; gradients match ``jax.grad`` through
-    the XLA scan (see module docstring for the a==1 caveat).  A traced
-    global density scale is supported by folding it into the alpha column
-    before calling (``colors.at[:, 3].mul(density)`` — diff/fit.py does
-    this), which the chain rule routes back automatically.
+    the XLA scan (see module docstring for the a==1 caveat).  Volumes with
+    z <= 128 use f32 rows; larger ones (z <= 1024, e.g. MNI-1mm 182^3
+    class) use the packed material-id grid — the grid depends only on the
+    TF *bounds* (gradient-inert: piecewise-constant, zero a.e.), so color
+    gradients are unaffected.  A static ``config.density_scale`` is folded
+    into the alpha column here; a *traced* density folds externally
+    (``colors.at[:, 3].mul(density)`` — diff/fit.py), which the chain rule
+    routes back automatically.
     """
+    from .pallas_march import (
+        brick_occupancy,
+        pack_material_grid,
+        packed_geometry,
+    )
+
     d1, d2, d3 = volume.dims
-    if d3 > 128:
-        raise ValueError(f"diff pallas path needs z dim <= 128 (got {d3})")
     if volume.channels != 1:
         raise ValueError("diff pallas path supports single-channel volumes")
     if config.lighting or config.tf_lut or config.interp is not Interp.NEAREST:
         raise ValueError(
             "diff pallas path is the plain a1 classify (no lighting/LUT/"
             "trilinear); use the XLA renderer")
-    if tf.num_intervals > 8:
-        raise ValueError("diff pallas path supports at most 8 TF intervals")
-    if config.density_scale != 1.0:
+    if tf.num_intervals > 16:
+        raise ValueError("diff pallas path supports at most 16 TF intervals")
+    zpack = packed_geometry(volume.dims, tf.num_intervals)
+    if packed is None:
+        packed = d3 > 128 and zpack is not None
+    if packed and zpack is None:
         raise ValueError(
-            "fold density into tf.colors[:, 3] for the diff path "
-            "(see diff/fit.py)")
+            f"dims {volume.dims} / {tf.num_intervals} intervals don't fit "
+            "the packed material grid")
+    if not packed and d3 > 128:
+        raise ValueError(
+            f"diff pallas path needs z <= 128 unpacked (got {d3}); packed "
+            "mode requires <= 16 intervals and z <= 1024")
+
+    sg = jax.lax.stop_gradient
+    colors = tf.colors
+    if config.density_scale != 1.0:
+        # fold the static density into the alpha column (identical to the
+        # forward kernel's per-sample clip(a * density): a_sample == a_k)
+        colors = colors.at[:, 3].set(
+            jnp.clip(colors[:, 3] * np.float32(config.density_scale),
+                     0.0, 1.0))
 
     w, h = config.width, config.height
-    rows = _pad_to(d1 * d2, 8)
-    vol_rows = jnp.zeros((rows, 128), _f32)
-    vol_rows = vol_rows.at[: d1 * d2, :d3].set(
-        volume.data.reshape(d1 * d2, d3))
-
     cal_max_trunc = jnp.trunc(jnp.asarray(volume.cal_max, _f32))
+    id0 = jnp.zeros((), _f32)
+    if packed:
+        # bounds are gradient-inert -> pack under stop_gradient
+        vol_rows, id0 = pack_material_grid(
+            volume.data.reshape(volume.dims),
+            TransferFunction(lower=sg(tf.lower), upper=sg(tf.upper),
+                             colors=sg(colors), hg_g=tf.hg_g),
+            cal_max_trunc, zpack)
+    else:
+        zpack = None
+        rows = _pad_to(d1 * d2, 8)
+        vol_rows = jnp.zeros((rows, 128), _f32)
+        vol_rows = vol_rows.at[: d1 * d2, :d3].set(
+            volume.data.reshape(d1 * d2, d3))
+    rows = vol_rows.shape[0]
+
+    # skip-control inputs (value-inert): occupancy bricks + TF(0) alpha
+    tf_sg = TransferFunction(lower=sg(tf.lower), upper=sg(tf.upper),
+                             colors=sg(colors), hg_g=tf.hg_g)
+    occ, nb = brick_occupancy(
+        volume.data.reshape(volume.dims), tf_sg, cal_max_trunc)
+    alpha0 = sg(tf_sg.classify(jnp.zeros((), _f32))[3])
+
     L = float(max(volume.dims))
     n = float(2**volume.octree_depth)
     box_lo = [max(0.0, (L / 2 - dim / 2) / L) - 0.5 for dim in volume.dims]
     box_hi = [min(1.0, (L / 2 + dim / 2) / L + 1.0 / n) - 0.5
               for dim in volume.dims]
-    nb = tuple(_pad_to(x, BRICK) // BRICK for x in volume.dims)
 
     top_left = camera.top_left
     if config.conic and config.conic_corrected:
@@ -482,12 +537,12 @@ def render_vrc_pallas_diff(
             config.viewplane_distance, _f32) * camera.front
 
     # scal layout identical to render_vrc_pallas; early_eps pinned to 0
-    # (early termination is value-exact only in the forward direction) and
-    # alpha0 (slot 4) filled inside the core from stop_gradient(colors)
+    # (early termination is value-exact only in the forward direction)
     scal = jnp.concatenate([
         jnp.asarray([config.sample_distance, config.front_clip], _f32),
         cal_max_trunc[None],
-        jnp.zeros((2,), _f32),  # early_eps = 0, alpha0 placeholder
+        jnp.zeros((1,), _f32),  # early_eps = 0
+        alpha0[None],
         camera.position.astype(_f32),
         camera.front.astype(_f32),
         camera.right.astype(_f32),
@@ -497,15 +552,16 @@ def render_vrc_pallas_diff(
                     _f32),
         jnp.asarray(box_lo, _f32),
         jnp.asarray(box_hi, _f32),
-        jnp.zeros((4,), _f32),
+        id0[None],  # [28] classify-index of vn=0 (packed mode)
+        jnp.zeros((3,), _f32),
     ])
 
     core = _make_core(
         volume.dims, volume.octree_depth, tf.num_intervals, w, h,
         config.samples_per_ray, bool(config.conic), nb, rows,
-        bool(interpret),
+        bool(interpret), zpack,
     )
-    cr, cg, cb, t = core(tf.colors, tf.lower, tf.upper, scal, vol_rows)
+    cr, cg, cb, t = core(colors, tf.lower, tf.upper, scal, vol_rows, occ)
 
     ntx = -(-w // TILE_PX)
     nty = -(-h // TILE_PY)
