@@ -200,3 +200,45 @@ def test_streamed_geometry_selection():
     assert streamed_geometry((64, 64, 1100), 4) is None
     bx, zp = streamed_geometry((2048, 64, 100), 20)  # >16 intervals -> f32
     assert zp is None
+
+
+def test_fused_lighting_matches_xla(scene):
+    """In-kernel Blinn-Phong on central-difference normals vs the XLA lit
+    render (BASELINE config 2's shading on the fused path)."""
+    volume, tf, cam, cfg = scene
+    cfg_lit = cfg.replace(lighting=True)
+    want = np.asarray(render_vrc(volume, tf, cam, cfg_lit, mode="fast"))
+    got = np.asarray(
+        render_vrc_pallas(volume, tf, cam, cfg_lit, early_eps=0.0,
+                          interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # shading must actually change the image
+    unlit = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    assert np.abs(want - unlit).max() > 1e-3
+
+
+def test_fused_tf_lut_matches_xla(scene):
+    """In-kernel dense-LUT classify vs the XLA LUT render, incl. an
+    N > 128 LUT exercising the multi-row gather."""
+    volume, tf, cam, cfg = scene
+    for n in (64, 256):
+        cfg_lut = cfg.replace(tf_lut=n)
+        want = np.asarray(render_vrc(volume, tf, cam, cfg_lut, mode="fast"))
+        got = np.asarray(
+            render_vrc_pallas(volume, tf, cam, cfg_lut, early_eps=0.0,
+                              interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"n={n}")
+
+
+def test_fused_lut_plus_lighting(scene):
+    """BASELINE config 2 exactly: TF-LUT classify + Phong shading, fused."""
+    volume, tf, cam, cfg = scene
+    cfg2 = cfg.replace(tf_lut=256, lighting=True)
+    want = np.asarray(render_vrc(volume, tf, cam, cfg2, mode="fast"))
+    got = np.asarray(
+        render_vrc_pallas(volume, tf, cam, cfg2, early_eps=0.0,
+                          interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)

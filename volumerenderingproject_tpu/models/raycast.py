@@ -521,26 +521,29 @@ def render_test_segment(
 def _pallas_eligible(volume: Volume, tf, config: RenderConfig,
                      mode: str) -> bool:
     """True when the fused Pallas TPU kernel implements this exact render:
-    a1/VRC fast mode, single channel, plain NN classify, and either the
-    packed material-grid layout fits (z <= 1024, <= 16 TF intervals) or the
-    f32 layout does (z <= 128).  (``mode="reference"`` keeps the XLA scan's
+    a1/VRC fast mode, single channel, NN sampling, and either the packed
+    material-grid layout fits (z <= 1024, <= 16 TF intervals) or the f32
+    layout does (z <= 128).  Lighting (fused Blinn-Phong) and tf_lut
+    (fused dense-LUT classify) need the f32 rows — intensities — so they
+    require z <= 128.  (``mode="reference"`` keeps the XLA scan's
     back-to-front float order.)"""
     import jax as _jax
 
     from ..ops.pallas_march import packed_geometry
 
+    fits_f32 = volume.dims[2] <= 128
     fits = (
-        volume.dims[2] <= 128
+        fits_f32
         or packed_geometry(volume.dims, tf.num_intervals) is not None
     )
+    needs_f32 = config.lighting or bool(config.tf_lut)
     return (
         _jax.default_backend() == "tpu"
         and mode == "fast"
         and volume.channels == 1
-        and fits
-        and not config.lighting
+        and (fits_f32 if needs_f32 else fits)
+        and (not config.tf_lut or config.tf_lut <= 1024)
         and config.interp is Interp.NEAREST
-        and not config.tf_lut
         and config.empty_space_skipping
     )
 

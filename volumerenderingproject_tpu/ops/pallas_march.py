@@ -111,8 +111,7 @@ def _march_kernel(
     occ_ref,  # [nbx*nby*nbz] i32 brick occupancy
     # VMEM
     vol_ref,  # [pad8(d1*d2), 128] volume rows, z on lanes
-    out_r_ref, out_g_ref, out_b_ref, out_t_ref,  # [1, 1, 2, 128]
-    *,
+    *rest,  # [light_ref (SMEM [10])] [lut_ref (VMEM)] out_r/g/b/t_ref
     dims: Tuple[int, int, int],
     depth: int,
     num_intervals: int,
@@ -127,6 +126,8 @@ def _march_kernel(
     local_width: int | None = None,
     slab_x: int | None = None,
     hbm_mode: bool = False,
+    lighting: bool = False,
+    lut_n: int = 0,
 ):
     """``spr`` is the LOCAL sample count of this segment; the global sample
     index is ``scal[30] + local`` (full renders pass s_start=0 so the two
@@ -139,7 +140,19 @@ def _march_kernel(
     the block DMA against compute.  Each (tile, block) invocation marches
     only its block's samples (slab ownership) into a local (C, T) segment
     and composes it into the persistent output block in visibility order
-    (sign(front.x)); see render_vrc_pallas_streamed."""
+    (sign(front.x)); see render_vrc_pallas_streamed.
+
+    ``lighting``: Blinn-Phong gradient shading fused in-kernel (BASELINE
+    config 2): central-difference normals computed from neighbor rows/lanes
+    during the footprint fetch (5 row reads per cell instead of 1), exactly
+    the semantics of ops/phong.phong_shade on conv3d gradients.  Needs the
+    f32 row layout (packed ids carry no intensities).  ``lut_n``: classify
+    through a dense round-to-nearest LUT (config.tf_lut) staged in VMEM as
+    [4 * ceil(N/128), 128] channel-major rows."""
+    rest = list(rest)
+    light_ref = rest.pop(0) if lighting else None
+    lut_ref = rest.pop(0) if lut_n else None
+    out_r_ref, out_g_ref, out_b_ref, out_t_ref = rest
     d1, d2, d3 = dims
     lw = width if local_width is None else local_width
     slab = slab_x is not None
@@ -267,6 +280,27 @@ def _march_kernel(
                 out[c] = jnp.where(m, tf_colors_ref[k, c], out[c])
         return out
 
+    def classify_lut(vn):
+        """Dense-LUT classify (models/raycast.py lut branch): round vn to
+        the nearest of lut_n entries, fetch RGBA by per-lane gather over
+        the channel-major LUT rows."""
+        R = -(-lut_n // 128)
+        idx = jnp.clip(
+            jnp.round(vn * np.float32(lut_n - 1)).astype(_i32),
+            0, lut_n - 1)
+        rid = idx // 128
+        lane = idx % 128
+        out = []
+        for c in range(4):
+            o = jnp.zeros((E, 128), _f32)
+            for r in range(R):
+                bc = jnp.broadcast_to(
+                    lut_ref[pl.ds(c * R + r, 1), :], (E, 128))
+                o = jnp.where(rid == r,
+                              jnp.take_along_axis(bc, lane, axis=1), o)
+            out.append(o)
+        return out
+
     # ---- per-tile scalar ray bounds (for the cheap chunk box test) -----
     big = jnp.asarray(3.4e38, _f32)
     o_min = [jnp.min(jnp.where(pix_ok, o[c], big)) for c in range(3)]
@@ -386,22 +420,79 @@ def _march_kernel(
 
             # ---- fetch: footprint loop, one row per (ix, iy[-group]) ---
             acc_dtype = _i32 if packed else _f32
+            vrows = vol_ref.shape[0]
 
-            def fx(dx, acc):
-                cx = rxmin + dx
+            if lighting:
+                # fetch the sample's value AND its 6 neighbors' values for
+                # the central-difference normal (conv3d zero padding ==
+                # the boundary masks below); z+-1 are lane shifts of the
+                # center row, x/y+-1 are adjacent rows
+                def rowat(r):
+                    rc = jnp.clip(r, 0, vrows - 1)
+                    return jnp.broadcast_to(
+                        vol_ref[pl.ds(rc, 1), :], (E, 128))
 
-                def fy(dy, acc):
-                    cy = rymin + dy
-                    crow = cx * stride + cy
-                    rowv = vol_ref[pl.ds(crow, 1), :]
-                    bc = jnp.broadcast_to(rowv, (E, 128))
-                    g = jnp.take_along_axis(bc, iz, axis=1)
-                    return jnp.where(rowid == crow, g, acc)
+                def fx(dx, accs):
+                    cx = rxmin + dx
 
-                return jax.lax.fori_loop(0, rymax - rymin + 1, fy, acc)
+                    def fy(dy, accs):
+                        acc, agx, agy, agz = accs
+                        cy = rymin + dy
+                        crow = cx * stride + cy
+                        sel = rowid == crow
+                        bc = rowat(crow)
+                        acc = jnp.where(
+                            sel, jnp.take_along_axis(bc, iz, axis=1), acc)
+                        izp = jnp.clip(iz + 1, 0, 127)
+                        izm = jnp.clip(iz - 1, 0, 127)
+                        vzp = jnp.where(
+                            ijk[2] + 1 < d3,
+                            jnp.take_along_axis(bc, izp, axis=1), 0.0)
+                        vzm = jnp.where(
+                            ijk[2] - 1 >= 0,
+                            jnp.take_along_axis(bc, izm, axis=1), 0.0)
+                        agz = jnp.where(sel, 0.5 * (vzp - vzm), agz)
+                        vxp = jnp.where(
+                            ijk[0] + 1 < d1,
+                            jnp.take_along_axis(
+                                rowat(crow + stride), iz, axis=1), 0.0)
+                        vxm = jnp.where(
+                            ijk[0] - 1 >= 0,
+                            jnp.take_along_axis(
+                                rowat(crow - stride), iz, axis=1), 0.0)
+                        agx = jnp.where(sel, 0.5 * (vxp - vxm), agx)
+                        vyp = jnp.where(
+                            ijk[1] + 1 < d2,
+                            jnp.take_along_axis(
+                                rowat(crow + 1), iz, axis=1), 0.0)
+                        vym = jnp.where(
+                            ijk[1] - 1 >= 0,
+                            jnp.take_along_axis(
+                                rowat(crow - 1), iz, axis=1), 0.0)
+                        agy = jnp.where(sel, 0.5 * (vyp - vym), agy)
+                        return acc, agx, agy, agz
 
-            acc = jax.lax.fori_loop(
-                0, rxmax - rxmin + 1, fx, jnp.zeros((E, 128), acc_dtype))
+                    return jax.lax.fori_loop(0, rymax - rymin + 1, fy, accs)
+
+                zf = jnp.zeros((E, 128), _f32)
+                acc, agx, agy, agz = jax.lax.fori_loop(
+                    0, rxmax - rxmin + 1, fx, (zf, zf, zf, zf))
+            else:
+                def fx(dx, acc):
+                    cx = rxmin + dx
+
+                    def fy(dy, acc):
+                        cy = rymin + dy
+                        crow = cx * stride + cy
+                        rowv = vol_ref[pl.ds(crow, 1), :]
+                        bc = jnp.broadcast_to(rowv, (E, 128))
+                        g = jnp.take_along_axis(bc, iz, axis=1)
+                        return jnp.where(rowid == crow, g, acc)
+
+                    return jax.lax.fori_loop(0, rymax - rymin + 1, fy, acc)
+
+                acc = jax.lax.fori_loop(
+                    0, rxmax - rxmin + 1, fx, jnp.zeros((E, 128), acc_dtype))
             if packed:
                 # unpack the nibble, fall back to TF-id-of-0 off-volume
                 sh = (ijk[2] & 7) * 4  # always in [0, 28]
@@ -412,7 +503,37 @@ def _march_kernel(
             else:
                 v = jnp.maximum(acc, 0.0)  # descent drops negatives
                 vn = v / cal_max  # int-truncated cal_max (kernel.cu:42)
-                sr, sg, sb, sa = classify(vn)
+                if lut_n:
+                    sr, sg, sb, sa = classify_lut(vn)
+                else:
+                    sr, sg, sb, sa = classify(vn)
+
+            if lighting:
+                # Blinn-Phong on the central-difference normal
+                # (ops/phong.phong_shade semantics, elementwise)
+                l0, l1, l2 = light_ref[0], light_ref[1], light_ref[2]
+                lcr, lcg, lcb = light_ref[3], light_ref[4], light_ref[5]
+                amb = light_ref[6]
+                dif = light_ref[7]
+                spe = light_ref[8]
+                shin = light_ref[9]
+                nn = jnp.sqrt(agx * agx + agy * agy + agz * agz)
+                ninv = 1.0 / jnp.maximum(nn, 1e-8)
+                nux, nuy, nuz = agx * ninv, agy * ninv, agz * ninv
+                ndotl = jnp.abs(nux * l0 + nuy * l1 + nuz * l2)
+                # view dir = -d (unit); half vector h = l + v
+                hx, hy, hz = l0 - d[0], l1 - d[1], l2 - d[2]
+                hinv = 1.0 / jnp.maximum(
+                    jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-8)
+                ndoth = jnp.abs((nux * hx + nuy * hy + nuz * hz) * hinv)
+                specular = spe * ndoth ** shin
+                w = jnp.clip(nn * np.float32(1e3), 0.0, 1.0)  # /1e-3 thresh
+                sr = w * (amb * sr + dif * ndotl * sr * lcr
+                          + specular * lcr) + (1.0 - w) * sr
+                sg = w * (amb * sg + dif * ndotl * sg * lcg
+                          + specular * lcg) + (1.0 - w) * sg
+                sb = w * (amb * sb + dif * ndotl * sb * lcb
+                          + specular * lcb) + (1.0 - w) * sb
             if density_scale != 1.0:
                 sa = jnp.clip(sa * np.float32(density_scale), 0.0, 1.0)
             if slab:
@@ -495,17 +616,26 @@ def brick_occupancy(
     data: jnp.ndarray | Volume,
     tf: TransferFunction,
     cal_max_trunc: jnp.ndarray,
+    lut: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, Tuple[int, int, int]]:
     """[nbx*nby*nbz] i32: 1 where any voxel in the 8^3 brick classifies to
     alpha > 0 (a1 value semantics: negatives clamped, /trunc(cal_max)).
 
     ``data`` is a [X, Y, Z] array (possibly an x-slab of a sharded volume)
-    or a Volume."""
+    or a Volume.  With ``lut`` ([N, 4], config.tf_lut), bricks are judged
+    by the LUT's alpha instead of the interval scan (the kernel classifies
+    through the LUT, so skips must match its alpha support)."""
     if isinstance(data, Volume):
         data = data.data
     d1, d2, d3 = data.shape
     vn = jnp.maximum(data, 0.0) / cal_max_trunc
-    alpha = tf.classify(vn)[..., 3]
+    if lut is not None:
+        nlut = lut.shape[0]
+        idx = jnp.clip(
+            jnp.round(vn * (nlut - 1)).astype(_i32), 0, nlut - 1)
+        alpha = jnp.take(lut[:, 3], idx, axis=0)
+    else:
+        alpha = tf.classify(vn)[..., 3]
     occ = (alpha > 0.0).astype(_f32)
     pd = [_pad_to(x, BRICK) for x in (d1, d2, d3)]
     occ = jnp.pad(occ, [(0, pd[c] - (d1, d2, d3)[c]) for c in range(3)])
@@ -593,12 +723,18 @@ def _check_eligible(
             "use packed mode or the XLA renderer for larger volumes")
     if channels != 1:
         raise ValueError("pallas path supports single-channel volumes")
-    if config.lighting:
-        raise ValueError("pallas path has no lighting; use the XLA renderer")
     if config.interp is not Interp.NEAREST:
         raise ValueError("pallas path is nearest-neighbor (a1) only")
-    if config.tf_lut:
-        raise ValueError("pallas path uses the exact TF scan, not a LUT")
+    if config.lighting or config.tf_lut:
+        # gradient normals / LUT indices need intensities, which the
+        # packed material-id grid doesn't carry
+        if d3 > 128:
+            raise ValueError(
+                "lighting/LUT in the fused kernel need the f32 row layout "
+                f"(z <= 128, got {d3}); use the XLA renderer")
+        packed = False
+    if config.tf_lut and not 0 < config.tf_lut <= 1024:
+        raise ValueError(f"tf_lut size {config.tf_lut} not in (0, 1024]")
     return packed, (zpack if packed else None)
 
 
@@ -649,6 +785,7 @@ def _march_tiles(
     s_count: int | None = None,
     x0=0,
     slab_x: int | None = None,
+    light=None,
 ):
     """Shared kernel driver -> (cr, cg, cb, t), each [w_local, height] f32.
 
@@ -687,11 +824,47 @@ def _march_tiles(
             data.reshape(dims_local[0] * d2, d3))
     rows = vol_rows.shape[0]
 
-    occ, nb = brick_occupancy(data, tf, cal_max_trunc)
+    lut = tf.to_lut(config.tf_lut) if config.tf_lut else None
+    occ, nb = brick_occupancy(data, tf, cal_max_trunc, lut=lut)
 
-    alpha0 = tf.classify(jnp.zeros((), _f32))[3]
+    if lut is not None:
+        alpha0 = lut[0, 3]  # idx(vn=0) = 0
+    else:
+        alpha0 = tf.classify(jnp.zeros((), _f32))[3]
     if config.density_scale != 1.0:
         alpha0 = jnp.clip(alpha0 * np.float32(config.density_scale), 0.0, 1.0)
+
+    extra_args = []
+    extra_specs = []
+    if config.lighting:
+        from . import phong
+
+        lg = light if light is not None else phong.default_light()
+        ldir = lg.direction / jnp.linalg.norm(lg.direction)
+        light_arr = jnp.concatenate([
+            ldir.astype(_f32),
+            lg.color.astype(_f32),
+            jnp.stack([
+                jnp.asarray(lg.ambient, _f32),
+                jnp.asarray(lg.diffuse, _f32),
+                jnp.asarray(lg.specular, _f32),
+                jnp.asarray(lg.shininess, _f32),
+            ]),
+        ])
+        extra_args.append(light_arr)
+        extra_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    if lut is not None:
+        nl = lut.shape[0]
+        rl = -(-nl // 128)
+        lut_rows = jnp.zeros((_pad_to(4 * rl, 8), 128), _f32)
+        for c in range(4):
+            col = jnp.zeros((rl * 128,), _f32).at[:nl].set(lut[:, c])
+            lut_rows = lut_rows.at[c * rl:(c + 1) * rl, :].set(
+                col.reshape(rl, 128))
+        extra_args.append(lut_rows)
+        extra_specs.append(
+            pl.BlockSpec((lut_rows.shape[0], 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM))
 
     L = float(max(dims))
     # dataset box in ray space (p = pos + 0.5 in [hg/L, (hg+dim)/L + 1/n]),
@@ -728,6 +901,8 @@ def _march_tiles(
         tile=tile,
         local_width=w_local,
         slab_x=slab_x,
+        lighting=bool(config.lighting),
+        lut_n=int(config.tf_lut),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -741,7 +916,7 @@ def _march_tiles(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # occupancy bricks
             pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),  # volume
-        ],
+        ] + extra_specs,  # [light SMEM] [lut VMEM]
         out_specs=[
             pl.BlockSpec((1, 1, rt, 128), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -755,7 +930,7 @@ def _march_tiles(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows)
+    )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows, *extra_args)
 
     def unpack(a):
         a = a.reshape(ntx, nty, tpx, tpy)
@@ -775,15 +950,18 @@ def render_vrc_pallas(
     interpret: bool = False,
     packed: bool | None = None,
     tile: Tuple[int, int, int] | None = None,
+    light=None,
 ) -> jnp.ndarray:
     """a1/VRC render via the fused Pallas kernel -> [W, H, 4].
 
     Matches ``render_vrc(..., mode="fast")`` up to the early-termination
     epsilon (``early_eps=0`` for exact agreement).  Requires a single
-    channel and the default classify path (no lighting / LUT / trilinear
-    modes — the dispatcher falls back to the XLA renderer there).  The
-    default packed material-grid mode handles z up to 1024 (MNI-1mm-class
-    volumes); the f32 mode (``packed=False``) needs dims[2] <= 128.
+    channel; trilinear modes fall back to the XLA renderer.  The default
+    packed material-grid mode handles z up to 1024 (MNI-1mm-class
+    volumes); the f32 mode (``packed=False``) needs dims[2] <= 128, and is
+    what ``config.lighting`` (fused Blinn-Phong on central-difference
+    normals) and ``config.tf_lut`` (fused dense-LUT classify) run on —
+    BASELINE config 2's fast path.
     """
     if volume.channels != 1:
         raise ValueError("pallas path supports single-channel volumes")
@@ -799,6 +977,7 @@ def render_vrc_pallas(
         interpret=interpret,
         packed=packed,
         tile=tile,
+        light=light,
     )
     bg = jnp.asarray(config.background, _f32)
     w, h = config.width, config.height
