@@ -87,10 +87,17 @@ def _config(args):
 
 
 def _render(volume, tf, cam, cfg, backend: str, mesh_spec: str | None,
-            exact_points: bool = False):
+            exact_points: bool = False, depth: bool = False):
     from ..models.raycast import render
     from ..utils.config import Algorithm
 
+    if depth:
+        # z-buffer visualization (3.3.zbuffershader.fs analog)
+        from ..models import point_splat
+
+        if cfg.algorithm is Algorithm.POINT:
+            return point_splat.render_points_depth(volume, cam, cfg)
+        return point_splat.render_depth_vrc(volume, tf, cam, cfg)
     if exact_points and cfg.algorithm is Algorithm.POINT:
         from ..models.point_splat import render_points
 
@@ -139,6 +146,7 @@ def cmd_render(args) -> int:
         _render(
             volume, tf, cam, cfg, args.backend, args.mesh,
             exact_points=getattr(args, "exact_points", False),
+            depth=getattr(args, "depth", False),
         )
     )
     dt = time.time() - t0
@@ -336,6 +344,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("render", help="render one frame to PNG")
     common(sp)
     sp.add_argument("--out")
+    sp.add_argument(
+        "--depth", action="store_true",
+        help="render the depth buffer (zbuffer-shader analog) instead of "
+             "colors")
     sp.add_argument(
         "--exact-points",
         action="store_true",

@@ -55,13 +55,16 @@ def render_points(
     config: RenderConfig,
     *,
     exact: bool = False,
+    rgba: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Rasterize the voxel cloud -> [W, H, 4] image.
 
     ``exact=True`` uses the native C++ rasterizer with the reference's GL
     semantics bit-for-bit (draw-order blending + depth writes); the default
     JAX path approximates with nearest-voxel-wins (see module docstring)
-    and runs on device.
+    and runs on device.  ``rgba`` overrides the per-voxel colors [N, 4]
+    (the debug colorers in models/debug_colors.py, replacing the
+    reference's prepareVolumeColors colorTest switch, myApp.cu:1296-1312).
     """
     if exact:
         return _render_points_exact(volume, tf, camera, config)
@@ -70,7 +73,8 @@ def render_points(
 
     pos = voxel_positions(volume)
     vol_flat = volume.data.reshape(-1)
-    rgba = tf.classify(vol_flat / volume.cal_max)  # [N, 4]
+    if rgba is None:
+        rgba = tf.classify(vol_flat / volume.cal_max)  # [N, 4]
 
     mvp = (
         T.ortho(-1.0, 1.0, -1.0, 1.0, -1.5, 1.5)
@@ -151,3 +155,90 @@ def _render_points_exact(
         np.asarray(config.background, np.float32),
     )
     return jnp.asarray(img)
+
+
+def render_points_depth(
+    volume: Volume,
+    camera: Camera,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """Depth-buffer visualization of the voxel cloud -> [W, H, 4].
+
+    The counterpart of the reference's z-buffer shader
+    (3.3.zbuffershader.fs:1-16: FragColor = vec3(gl_FragCoord.z), i.e. the
+    raw window-space depth of whatever wins the depth test; no alpha
+    discard).  Window depth for the ortho pipeline is (ndc_z + 1) / 2;
+    pixels no voxel covers keep the GL clear depth 1.0.
+    """
+    w, h = config.width, config.height
+    n_pix = w * h
+
+    pos = voxel_positions(volume)
+    mvp = (
+        T.ortho(-1.0, 1.0, -1.0, 1.0, -1.5, 1.5)
+        @ camera.look_at_origin_view()
+        @ T.translation((-0.5, -0.5, -0.5))
+    )
+    ndc = T.apply(mvp, pos)
+
+    px = jnp.floor((ndc[..., 0] + 1.0) * 0.5 * w).astype(jnp.int32)
+    py = jnp.floor((ndc[..., 1] + 1.0) * 0.5 * h).astype(jnp.int32)
+    z = ndc[..., 2]
+    valid = (
+        (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        & (z >= -1.0) & (z <= 1.0)
+    )
+    pix = px * h + (h - 1 - py)
+    pix = jnp.where(valid, pix, n_pix)
+    zmin = jax.ops.segment_min(
+        jnp.where(valid, z, jnp.inf), pix, num_segments=n_pix + 1
+    )[:n_pix]
+    depth = jnp.where(jnp.isfinite(zmin), (zmin + 1.0) * 0.5, 1.0)
+    d = depth[:, None]
+    img = jnp.concatenate([d, d, d, jnp.ones_like(d)], axis=-1)
+    return img.reshape(w, h, 4)
+
+
+def render_depth_vrc(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """Ray-cast depth map -> [W, H, 4] grayscale (framework extension: the
+    zbuffer idea applied to the volume renderer).  Depth per pixel is the
+    opacity-weighted expected sample depth E[t] along the ray, normalized
+    by the viewplane distance; fully transparent rays read 1.0."""
+    from ..models import raycast
+    from ..ops import composite as comp
+
+    origins = raycast.ray_origins(camera, config)
+    dirs = raycast.primary_ray_dirs(camera, config)
+    ds = jnp.asarray(config.sample_distance, _f32)
+    clip = jnp.asarray(config.front_clip, _f32)
+    vol_flat = (
+        volume.data if volume.channels == 1 else volume.data[..., 0]
+    ).reshape(-1)
+
+    from ..ops import sampling
+
+    def step(carry, i):
+        c, t = carry  # c = weighted depth sum, t = transmittance
+        ti = i * ds + clip
+        p = (origins + ti * dirs) + jnp.asarray(0.5, _f32)
+        v = sampling.octree_nn_sample(
+            vol_flat, volume.dims, volume.octree_depth, p)
+        a = tf.classify(v / jnp.trunc(volume.cal_max))[..., 3:4]
+        c = c + t * a * ti
+        t = t * (1.0 - a)
+        return (c, t), None
+
+    steps = jnp.arange(config.samples_per_ray, dtype=_f32)
+    shape = (config.width, config.height)
+    (c, t), _ = jax.lax.scan(
+        step, (jnp.zeros(shape + (1,), _f32), jnp.ones(shape + (1,), _f32)),
+        steps)
+    vp = jnp.asarray(config.viewplane_distance, _f32)
+    depth = jnp.clip((c + t * vp) / vp, 0.0, 1.0)
+    return jnp.concatenate(
+        [depth, depth, depth, jnp.ones_like(depth)], axis=-1)
