@@ -150,6 +150,14 @@ def cmd_render(args) -> int:
         )
     )
     dt = time.time() - t0
+    if getattr(args, "window", None):
+        # render-to-texture display: resample the offscreen render onto a
+        # fullscreen quad at the window resolution (myApp.cu:1732-1901's
+        # unfinished FBO path, completed — utils/texture.py)
+        from ..utils.texture import texture_quad_display
+
+        ww, wh = (int(x) for x in args.window.split("x"))
+        img = np.asarray(texture_quad_display(img, ww, wh))
     out = args.out or (
         f"image_{cfg.width}x{cfg.height}_a{cfg.algorithm.value}"
         f"_spr{cfg.samples_per_ray}.png"
@@ -238,16 +246,29 @@ def cmd_bench(args) -> int:
     timer = StageTimer()
     with timer.stage("compile+first") as out:
         out["img"] = _render(volume, tf, cam, cfg, args.backend, args.mesh)
-    for r in range(args.repeats):
-        import dataclasses
 
-        cam_r = dataclasses.replace(
-            cam, position=cam.position + 1e-6 * (r + 1)
-        )
-        with timer.stage(f"frame{r}") as out:
-            img = _render(volume, tf, cam_r, cfg, args.backend, args.mesh)
-            np.asarray(img[0, 0])
-            out["img"] = img
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if getattr(args, "profile", None):
+        # XLA/TPU timeline capture (XProf/TensorBoard) around the timed
+        # frames — the deep-dive counterpart of the stage timers
+        from .profiling import trace
+
+        profile_ctx = trace(args.profile)
+    with profile_ctx:
+        for r in range(args.repeats):
+            import dataclasses
+
+            cam_r = dataclasses.replace(
+                cam, position=cam.position + 1e-6 * (r + 1)
+            )
+            with timer.stage(f"frame{r}") as out:
+                img = _render(volume, tf, cam_r, cfg, args.backend, args.mesh)
+                np.asarray(img[0, 0])
+                out["img"] = img
+    if getattr(args, "profile", None):
+        print(f"profiler trace written to {args.profile}")
     print(timer.report())
     frames = [t for n, t in timer.stages if n.startswith("frame")]
     if frames:
@@ -349,6 +370,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="render the depth buffer (zbuffer-shader analog) instead of "
              "colors")
     sp.add_argument(
+        "--window", metavar="WxH",
+        help="display the render through a textured fullscreen quad at "
+             "this window size (render-to-texture path)")
+    sp.add_argument(
         "--exact-points",
         action="store_true",
         help="POINT mode: exact GL draw-order blending (native rasterizer)",
@@ -373,6 +398,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_fit)
 
     sp = sub.add_parser("bench", help="timed render with per-stage report")
+    sp.add_argument(
+        "--profile", metavar="DIR",
+        help="capture a jax.profiler trace of the timed frames to DIR "
+             "(open in XProf/TensorBoard)")
     common(sp)
     sp.add_argument("--repeats", type=int, default=3)
     sp.set_defaults(fn=cmd_bench)
