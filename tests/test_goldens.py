@@ -66,3 +66,58 @@ def test_our_render_structurally_close_to_golden():
     golden = load_png(os.path.join(GOLDEN_DIR, "image_100x100_a1_spr100.png"))
     assert goldens.similarity(ours, golden) > 0.5
     assert goldens.foreground_fraction(img) > 0.05
+
+
+RECOVERED = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "goldens", "recovered_cameras.json")
+
+
+@pytest.mark.skipif(
+    not (os.path.isdir(GOLDEN_DIR) and os.path.exists(RECOVERED)),
+    reason="no recovered cameras")
+def test_recovered_cameras_reproduce_goldens():
+    """Round 2 recovered the unrecorded golden capture cameras by searching
+    the orbit manifold (harness/camera_recovery.py, run on TPU).  With the
+    committed cameras, each a1/a5 golden must reproduce to NCC >= its
+    per-golden floor at the search resolution — near-pixel regressions
+    instead of round 1's 0.5 structural floor."""
+    import json
+
+    import jax.numpy as jnp
+
+    from volumerenderingproject_tpu import (
+        RenderConfig,
+        default_transfer_function,
+        load_nifti,
+    )
+    from volumerenderingproject_tpu.harness.camera_recovery import (
+        ALGO_BY_ID,
+        _golden_gray,
+    )
+    from volumerenderingproject_tpu.models.raycast import render
+    from volumerenderingproject_tpu.scene.camera import Camera
+
+    with open(RECOVERED) as f:
+        recovered = json.load(f)
+    assert recovered, "empty recovery file"
+    volume = load_nifti("/root/reference/avg152T1_LR_nifti2.nii")
+    tf = default_transfer_function()
+    res = 100
+    for name, rec in recovered.items():
+        meta = goldens.parse_golden_name(name)
+        algorithm = ALGO_BY_ID[meta["algorithm"]]
+        cam = Camera(**{
+            k: jnp.asarray(v, jnp.float32) for k, v in rec["camera"].items()
+        })
+        cfg = RenderConfig(
+            width=res, height=res, samples_per_ray=meta["spr"],
+            algorithm=algorithm,
+        )
+        img = np.asarray(render(volume, tf, cam, cfg))
+        g = img[..., :3].mean(axis=-1)
+        gold = _golden_gray(
+            os.path.join(GOLDEN_DIR, name), algorithm, (res, res))
+        ncc = goldens.similarity(g, gold)
+        floor = max(0.8, rec["ncc_search"] - 0.03)
+        assert ncc >= floor, f"{name}: NCC {ncc:.4f} < floor {floor:.4f}"
