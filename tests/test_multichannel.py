@@ -5,6 +5,7 @@ from volumerenderingproject_tpu import (
     Camera,
     RenderConfig,
     default_transfer_function,
+    make_volume,
 )
 from volumerenderingproject_tpu.ingest import synthetic
 from volumerenderingproject_tpu.models.raycast import render_vrc
@@ -51,13 +52,24 @@ def test_multichannel_sharded_matches_single():
     np.testing.assert_allclose(sharded, single, atol=1e-5)
 
 
-def test_multichannel_volume_axis_rejected():
+def test_multichannel_volume_axis_matches():
+    """Round 1 rejected this; round 2 shards multi-channel a1 over x-slabs
+    (exactly-one-owner per sample).  Non-a1 multi-channel modes still
+    reject (no multi-channel sampler exists for them)."""
     import pytest
+
+    from volumerenderingproject_tpu.models.raycast import render_vrc
+    from volumerenderingproject_tpu.utils.config import Interp
 
     volume, tf, cam, cfg = _scene()
     mesh = make_mesh(rays=2, samples=1, volume=4)
+    got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg, mesh))
+    want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    np.testing.assert_allclose(got, want, atol=1e-5)
     with pytest.raises(NotImplementedError):
-        render_vrc_sharded(volume, tf, cam, cfg, mesh)
+        render_vrc_sharded(
+            volume, tf, cam, cfg.replace(interp=Interp.TRILINEAR_COLOR),
+            mesh)
 
 
 def test_multichannel_gradients_flow():
@@ -100,3 +112,28 @@ def test_4d_nifti_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         arr[..., 0], data.reshape(3, 4, 5, 6)[0]
     )
+
+
+def test_multichannel_volume_axis_sharding():
+    """Round 2: multi-channel volumes shard over x-slabs too (round 1
+    rejected the volume axis for channels > 1)."""
+    import jax.numpy as jnp
+
+    from volumerenderingproject_tpu.models.raycast import render_vrc
+    from volumerenderingproject_tpu.parallel.mesh import make_mesh
+    from volumerenderingproject_tpu.parallel.render_dist import (
+        render_vrc_sharded,
+    )
+
+    rng = np.random.default_rng(13)
+    vol = make_volume(
+        rng.uniform(0, 255, size=(8, 6, 5, 3)).astype(np.float32))
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.4, 0.3, 0.9))
+    cfg = RenderConfig(width=8, height=6, samples_per_ray=16)
+    want = np.asarray(render_vrc(vol, tf, cam, cfg, mode="fast"))
+    for axes in (dict(rays=2, samples=1, volume=4),
+                 dict(rays=1, samples=2, volume=2)):
+        mesh = make_mesh(**axes)
+        got = np.asarray(render_vrc_sharded(vol, tf, cam, cfg, mesh))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(axes))

@@ -410,3 +410,40 @@ def trilinear_intensity_sample_slab(
     out = c0 * (1 - fx) + c1 * fx
     out = out.squeeze(-1) if out.shape[-1] == 1 else out
     return jnp.where(owned, out, jnp.asarray(0.0, _f32)), owned
+
+
+def octree_nn_index_slab(
+    dims: Tuple[int, int, int],
+    depth: int,
+    p: jnp.ndarray,
+    x0: jnp.ndarray,
+    slab_x: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Slab-local a1 index computation: (local_flat, valid, owned).
+
+    The index/ownership chain of :func:`octree_nn_sample_slab`, factored
+    out for samplers that gather something other than the scalar intensity
+    (multi-channel voxels, gradient fields).  ``local_flat`` is clamped
+    into the slab and safe to gather with; ``valid`` is the usual
+    in-root/in-dataset mask; ``owned`` the exactly-one-slab mask.
+    """
+    d1, d2, d3 = dims
+    L = float(max(dims))
+    n = float(2**depth)
+    dimv = jnp.asarray([d1, d2, d3], _f32)
+
+    p = p.astype(_f32)
+    inside_root = jnp.all((p >= 0.0) & (p < 1.0), axis=-1)
+    k = jnp.floor(p * n)
+    res = (k / n) * jnp.asarray(L, _f32)
+    half_gap = jnp.asarray(L, _f32) / 2.0 - dimv / 2.0
+    in_dataset = jnp.all((res >= half_gap) & (res < half_gap + dimv), axis=-1)
+    t = (res + dimv / 2.0) - jnp.asarray(L, _f32) / 2.0
+    ijk = jnp.trunc(t).astype(jnp.int32)
+    gx = jnp.clip(ijk[..., 0], 0, d1 - 1)
+    owned = (gx >= x0) & (gx < x0 + slab_x)
+    lx = jnp.clip(gx - x0, 0, slab_x - 1)
+    flat = lx * (d2 * d3) + jnp.clip(ijk[..., 1], 0, d2 - 1) * d3 + jnp.clip(
+        ijk[..., 2], 0, d3 - 1
+    )
+    return flat, inside_root & in_dataset, owned

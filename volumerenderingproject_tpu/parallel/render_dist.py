@@ -37,7 +37,7 @@ from jax import shard_map
 from ..ingest.volume import Volume
 from ..scene.camera import Camera
 from ..scene.transfer_function import TransferFunction
-from ..utils.config import RenderConfig
+from ..utils.config import Algorithm, Interp, RenderConfig
 from ..models import raycast
 from ..ops import composite as comp
 from ..ops import sampling
@@ -71,7 +71,6 @@ def _pallas_segment_eligible(
     """True when the fused Pallas segment kernel implements the per-device
     work unit exactly (mirrors models/raycast._pallas_eligible, evaluated at
     the *local* slab geometry)."""
-    from ..utils.config import Algorithm, Interp
     from ..ops.pallas_march import packed_geometry
 
     dims_local = (
@@ -131,10 +130,13 @@ def render_vrc_sharded(
         )
     if volume.dims[0] % n_vol:
         raise ValueError(f"dim x {volume.dims[0]} % volume axis {n_vol} != 0")
-    if n_vol > 1 and volume.channels > 1:
+    if n_vol > 1 and volume.channels > 1 and (
+        config.algorithm is not Algorithm.VRC
+        or config.interp is not Interp.NEAREST
+    ):
         raise NotImplementedError(
-            "volume-axis sharding of multi-channel volumes is not supported "
-            "yet; shard multi-channel renders over rays/samples instead"
+            "volume-axis sharding of multi-channel volumes supports the "
+            "nearest-neighbor a1 path (the only multi-channel sampler)"
         )
     if n_vol > 1 and config.conic:
         raise NotImplementedError(
@@ -179,8 +181,6 @@ def render_vrc_sharded(
                 interpret=pallas_interpret,
             )
         elif n_vol == 1:
-            from ..utils.config import Algorithm as _Alg
-
             vol_local = Volume(
                 data=vol_data,
                 cal_max=cal_max,
@@ -191,7 +191,7 @@ def render_vrc_sharded(
             )
             segment_fn = (
                 raycast.render_test_segment
-                if config.algorithm is _Alg.TEST
+                if config.algorithm is Algorithm.TEST
                 else raycast.render_vrc_segment
             )
             seg = segment_fn(
@@ -302,8 +302,6 @@ def _render_segment_volume_slab(
     segments equal the replicated render).  Trilinear taps, a5 corner
     fetches, and gradient-normal lighting reach across slab boundaries
     through a one-voxel x-halo exchanged with lax.ppermute."""
-    from ..utils.config import Algorithm, Interp
-
     vi = jax.lax.axis_index("volume")
     slab_x = vol_slab.shape[0]
     x0 = vi * slab_x
@@ -398,6 +396,26 @@ def _render_segment_volume_slab(
                 rgba, owned = sampling.trilinear_color_sample_slab(
                     ext_flat, dims, vox, tf.classify, cal_max, x0, slab_x, hw
                 )
+                flat, valid = sampling.octree_nn_index(dims, depth, p)
+            elif vol_slab.ndim == 4:
+                # multi-channel a1 (raycast._vrc_sample_rgba_multichannel
+                # semantics, slab ownership applied once per sample)
+                nchan = vol_slab.shape[3]
+                chans = vol_slab.reshape(-1, nchan)
+                lflat, valid, owned = sampling.octree_nn_index_slab(
+                    dims, depth, p, x0, slab_x
+                )
+                v = jnp.take(chans, lflat, axis=0)
+                v = jnp.maximum(v, 0.0)
+                v = jnp.where((valid & owned)[..., None], v, 0.0)
+                norm = v / cal_max
+                if nchan >= 3:
+                    rgb = norm[..., :3]
+                else:
+                    rgb = jnp.repeat(norm[..., :1], 3, axis=-1)
+                mean = jnp.mean(norm, axis=-1)
+                alpha = tf.classify(mean)[..., 3:4]
+                rgba = jnp.concatenate([rgb, alpha], axis=-1)
                 flat, valid = sampling.octree_nn_index(dims, depth, p)
             else:
                 v, owned = sampling.octree_nn_sample_slab(
