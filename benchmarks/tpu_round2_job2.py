@@ -1,0 +1,137 @@
+"""Round-2 TPU job 2: on-chip timings for the new kernel variants.
+
+1. Fused lit / LUT / LUT+lit renders (BASELINE config 2 geometry).
+2. HBM-streamed march on a 320^3 synthetic volume (beyond the resident
+   packed budget) vs the XLA scan on the same scene.
+3. avg152 resident kernel re-baseline at 700^2 spr500 (sanity vs r1).
+
+All timings use an in-jit 8-frame orbit (per-call RTT ~33 ms dwarfs the
+compute otherwise).  Results appended to benchmarks/tpu_round2_results.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "tpu_round2_results.json")
+FRAMES = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from volumerenderingproject_tpu import (
+        RenderConfig,
+        default_transfer_function,
+        load_nifti,
+        make_volume,
+    )
+    from volumerenderingproject_tpu.models.raycast import render
+    from volumerenderingproject_tpu.scene.camera import Camera
+
+    results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
+
+    def save():
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+
+    def orbit(volume, tf, cfg, jitter):
+        thetas = np.linspace(0, 2 * np.pi, FRAMES + 1)[:FRAMES] + jitter
+        cams = [Camera.initial(position=(1.2 * np.cos(t), 0.4,
+                                         1.2 * np.sin(t)))
+                for t in thetas]
+        cams = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+        def frame(carry, cam):
+            img = render(volume, tf, cam, cfg)
+            return carry + img[0, 0], None
+
+        probe, _ = jax.lax.scan(frame, jnp.zeros((4,), jnp.float32), cams)
+        return probe
+
+    def bench(volume, tf, cfg, label, reps=4):
+        f = jax.jit(lambda v, t, j: orbit(v, t, cfg, j))
+        rng = np.random.default_rng(0)
+        t0 = time.time()
+        np.asarray(f(volume, tf, rng.random(FRAMES) * 1e-4))
+        print(f"{label}: compile+first {time.time()-t0:.1f}s", flush=True)
+        ts = []
+        for _ in range(reps):
+            j = rng.random(FRAMES) * 1e-4
+            t0 = time.time()
+            np.asarray(f(volume, tf, j))
+            ts.append(time.time() - t0)
+        per_frame = min(ts) / FRAMES
+        rps = cfg.width * cfg.height / per_frame
+        results[label] = {"ms_per_frame": per_frame * 1e3,
+                          "rays_per_sec": rps}
+        print(label, results[label], flush=True)
+        save()
+
+    tf = default_transfer_function()
+    vol = load_nifti("/root/reference/avg152T1_LR_nifti2.nii")
+
+    cfg2 = RenderConfig(width=304, height=304, samples_per_ray=300,
+                        early_termination=1e-3)
+    bench(vol, tf, cfg2.replace(lighting=True), "fused_lit_304_300")
+    bench(vol, tf, cfg2.replace(tf_lut=256), "fused_lut_304_300")
+    bench(vol, tf, cfg2.replace(tf_lut=256, lighting=True),
+          "fused_lut_lit_304_300")
+    bench(vol, tf, cfg2, "fused_plain_304_300")
+
+    # streamed: 320^3 synthetic (packed residency would need ~26 MB > 12)
+    rng = np.random.default_rng(3)
+    big = np.zeros((320, 320, 320), np.float32)
+    x = np.linspace(-1, 1, 320, dtype=np.float32)
+    r2 = x[:, None, None] ** 2 + x[None, :, None] ** 2 + x[None, None, :] ** 2
+    big[:] = np.where(r2 < 0.8, 120.0 + 80.0 * np.sqrt(np.maximum(r2, 0)),
+                      0.0)
+    bigvol = make_volume(big)
+    from volumerenderingproject_tpu.ops.pallas_march import packed_geometry
+    assert packed_geometry(bigvol.dims, tf.num_intervals) is None, \
+        "expected 320^3 to exceed the resident budget"
+    cfg3 = RenderConfig(width=304, height=304, samples_per_ray=300,
+                        early_termination=1e-3)
+    bench(bigvol, tf, cfg3, "streamed_320cubed_304_300")
+
+    cfg1 = RenderConfig(width=700, height=700, samples_per_ray=500,
+                        early_termination=1e-3)
+    bench(vol, tf, cfg1, "resident_700_500_sanity")
+
+    # the one unmatched golden: re-search with view_angle as a free
+    # parameter (its capture likely followed a compile-time AppData edit —
+    # spr=500 itself requires one)
+    import math as _math
+
+    from volumerenderingproject_tpu.harness import camera_recovery
+
+    rec = camera_recovery.recover_camera(
+        "/root/reference/image_output/image_500x500_a5_spr500.png",
+        vol, tf, n_dirs=800, n_rolls=12,
+        view_angles=[_math.radians(a) for a in (20, 25, 30, 35, 45)],
+    )
+    path = "goldens/recovered_cameras.json"
+    with open(path) as f:
+        allrec = json.load(f)
+    if rec["ncc_refined"] > allrec.get(rec["golden"], {}).get(
+            "ncc_refined", -2):
+        allrec[rec["golden"]] = rec
+        with open(path, "w") as f:
+            json.dump(allrec, f, indent=2)
+    results["a5_spr500_va_search"] = {
+        "ncc": rec["ncc_refined"], "view_angle": rec["view_angle"]}
+    save()
+
+
+if __name__ == "__main__":
+    main()

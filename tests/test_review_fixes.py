@@ -180,3 +180,32 @@ def test_tf_lut_render_matches_scan_on_grid_data(rng):
     # only samples within half a bin of a bound can differ
     close = np.isclose(lut, scan, atol=1e-6).all(-1)
     assert close.mean() > 0.95
+
+
+def test_fit_checkpoint_resume_exact(rng, tmp_path):
+    """Crash recovery: a fit interrupted at step 4 and resumed from its
+    checkpoint (params + optimizer state) must land exactly where the
+    uninterrupted 8-step run lands."""
+    from volumerenderingproject_tpu.diff.fit import fit_transfer_function
+
+    _, volume, tf, cam, cfg = _scene(rng)
+    target = np.zeros((cfg.width, cfg.height, 4), np.float32)
+    ckdir = str(tmp_path / "ck")
+
+    straight, _ = fit_transfer_function(
+        volume, cam, target, tf, cfg, steps=8, learning_rate=1e-2)
+
+    # "crash" after 4 steps (checkpoint every 2)
+    fit_transfer_function(
+        volume, cam, target, tf, cfg, steps=4, learning_rate=1e-2,
+        checkpoint_dir=ckdir, checkpoint_every=2)
+    resumed, losses = fit_transfer_function(
+        volume, cam, target, tf, cfg, steps=8, learning_rate=1e-2,
+        checkpoint_dir=ckdir, checkpoint_every=2, resume=True)
+    assert len(losses) == 4  # continued from step 4
+    np.testing.assert_allclose(
+        np.asarray(resumed.tf_colors), np.asarray(straight.tf_colors),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(resumed.density_scale),
+        np.asarray(straight.density_scale), atol=1e-6)

@@ -138,45 +138,93 @@ def fit_transfer_function(
     mesh=None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> Tuple[FitParams, list]:
-    """Optimize TF colors + density against a target image."""
+    """Optimize TF colors + density against a target image.
+
+    ``resume=True`` restores the latest checkpoint in ``checkpoint_dir``
+    (params AND optimizer state, so the continued trajectory is identical
+    to an uninterrupted run) and continues until ``steps`` total steps."""
     params = FitParams.init(tf)
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
+    start = 0
+    if resume and checkpoint_dir:
+        latest = latest_checkpoint_step(checkpoint_dir)
+        if latest is not None:
+            params, opt_state = load_checkpoint(
+                checkpoint_dir, latest, opt_state_like=opt_state)
+            start = latest
     train_step = make_train_step(tf, config, optimizer, mesh)
 
     losses = []
-    for i in range(steps):
+    for i in range(start, steps):
         params, opt_state, loss = train_step(
             params, opt_state, volume, camera, target
         )
         losses.append(float(loss))
         if checkpoint_dir and checkpoint_every and (i + 1) % checkpoint_every == 0:
-            save_checkpoint(checkpoint_dir, i + 1, params)
+            save_checkpoint(checkpoint_dir, i + 1, params, opt_state)
     return params, losses
 
 
 # -- checkpoint / resume -----------------------------------------------------
 
 
-def save_checkpoint(directory: str, step: int, params: FitParams) -> None:
+def save_checkpoint(directory: str, step: int, params: FitParams,
+                    opt_state=None) -> None:
+    """Persist params (and optionally the optax state) at ``step``."""
     import orbax.checkpoint as ocp
     import os
 
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    state = {"params": dataclasses.asdict(params)}
+    if opt_state is not None:
+        import jax as _jax
+
+        state["opt"] = {
+            f"l{i}": x for i, x in enumerate(_jax.tree.leaves(opt_state))
+        }
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(path, dataclasses.asdict(params), force=True)
+    ckpt.save(path, state, force=True)
     ckpt.wait_until_finished()
 
 
-def load_checkpoint(directory: str, step: int) -> FitParams:
+def latest_checkpoint_step(directory: str) -> Optional[int]:
+    import os
+    import re
+
+    if not os.path.isdir(directory):
+        return None
+    steps = [
+        int(m.group(1))
+        for d in os.listdir(directory)
+        if (m := re.fullmatch(r"step_(\d+)", d))
+    ]
+    return max(steps) if steps else None
+
+
+def load_checkpoint(directory: str, step: int, opt_state_like=None):
+    """Restore a checkpoint.  Without ``opt_state_like``: -> FitParams
+    (params only, also reads round-1-format checkpoints).  With it (a
+    pytree of the optimizer state's structure/shapes): ->
+    (FitParams, opt_state)."""
     import orbax.checkpoint as ocp
     import os
 
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     ckpt = ocp.StandardCheckpointer()
     restored = ckpt.restore(path)
-    return FitParams(
-        tf_colors=jnp.asarray(restored["tf_colors"]),
-        density_scale=jnp.asarray(restored["density_scale"]),
+    p = restored.get("params", restored)  # round-1 files stored flat
+    params = FitParams(
+        tf_colors=jnp.asarray(p["tf_colors"]),
+        density_scale=jnp.asarray(p["density_scale"]),
     )
+    if opt_state_like is None:
+        return params
+    import jax as _jax
+
+    treedef = _jax.tree.structure(opt_state_like)
+    n = len(_jax.tree.leaves(opt_state_like))
+    leaves = [jnp.asarray(restored["opt"][f"l{i}"]) for i in range(n)]
+    return params, _jax.tree.unflatten(treedef, leaves)

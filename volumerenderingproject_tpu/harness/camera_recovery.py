@@ -117,24 +117,25 @@ def recover_camera(
     search_res: int = 100,
     refine_res: Optional[int] = None,
     refine_rounds: int = 3,
+    view_angles: Optional[list] = None,
     verbose: bool = True,
 ) -> Dict:
     """Search the orbit manifold for the golden's capture camera.
 
+    ``view_angles``: optional list of view_angle values (radians) to ALSO
+    search over — some captures were made after compile-time AppData edits
+    (spr=500 itself requires one, utils.h:72), and view_angle (utils.h:54)
+    sets the ortho screen width, i.e. the apparent head size.
+
     Returns {"angles": [theta, phi, roll], "ncc_search": s,
-    "ncc_native": s2, "camera": {...}, "config": {...}}.
+    "ncc_refined": s2, "view_angle": va, "camera": {...}}.
     """
     meta = gold.parse_golden_name(golden_path)
     if meta is None:
         raise ValueError(f"not a golden name: {golden_path}")
     algorithm = ALGO_BY_ID[meta["algorithm"]]
     native = (meta["width"], meta["height"])
-    cfg_search = RenderConfig(
-        width=search_res, height=search_res, samples_per_ray=meta["spr"],
-        algorithm=algorithm, early_termination=1e-3,
-    )
     gg = _golden_gray(golden_path, algorithm, (search_res, search_res))
-    score = _make_score_fn(volume, tf, cfg_search, gg)
 
     dirs = fibonacci_directions(n_dirs)
     rolls = np.linspace(0.0, 2 * math.pi, n_rolls, endpoint=False,
@@ -146,32 +147,50 @@ def recover_camera(
         ],
         axis=-1,
     )  # [n_dirs * n_rolls, 3]
-
-    score_map = jax.jit(lambda a: jax.lax.map(score, a))
-    # chunk to bound compile/step memory
     chunk = 512
     pad = (-len(cand)) % chunk
     cand_p = np.pad(cand, ((0, pad), (0, 0)))
-    scores = []
-    for i in range(0, len(cand_p), chunk):
-        scores.append(np.asarray(score_map(jnp.asarray(cand_p[i:i + chunk]))))
-        if verbose and (i // chunk) % 8 == 0:
-            best = float(np.concatenate(scores).max())
-            print(f"  coarse {i + chunk}/{len(cand_p)} best NCC {best:.4f}",
+
+    best, angles, best_va = -2.0, None, None
+    for va in (view_angles or [math.pi / 4]):
+        cfg_search = RenderConfig(
+            width=search_res, height=search_res,
+            samples_per_ray=meta["spr"], algorithm=algorithm,
+            early_termination=1e-3, view_angle=va,
+        )
+        score = _make_score_fn(volume, tf, cfg_search, gg)
+        score_map = jax.jit(lambda a: jax.lax.map(score, a))
+        scores = []
+        for i in range(0, len(cand_p), chunk):
+            scores.append(
+                np.asarray(score_map(jnp.asarray(cand_p[i:i + chunk]))))
+            if verbose and (i // chunk) % 8 == 0:
+                b = float(np.concatenate(scores).max())
+                print(f"  va={va:.3f} coarse {i + chunk}/{len(cand_p)} "
+                      f"best NCC {b:.4f}", flush=True)
+        scores = np.concatenate(scores)[: len(cand)]
+        bi = int(np.argmax(scores))
+        if float(scores[bi]) > best:
+            best = float(scores[bi])
+            angles = cand[bi].astype(np.float64)
+            best_va = va
+        if verbose:
+            print(f"  va={va:.3f} best NCC {float(scores[bi]):.4f}",
                   flush=True)
-    scores = np.concatenate(scores)[: len(cand)]
-    best_i = int(np.argmax(scores))
-    angles = cand[best_i].astype(np.float64)
-    best = float(scores[best_i])
+    ncc_coarse = best
     if verbose:
-        print(f"  coarse best NCC {best:.4f} at angles {angles}", flush=True)
+        print(f"  coarse best NCC {best:.4f} at angles {angles} "
+              f"va {best_va:.3f}", flush=True)
 
     # --- coordinate-descent refinement at (near-)native resolution -------
     refine_res = refine_res or min(native[0], 350)
     # keep integer downsample factors for the golden
     while native[0] % refine_res:
         refine_res -= 1
-    cfg_ref = cfg_search.replace(width=refine_res, height=refine_res)
+    cfg_ref = RenderConfig(
+        width=refine_res, height=refine_res, samples_per_ray=meta["spr"],
+        algorithm=algorithm, early_termination=1e-3, view_angle=best_va,
+    )
     gg_ref = _golden_gray(golden_path, algorithm, (refine_res, refine_res))
     score_ref = jax.jit(_make_score_fn(volume, tf, cfg_ref, gg_ref))
     best = float(score_ref(jnp.asarray(angles, _f32)))
@@ -196,9 +215,10 @@ def recover_camera(
     return {
         "golden": os.path.basename(golden_path),
         "angles": [float(a) for a in angles],
-        "ncc_search": float(scores[best_i]),
+        "ncc_search": ncc_coarse,
         "ncc_refined": best,
         "refine_res": refine_res,
+        "view_angle": float(best_va),
         "camera": {
             k: np.asarray(getattr(cam, k)).tolist()
             for k in ("position", "front", "right", "up", "top_left")
