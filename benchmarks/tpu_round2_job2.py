@@ -45,13 +45,14 @@ def main():
         with open(OUT, "w") as f:
             json.dump(results, f, indent=2)
 
-    def orbit(volume, tf, cfg, jitter):
+    def make_cams(jitter):
         thetas = np.linspace(0, 2 * np.pi, FRAMES + 1)[:FRAMES] + jitter
         cams = [Camera.initial(position=(1.2 * np.cos(t), 0.4,
                                          1.2 * np.sin(t)))
                 for t in thetas]
-        cams = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
 
+    def orbit(volume, tf, cfg, cams):
         def frame(carry, cam):
             img = render(volume, tf, cam, cfg)
             return carry + img[0, 0], None
@@ -60,16 +61,16 @@ def main():
         return probe
 
     def bench(volume, tf, cfg, label, reps=4):
-        f = jax.jit(lambda v, t, j: orbit(v, t, cfg, j))
+        f = jax.jit(lambda v, t, c: orbit(v, t, cfg, c))
         rng = np.random.default_rng(0)
         t0 = time.time()
-        np.asarray(f(volume, tf, rng.random(FRAMES) * 1e-4))
+        np.asarray(f(volume, tf, make_cams(rng.random(FRAMES) * 1e-4)))
         print(f"{label}: compile+first {time.time()-t0:.1f}s", flush=True)
         ts = []
         for _ in range(reps):
-            j = rng.random(FRAMES) * 1e-4
+            cams = make_cams(rng.random(FRAMES) * 1e-4)
             t0 = time.time()
-            np.asarray(f(volume, tf, j))
+            np.asarray(f(volume, tf, cams))
             ts.append(time.time() - t0)
         per_frame = min(ts) / FRAMES
         rps = cfg.width * cfg.height / per_frame
