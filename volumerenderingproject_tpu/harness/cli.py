@@ -79,6 +79,10 @@ def _config(args):
         over["algorithm"] = Algorithm[args.algorithm.upper()]
     if getattr(args, "lighting", False):
         over["lighting"] = True
+    if getattr(args, "gradient_filter", None):
+        over["gradient_filter"] = args.gradient_filter
+    if getattr(args, "presmooth", None):
+        over["presmooth_sigma"] = args.presmooth
     if getattr(args, "conic", False):
         over["conic"] = True
     if getattr(args, "interp", None):
@@ -355,6 +359,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--camera", default="preset")
         sp.add_argument("--orbit", help="yaw_deg,pitch_deg,zoom")
         sp.add_argument("--lighting", action="store_true")
+        sp.add_argument("--gradient-filter", choices=["central", "sobel"])
+        sp.add_argument("--presmooth", type=float,
+                        help="Gaussian sigma for the pre-render gradient "
+                             "filter (BASELINE config 4)")
         sp.add_argument("--conic", action="store_true")
         sp.add_argument("--interp", choices=["nearest", "trilinear_color", "trilinear"])
         sp.add_argument("--config", help="RenderConfig JSON path")

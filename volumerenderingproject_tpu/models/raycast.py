@@ -365,7 +365,8 @@ def render_vrc(
         if light is None:
             light = phong.default_light()
         data = volume.data if volume.channels == 1 else volume.data[..., 0]
-        grad = conv3d.central_difference_gradient(data)
+        grad = conv3d.gradient_field(
+            data, config.gradient_filter, config.presmooth_sigma)
         shading = (grad.reshape(-1, 3), light, -dirs)
     lut = tf.to_lut(config.tf_lut) if config.tf_lut else None
 
@@ -408,7 +409,8 @@ def render_vrc_segment(
         from ..ops import conv3d, phong
 
         data = volume.data if volume.channels == 1 else volume.data[..., 0]
-        grad = conv3d.central_difference_gradient(data)
+        grad = conv3d.gradient_field(
+            data, config.gradient_filter, config.presmooth_sigma)
         shading = (grad.reshape(-1, 3), phong.default_light(), -dirs)
     lut = tf.to_lut(config.tf_lut) if config.tf_lut else None
 
@@ -460,7 +462,9 @@ def _a5_sample_fn(volume, tf, camera, config, x, y, light):
         if light is None:
             light = phong.default_light()
         data = volume.data if volume.channels == 1 else volume.data[..., 0]
-        grad_flat = conv3d.central_difference_gradient(data).reshape(-1, 3)
+        grad_flat = conv3d.gradient_field(
+            data, config.gradient_filter, config.presmooth_sigma
+        ).reshape(-1, 3)
         view_dir = -camera.front
 
     def sample_rgba(i):
@@ -537,12 +541,18 @@ def _pallas_eligible(volume: Volume, tf, config: RenderConfig,
         or packed_geometry(volume.dims, tf.num_intervals) is not None
     )
     needs_f32 = config.lighting or bool(config.tf_lut)
+    # the kernel's in-register gradient is central-difference on the raw
+    # density; sobel / pre-smoothed normals go through the XLA renderer
+    kernel_lighting_ok = not config.lighting or (
+        config.gradient_filter == "central" and config.presmooth_sigma == 0.0
+    )
     return (
         _jax.default_backend() == "tpu"
         and mode == "fast"
         and volume.channels == 1
         and (fits_f32 if needs_f32 else fits)
         and (not config.tf_lut or config.tf_lut <= 1024)
+        and kernel_lighting_ok
         and config.interp is Interp.NEAREST
         and config.empty_space_skipping
     )

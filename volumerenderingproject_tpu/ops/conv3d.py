@@ -105,3 +105,21 @@ def sobel_gradient(volume: jnp.ndarray) -> jnp.ndarray:
             out = conv3d(out, k.reshape(shape))
         grads.append(out)
     return jnp.stack(grads, axis=-1)
+
+
+def gradient_field(
+    volume: jnp.ndarray,
+    gradient_filter: str = "central",
+    presmooth_sigma: float = 0.0,
+) -> jnp.ndarray:
+    """Normal-estimation field for Phong shading [X,Y,Z,3], per the render
+    config: optional Gaussian pre-smoothing (BASELINE config 4's
+    "pre-render convolution gradient filter") then central-difference or
+    Sobel gradients."""
+    if presmooth_sigma > 0.0:
+        volume = gaussian_smooth(volume, presmooth_sigma)
+    if gradient_filter == "sobel":
+        return sobel_gradient(volume)
+    if gradient_filter == "central":
+        return central_difference_gradient(volume)
+    raise ValueError(f"unknown gradient_filter {gradient_filter!r}")

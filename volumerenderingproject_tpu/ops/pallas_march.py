@@ -733,6 +733,12 @@ def _check_eligible(
                 "lighting/LUT in the fused kernel need the f32 row layout "
                 f"(z <= 128, got {d3}); use the XLA renderer")
         packed = False
+    if config.lighting and (
+        config.gradient_filter != "central" or config.presmooth_sigma != 0.0
+    ):
+        raise ValueError(
+            "fused lighting computes central-difference normals on the raw "
+            "density; sobel/presmooth modes use the XLA renderer")
     if config.tf_lut and not 0 < config.tf_lut <= 1024:
         raise ValueError(f"tf_lut size {config.tf_lut} not in (0, 1024]")
     return packed, (zpack if packed else None)

@@ -326,7 +326,12 @@ def _render_segment_volume_slab(
         # gradient on the extended slab: owned voxels see the same
         # neighborhood as the replicated volume (zero halos at the edges
         # match conv3d's zero padding)
-        grad_ext = conv3d.central_difference_gradient(ext).reshape(-1, 3)
+        if config.presmooth_sigma > 0.0:
+            raise NotImplementedError(
+                "presmooth_sigma on the volume axis needs a halo wider "
+                "than 2 voxels; use rays/samples axes")
+        grad_ext = conv3d.gradient_field(
+            ext, config.gradient_filter, 0.0).reshape(-1, 3)
         shading = (grad_ext, phong.default_light())
 
     origins = raycast.ray_origins(camera, config, x_offset, local_width)

@@ -57,6 +57,12 @@ class RenderConfig:
     # scan has static control flow); 0 = off, exact vs mode="fast"
     early_termination: float = 0.0
     lighting: bool = False  # Phong gradient shading (upgrades C16's stub)
+    # normal-estimation filter for lighting: "central" (default) or
+    # "sobel" (smoother normals); optional Gaussian pre-smoothing of the
+    # density before the gradient (BASELINE config 4's "pre-render
+    # convolution gradient filter") — both feed ops/conv3d
+    gradient_filter: str = "central"
+    presmooth_sigma: float = 0.0
     density_scale: float = 1.0  # global opacity multiplier (differentiable knob)
     tf_sharpness: float = 200.0  # smooth-TF sigmoid sharpness (Interp.TRILINEAR)
     # compile the interval table to a dense round-to-nearest LUT of this many
