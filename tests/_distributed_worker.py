@@ -77,6 +77,19 @@ def main() -> None:
         )
         checked += 1
     assert checked > 0
+
+    # BASELINE config 5's combination at test scale: a 4-D multi-channel
+    # volume through the full sharded pipeline across the 2 processes
+    volume4 = make_volume(
+        rng.uniform(0, 255, size=(8, 10, 9, 3)).astype(np.float32))
+    volume4_g = jax.tree.map(lambda x: jax.device_put(x, repl), volume4)
+    out4 = render_vrc_sharded_jit(volume4_g, tf_g, cam_g, cfg, mesh)
+    want4 = np.asarray(render_vrc(volume4, tf, cam, cfg, mode="fast"))
+    for shard in out4.addressable_shards:
+        x0 = shard.index[0].start or 0
+        np.testing.assert_allclose(
+            np.asarray(shard.data), want4[x0 : x0 + w_local], atol=1e-6
+        )
     print(f"process {process_id}: {checked} shards OK", flush=True)
 
 

@@ -65,7 +65,6 @@ and cuts the footprint fetch loop by the ypack factor.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax
@@ -78,7 +77,6 @@ from ..ingest.volume import Volume
 from ..scene.camera import Camera
 from ..scene.transfer_function import TransferFunction
 from ..utils.config import Interp, RenderConfig
-from ..utils import transforms as T
 
 _f32 = jnp.float32
 _i32 = jnp.int32

@@ -68,7 +68,6 @@ from ..scene.camera import Camera
 from ..scene.transfer_function import TransferFunction
 from ..utils.config import Interp, RenderConfig
 from .pallas_march import (
-    BRICK,
     STEPS,
     TILE_PX,
     TILE_PY,
