@@ -82,7 +82,12 @@ def render_loss(
             colors=tf2.colors.at[:, 3].mul(density),
             hg_g=tf2.hg_g,
         )
-        img = render_vrc_sharded(volume, tf3, camera, config, mesh)
+        # use_pallas=False: the training path must stay differentiable and
+        # the forward-only segment kernel has no autodiff rule (the fused
+        # diff kernels cover the single-device path; sharded training
+        # differentiates through the XLA scan segments)
+        img = render_vrc_sharded(volume, tf3, camera, config, mesh,
+                                 use_pallas=False)
     return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
 
 
