@@ -237,3 +237,17 @@ def test_volume_axis_a5(scene):
     want = np.asarray(render_test(volume, tf, cam, cfg5l, mode="fast"))
     got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg5l, mesh))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_segments_conic_rays_samples(scene):
+    """Conic cameras shard over rays/samples through the fused kernel
+    (the volume axis rejects conic — slab visit order is undefined)."""
+    volume, tf, cam, cfg = scene
+    cfg_c = cfg.replace(conic=True)
+    want = np.asarray(render_vrc(volume, tf, cam, cfg_c, mode="fast"))
+    mesh = make_mesh(rays=2, samples=2, volume=1)
+    got = np.asarray(
+        render_vrc_sharded(volume, tf, cam, cfg_c, mesh,
+                           use_pallas=True, pallas_interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -81,3 +81,18 @@ def test_viewer_page(running_server):
     # the reference's key map must be wired (processInput myApp.cu:1078-1241)
     for needle in ("keydown", "orbit", "image_", "/render?", "algorithm"):
         assert needle in page
+
+
+def test_depth_param(running_server):
+    code, ctype, png = _get(
+        running_server + "/render?width=16&height=16&spr=8&depth=1")
+    assert code == 200 and png[:4] == b"\x89PNG"
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.asarray(Image.open(io.BytesIO(png)))
+    # depth view is grayscale
+    assert (arr[..., 0] == arr[..., 1]).all()
+    assert (arr[..., 0] == arr[..., 2]).all()

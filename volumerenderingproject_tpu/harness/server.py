@@ -102,8 +102,21 @@ class RenderService:
                 screen_h=config.real_screen_height,
             )
 
+        depth = bool(int(params.get("depth", 0)))
         with self._lock:
-            if config.algorithm is Algorithm.POINT:
+            if depth:
+                # z-buffer visualization (3.3.zbuffershader.fs analog)
+                from ..models import point_splat
+
+                if config.algorithm is Algorithm.POINT:
+                    img = np.asarray(
+                        point_splat.render_points_depth(
+                            self.volume, cam, config))
+                else:
+                    img = np.asarray(
+                        point_splat.render_depth_vrc(
+                            self.volume, self.tf, cam, config))
+            elif config.algorithm is Algorithm.POINT:
                 img = np.asarray(render(self.volume, self.tf, cam, config))
             else:
                 # jit with static config: repeated interactive requests at one

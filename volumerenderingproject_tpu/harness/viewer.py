@@ -21,6 +21,7 @@ Key map (1:1 with processInput):
   O     download the frame as PNG, reference name   myApp.cu:1203-1221
   L     toggle Phong lighting (new capability)
   C     toggle conic projection (new capability)
+  B     toggle the z-buffer depth view (3.3.zbuffershader.fs analog)
 """
 
 VIEWER_HTML = """<!DOCTYPE html>
@@ -51,7 +52,8 @@ VIEWER_HTML = """<!DOCTYPE html>
     <kbd>Z</kbd> point/test &nbsp; <kbd>R</kbd> reset &nbsp;
     <kbd>M</kbd>/<kbd>X</kbd> save/restore camera &nbsp;
     <kbd>P</kbd> print camera &nbsp; <kbd>O</kbd> save PNG &nbsp;
-    <kbd>L</kbd> lighting &nbsp; <kbd>C</kbd> conic
+    <kbd>L</kbd> lighting &nbsp; <kbd>C</kbd> conic &nbsp;
+    <kbd>B</kbd> depth buffer
   </div>
 </div>
 <script>
@@ -63,7 +65,8 @@ const ZOOM_STEP = 0.08;   // world units along front per keypress
 const ALGOS = ["point", "vrc", "test"];
 const ALGO_IDS = { point: 0, vrc: 1, test: 5 };   // utils.h:13-18
 let state = { yaw: 0, pitch: 0, zoom: 0, algorithm: "vrc",
-              lighting: 0, conic: 0, width: 300, height: 300, spr: 300 };
+              lighting: 0, conic: 0, depth: 0,
+              width: 300, height: 300, spr: 300 };
 let saved = null;                                  // key M preset
 let inflight = false, dirty = true, lastMs = 0;
 
@@ -72,7 +75,8 @@ function qs() {
          "&spr=" + state.spr + "&algorithm=" + state.algorithm +
          "&camera=preset&orbit=" + state.yaw.toFixed(3) + "," +
          state.pitch.toFixed(3) + "," + state.zoom.toFixed(3) +
-         "&lighting=" + state.lighting + "&conic=" + state.conic;
+         "&lighting=" + state.lighting + "&conic=" + state.conic +
+         "&depth=" + state.depth;
 }
 
 function status(extra) {
@@ -140,6 +144,7 @@ document.addEventListener("keydown", (ev) => {
   } else if (k === "o") { savePng(); changed = false; }  // myApp.cu:1203
   else if (k === "l") state.lighting = 1 - state.lighting;
   else if (k === "c") state.conic = 1 - state.conic;
+  else if (k === "b") state.depth = 1 - state.depth;
   else changed = false;
   if (changed) refresh();
 });
