@@ -313,6 +313,17 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_recover_golden(args) -> int:
+    from .camera_recovery import main as recover_main
+
+    argv = list(args.goldens)
+    argv += ["--golden-dir", args.golden_dir, "--dataset", args.dataset,
+             "--out", args.out, "--n-dirs", str(args.n_dirs),
+             "--n-rolls", str(args.n_rolls)]
+    recover_main(argv)
+    return 0
+
+
 def cmd_compare(args) -> int:
     from ..utils import imageio
     from . import goldens
@@ -423,6 +434,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--golden", required=True)
     sp.add_argument("--threshold", type=float, default=0.0)
     sp.set_defaults(fn=cmd_compare)
+
+    sp = sub.add_parser(
+        "recover-golden",
+        help="search the orbit manifold for a golden capture's camera "
+             "(harness/camera_recovery.py; run on TPU)")
+    sp.add_argument("goldens", nargs="*")
+    sp.add_argument("--golden-dir", default="/root/reference/image_output")
+    sp.add_argument("--dataset",
+                    default="/root/reference/avg152T1_LR_nifti2.nii")
+    sp.add_argument("--out", default="goldens/recovered_cameras.json")
+    sp.add_argument("--n-dirs", type=int, default=1500)
+    sp.add_argument("--n-rolls", type=int, default=12)
+    sp.set_defaults(fn=cmd_recover_golden)
 
     return p
 
