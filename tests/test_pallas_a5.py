@@ -79,3 +79,29 @@ def test_a5_pallas_z_wrap_quirk():
         render_test_pallas(volume, tf, cam, cfg, early_eps=0.0,
                            interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_a5_pallas_baked_lighting_matches_xla(scene):
+    """a5 + Phong via baked per-voxel (M, S) factor grids must match the
+    XLA lit render for central, sobel, and pre-smoothed normals."""
+    volume, tf, cam, cfg = scene
+    for kw in ({}, {"gradient_filter": "sobel"}, {"presmooth_sigma": 1.0}):
+        cfg2 = cfg.replace(lighting=True, **kw)
+        want = np.asarray(render_test(volume, tf, cam, cfg2, mode="fast"))
+        got = np.asarray(
+            render_test_pallas(volume, tf, cam, cfg2, early_eps=0.0,
+                               interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(kw))
+    # shading must actually change the image
+    unlit = np.asarray(render_test(volume, tf, cam, cfg, mode="fast"))
+    assert np.abs(want - unlit).max() > 1e-3
+
+
+def test_a5_baked_light_feasibility():
+    from volumerenderingproject_tpu.ops.pallas_a5 import (
+        a5_baked_light_feasible,
+    )
+
+    assert a5_baked_light_feasible((91, 109, 91))  # avg152
+    assert not a5_baked_light_feasible((300, 300, 120))  # 3 grids >> VMEM
+    assert not a5_baked_light_feasible((10, 10, 200))  # z over the lanes

@@ -182,6 +182,76 @@ def test_streamed_matches_resident(scene):
         np.testing.assert_allclose(early, want, atol=2e-3)
 
 
+def test_streamed_visibility_skips_and_stays_exact():
+    """The host-side (tile, block) bitmap must (a) actually mark pairs
+    invisible on a sparse scene, (b) never change the image vs the
+    bitmap-off kernel, and (c) force all-visible when TF(0).alpha > 0."""
+    import jax.numpy as jnp
+
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        BRICK,
+        _streamed_visibility,
+        brick_occupancy,
+        render_vrc_pallas_streamed,
+    )
+
+    # only x < 8 holds classifiable (bone-range) voxels -> blocks 1, 2 of
+    # a block_x=8 sweep are empty and must be skipped
+    vol_np = np.zeros((24, 12, 11), np.float32)
+    vol_np[:8] = 50.0  # 50/255 lies in the bone interval [30/255, 80/255]
+    volume = make_volume(vol_np)
+    tf = default_transfer_function()
+    cfg = RenderConfig(width=24, height=16, samples_per_ray=40)
+    for pos in ((0.9, 0.35, 0.45), (-0.8, 0.3, -0.5)):
+        cam = Camera.initial(position=pos)
+        want = np.asarray(
+            render_vrc_pallas_streamed(
+                volume, tf, cam, cfg, early_eps=0.0, interpret=True,
+                block_x=8, use_vis=False))
+        got = np.asarray(
+            render_vrc_pallas_streamed(
+                volume, tf, cam, cfg, early_eps=0.0, interpret=True,
+                block_x=8, use_vis=True))
+        np.testing.assert_array_equal(got, want)
+        remapped = np.asarray(
+            render_vrc_pallas_streamed(
+                volume, tf, cam, cfg, early_eps=0.0, interpret=True,
+                block_x=8, use_vis=True, remap_dma=True))
+        np.testing.assert_array_equal(remapped, want)
+
+    # the bitmap itself: some pair must be skipped on this sparse scene
+    cam = Camera.initial(position=(0.9, 0.35, 0.45))
+    cal = jnp.trunc(jnp.asarray(volume.cal_max, jnp.float32))
+    occ, nb = brick_occupancy(volume.data.reshape(volume.dims), tf, cal)
+    dims = volume.dims
+    L = float(max(dims))
+    n = float(2**volume.octree_depth)
+    box_lo = [max(0.0, (L / 2 - d / 2) / L) - 0.5 for d in dims]
+    box_hi = [min(1.0, (L / 2 + d / 2) / L + 1.0 / n) - 0.5 for d in dims]
+    tile = (16, 16, 4)
+    vis, eff = _streamed_visibility(
+        cam, cfg, dims, volume.octree_depth, occ, nb, BRICK, 3, tile,
+        jnp.asarray(0.0, jnp.float32),
+        [jnp.asarray(v, jnp.float32) for v in box_lo],
+        [jnp.asarray(v, jnp.float32) for v in box_hi])
+    vis = np.asarray(vis)
+    eff = np.asarray(eff)
+    assert vis.min() == 0, "sparse scene should skip at least one pair"
+    assert vis.max() == 1
+    # eff never exceeds its own block index and repeats across skips
+    k = np.tile(np.arange(3), vis.size // 3)
+    assert (eff <= k).all()
+    assert (eff[vis == 1] == k[vis == 1]).all()
+
+    # TF(0).alpha > 0 disables all skipping
+    vis2, _ = _streamed_visibility(
+        cam, cfg, dims, volume.octree_depth, occ, nb, BRICK, 3, tile,
+        jnp.asarray(0.5, jnp.float32),
+        [jnp.asarray(v, jnp.float32) for v in box_lo],
+        [jnp.asarray(v, jnp.float32) for v in box_hi])
+    assert np.asarray(vis2).min() == 1
+
+
 def test_streamed_geometry_selection():
     from volumerenderingproject_tpu.ops.pallas_march import (
         packed_geometry,
@@ -242,3 +312,93 @@ def test_fused_lut_plus_lighting(scene):
                           interpret=True)
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_kernel_mode_resolution(scene):
+    """The driver must pick: baked per-voxel shading for ortho + uniform
+    light, 16-bit LUT-id packing for tf_lut, and the in-kernel gradient
+    path when baking is out (conic / non-uniform light color)."""
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        _resolve_kernel_mode,
+    )
+
+    volume, tf, cam, cfg = scene
+    dims = volume.dims
+
+    # plain: 4-bit material ids
+    p, zp, bits, lutp, baked = _resolve_kernel_mode(dims, 1, 4, cfg, None,
+                                                    True)
+    assert p and bits == 4 and not lutp and not baked
+    # LUT: 16-bit LUT-id grid
+    p, zp, bits, lutp, baked = _resolve_kernel_mode(
+        dims, 1, 4, cfg.replace(tf_lut=256), None, True)
+    assert p and bits == 16 and lutp and not baked
+    # lit + bakeable: baked, main grid stays packed
+    p, zp, bits, lutp, baked = _resolve_kernel_mode(
+        dims, 1, 4, cfg.replace(lighting=True), None, True)
+    assert baked and p
+    # lit, not bakeable (conic/non-uniform light): in-kernel f32 fallback
+    p, zp, bits, lutp, baked = _resolve_kernel_mode(
+        dims, 1, 4, cfg.replace(lighting=True), None, False)
+    assert not baked and not p
+    # lit + LUT + bakeable: LUT-id grid + baked factors
+    p, zp, bits, lutp, baked = _resolve_kernel_mode(
+        dims, 1, 4, cfg.replace(lighting=True, tf_lut=256), None, True)
+    assert baked and p and lutp and bits == 16
+    # not bakeable + sobel normals: no in-kernel fallback either
+    with pytest.raises(ValueError):
+        _resolve_kernel_mode(
+            dims, 1, 4, cfg.replace(lighting=True, gradient_filter="sobel"),
+            None, False)
+
+
+def test_conic_lighting_uses_inkernel_gradients(scene):
+    """Conic cameras can't bake (per-ray view dir): the in-kernel
+    central-difference path must still match the XLA lit render."""
+    volume, tf, _, cfg = scene
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
+    cfg2 = cfg.replace(lighting=True, conic=True)
+    want = np.asarray(render_vrc(volume, tf, cam, cfg2, mode="fast"))
+    got = np.asarray(
+        render_vrc_pallas(volume, tf, cam, cfg2, early_eps=0.0,
+                          interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_nonuniform_light_color_falls_back_inkernel(scene):
+    """A non-uniform light color defeats the single-M-grid bake; the
+    in-kernel path handles it and must match the XLA render."""
+    import jax.numpy as jnp
+
+    from volumerenderingproject_tpu.ops import phong
+
+    volume, tf, cam, cfg = scene
+    lg = phong.default_light()
+    lg = phong.Light(direction=lg.direction,
+                     color=jnp.asarray([1.0, 0.7, 0.4], jnp.float32),
+                     ambient=lg.ambient, diffuse=lg.diffuse,
+                     specular=lg.specular, shininess=lg.shininess)
+    cfg2 = cfg.replace(lighting=True)
+    want = np.asarray(
+        render_vrc(volume, tf, cam, cfg2, mode="fast", light=lg))
+    got = np.asarray(
+        render_vrc_pallas(volume, tf, cam, cfg2, early_eps=0.0,
+                          interpret=True, light=lg)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_baked_lighting_supports_sobel_and_presmooth(scene):
+    """The bake runs the same XLA gradient convolution as the scan
+    renderer, so sobel / pre-smoothed normals now run fused (previously
+    XLA-only)."""
+    volume, tf, cam, cfg = scene
+    for kw in ({"gradient_filter": "sobel"}, {"presmooth_sigma": 1.0}):
+        cfg2 = cfg.replace(lighting=True, **kw)
+        want = np.asarray(render_vrc(volume, tf, cam, cfg2, mode="fast"))
+        got = np.asarray(
+            render_vrc_pallas(volume, tf, cam, cfg2, early_eps=0.0,
+                              interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(kw))

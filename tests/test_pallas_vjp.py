@@ -209,3 +209,42 @@ def test_wide_tf_table_grads(scene):
             tf.colors))
     assert np.abs(g_xla).sum() > 0
     np.testing.assert_allclose(g_pallas, g_xla, rtol=1e-4, atol=1e-7)
+
+
+def test_color_grads_with_baked_lighting(scene):
+    """config.lighting through the diff kernels: forward parity and
+    dL/d(colors) vs jax.grad of the XLA lit scan (the baked (M, S) grids
+    are volume-only, so color cotangents gain exactly a per-sample M)."""
+    volume, tf, cam, cfg, target = scene
+    cfg_lit = cfg.replace(lighting=True)
+
+    want = np.asarray(render_vrc(volume, tf, cam, cfg_lit, mode="fast"))
+    got = np.asarray(
+        render_vrc_pallas_diff(volume, tf, cam, cfg_lit, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def loss_pallas(colors):
+        img = render_vrc_pallas_diff(
+            volume, _with_colors(tf, colors), cam, cfg_lit, interpret=True)
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    def loss_xla(colors):
+        img = render_vrc(
+            volume, _with_colors(tf, colors), cam, cfg_lit, mode="fast")
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    l_p, g_p = jax.value_and_grad(loss_pallas)(tf.colors)
+    l_x, g_x = jax.value_and_grad(loss_xla)(tf.colors)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(g_x), rtol=1e-3, atol=1e-6)
+    assert float(jnp.max(jnp.abs(g_p))) > 0.0
+
+    # lit grads must differ from unlit grads (shading is really in play)
+    def loss_unlit(colors):
+        img = render_vrc_pallas_diff(
+            volume, _with_colors(tf, colors), cam, cfg, interpret=True)
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    g_u = jax.grad(loss_unlit)(tf.colors)
+    assert float(jnp.max(jnp.abs(g_p - g_u))) > 1e-6

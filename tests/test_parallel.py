@@ -152,6 +152,37 @@ def test_pallas_segments_all_axes(scene):
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(axes))
 
 
+def test_pallas_segments_lit_and_lut(scene):
+    """Lighting (baked per-voxel Phong) and dense-LUT classify now run on
+    the fused segment kernel for rays/samples meshes (full-volume work
+    units) and must match the single-device XLA render."""
+    volume, tf, cam, cfg = scene
+    for kw in (dict(lighting=True), dict(tf_lut=64),
+               dict(lighting=True, tf_lut=64)):
+        cfg2 = cfg.replace(**kw)
+        want = _single(volume, tf, cam, cfg2)
+        mesh = make_mesh(rays=2, samples=2, volume=1)
+        got = np.asarray(
+            render_vrc_sharded(
+                volume, tf, cam, cfg2, mesh,
+                use_pallas=True, pallas_interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(kw))
+
+    # volume-sharded lighting stays on the halo-exchange scan fallback
+    from volumerenderingproject_tpu.parallel.render_dist import (
+        _pallas_segment_eligible,
+    )
+
+    assert not _pallas_segment_eligible(
+        volume, tf, cfg.replace(lighting=True), slab_x=4)
+    assert _pallas_segment_eligible(
+        volume, tf, cfg.replace(lighting=True), slab_x=None)
+    assert _pallas_segment_eligible(
+        volume, tf, cfg.replace(tf_lut=64), slab_x=4)
+
+
 def test_pallas_segment_slab_negative_front_x(scene):
     """Slab visibility-order fold composes correctly for both ray x signs
     when segments come from the fused kernel."""

@@ -533,24 +533,38 @@ def _pallas_eligible(volume: Volume, tf, config: RenderConfig,
     back-to-front float order.)"""
     import jax as _jax
 
-    from ..ops.pallas_march import packed_geometry
+    from ..ops.pallas_march import (
+        baked_light_feasible,
+        packed_geometry,
+        packed_lut_geometry,
+    )
 
     fits_f32 = volume.dims[2] <= 128
-    fits = (
-        fits_f32
-        or packed_geometry(volume.dims, tf.num_intervals) is not None
-    )
-    needs_f32 = config.lighting or bool(config.tf_lut)
-    # the kernel's in-register gradient is central-difference on the raw
-    # density; sobel / pre-smoothed normals go through the XLA renderer
+    if config.tf_lut:
+        fits = fits_f32 or packed_lut_geometry(
+            volume.dims, int(config.tf_lut)) is not None
+    else:
+        fits = (
+            fits_f32
+            or packed_geometry(volume.dims, tf.num_intervals) is not None
+        )
+    # lighting runs either baked (per-voxel Phong factors precomputed in
+    # XLA — ortho only, any gradient filter) or in-kernel (central-diff
+    # normals on the raw density); both need z <= 128 for f32 rows.
+    # render() uses the default light (uniform white), so ortho-and-
+    # feasible is exactly the baked path's condition.
     kernel_lighting_ok = not config.lighting or (
-        config.gradient_filter == "central" and config.presmooth_sigma == 0.0
+        fits_f32 and (
+            (config.gradient_filter == "central"
+             and config.presmooth_sigma == 0.0)
+            or baked_light_feasible(volume.dims, tf.num_intervals, config)
+        )
     )
     return (
         _jax.default_backend() == "tpu"
         and mode == "fast"
         and volume.channels == 1
-        and (fits_f32 if needs_f32 else fits)
+        and (fits_f32 if config.lighting else fits)
         and (not config.tf_lut or config.tf_lut <= 1024)
         and kernel_lighting_ok
         and config.interp is Interp.NEAREST
@@ -585,15 +599,19 @@ def _pallas_a5_eligible(volume: Volume, config: RenderConfig,
                         mode: str) -> bool:
     """True when the fused a5 Pallas kernel (ops/pallas_a5.py) implements
     this exact render: fast mode, single channel, z <= 127 lanes (z + the
-    flat-wrap slot), no lighting."""
+    flat-wrap slot); lighting runs through baked per-voxel Phong factor
+    grids when they fit VMEM (the a5 view direction is camera.front for
+    every ray, so the bake is camera-exact — no ortho restriction)."""
     import jax as _jax
+
+    from ..ops.pallas_a5 import a5_baked_light_feasible
 
     return (
         _jax.default_backend() == "tpu"
         and mode == "fast"
         and volume.channels == 1
         and volume.dims[2] <= 127
-        and not config.lighting
+        and (not config.lighting or a5_baked_light_feasible(volume.dims))
     )
 
 

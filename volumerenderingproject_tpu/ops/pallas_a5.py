@@ -65,14 +65,23 @@ def _a5_kernel(
     tf_colors_ref,  # [K, 4]
     # VMEM
     vol_ref,  # [rows, 128] volume rows, z on lanes, +wrap margin
-    out_r_ref, out_g_ref, out_b_ref, out_t_ref,  # [1, 1, 2, 128]
-    *,
+    *rest,  # [mg_ref, sg_ref (baked_light)] out_r/g/b/t_ref [1, 1, 2, 128]
     dims: Tuple[int, int, int],
     num_intervals: int,
     width: int,
     height: int,
     spr: int,
+    baked_light: bool = False,
 ):
+    """``baked_light``: Blinn-Phong on the containing voxel's gradient
+    normal (models/raycast._a5_sample_fn lit branch) via per-voxel (M, S)
+    factor grids baked in XLA (ops/pallas_march.bake_light_grids) — exact
+    for ANY a5 camera because the a5 view direction is the camera front
+    for every ray (kernel.cu:1190; raycast.py view_dir = -camera.front)."""
+    rest = list(rest)
+    mg_ref = rest.pop(0) if baked_light else None
+    sg_ref = rest.pop(0) if baked_light else None
+    out_r_ref, out_g_ref, out_b_ref, out_t_ref = rest
     d1, d2, d3 = dims
     total = d1 * d2 * d3
     nchunks = -(-spr // STEPS)
@@ -165,17 +174,20 @@ def _a5_kernel(
         rymax = jnp.max(jnp.where(valid, iy1i, -1))
 
         # ---- fetch: one row read + 2 lane gathers + 8 selects per row --
-        def fx_loop(dxi, acc8):
+        # (+2 reads/gathers for the baked shading factors at the
+        # containing voxel, which is exactly corner 00's row/lane)
+        def fx_loop(dxi, accs):
             cx = rxmin + dxi
 
-            def fy_loop(dyi, acc8):
+            def fy_loop(dyi, accs):
+                acc8 = accs[:8]
                 cy = rymin + dyi
                 crow = cx * d2 + cy
                 rowv = vol_ref[pl.ds(crow, 1), :]
                 bc = jnp.broadcast_to(rowv, (8, 128))
                 gz = jnp.take_along_axis(bc, lz, axis=1)
                 gz1 = jnp.take_along_axis(bc, lz1, axis=1)
-                return (
+                out = (
                     jnp.where(rid00 == crow, gz, acc8[0]),
                     jnp.where(rid00 == crow, gz1, acc8[1]),
                     jnp.where(rid01 == crow, gz, acc8[2]),
@@ -185,11 +197,30 @@ def _a5_kernel(
                     jnp.where(rid11 == crow, gz, acc8[6]),
                     jnp.where(rid11 == crow, gz1, acc8[7]),
                 )
+                if baked_light:
+                    # M/S rows have no wrap margin: clip the access (the
+                    # rid00 == crow select rejects clipped misreads)
+                    crowc = jnp.clip(crow, 0, d1 * d2 - 1)
+                    bm = jnp.broadcast_to(
+                        mg_ref[pl.ds(crowc, 1), :], (8, 128))
+                    bs = jnp.broadcast_to(
+                        sg_ref[pl.ds(crowc, 1), :], (8, 128))
+                    out = out + (
+                        jnp.where(rid00 == crow,
+                                  jnp.take_along_axis(bm, lz, axis=1),
+                                  accs[8]),
+                        jnp.where(rid00 == crow,
+                                  jnp.take_along_axis(bs, lz, axis=1),
+                                  accs[9]),
+                    )
+                return out
 
-            return jax.lax.fori_loop(0, rymax - rymin + 1, fy_loop, acc8)
+            return jax.lax.fori_loop(0, rymax - rymin + 1, fy_loop, accs)
 
-        zeros8 = tuple(jnp.zeros((8, 128), _f32) for _ in range(8))
-        acc8 = jax.lax.fori_loop(0, rxmax - rxmin + 1, fx_loop, zeros8)
+        nacc = 10 if baked_light else 8
+        zeros8 = tuple(jnp.zeros((8, 128), _f32) for _ in range(nacc))
+        accs = jax.lax.fori_loop(0, rxmax - rxmin + 1, fx_loop, zeros8)
+        acc8 = accs[:8]
 
         # only-guard-is-flat<total, incl. the z-wrap (kernel.cu:129-159);
         # the row staging realizes the wrap value, the guard the cutoff
@@ -216,6 +247,14 @@ def _a5_kernel(
         sr, sg, sb, sa = [
             jnp.where(inside, mixed[c], c0[c]) for c in range(4)
         ]
+        if baked_light:
+            # out_rgb = rgb * M + S; outside samples shade as w = 0
+            # (normal 0): M = 1, S = 0 keeps the TF(0) color unshaded
+            mval = jnp.where(inside, accs[8], 1.0)
+            sval = jnp.where(inside, accs[9], 0.0)
+            sr = sr * mval + sval
+            sg = sg * mval + sval
+            sb = sb * mval + sval
 
         # ---- blend the 4 steps in order (front-to-back (C, T)) ----------
         for s in range(STEPS):
@@ -262,6 +301,22 @@ def _stage_rows_a5(volume: Volume) -> jnp.ndarray:
     return vol_rows
 
 
+def a5_baked_light_feasible(dims: Tuple[int, int, int]) -> bool:
+    """Static predicate: do the volume rows plus the two per-voxel Phong
+    factor grids fit the a5 kernel's VMEM budget?  (a5 lighting always
+    bakes — its view direction is camera.front for every ray, so there is
+    no per-ray shading term to compute in-kernel.)"""
+    d1, d2, d3 = dims
+    if d3 > 127:
+        return False
+    vol_bytes = _pad_to(d1 * d2 + d2 + 1, 8) * 128 * 4
+    f32_bytes = _pad_to(d1 * d2, 8) * 128 * 4
+    return vol_bytes + 2 * f32_bytes <= _A5_BAKED_BUDGET
+
+
+_A5_BAKED_BUDGET = 15 * 2**20 + 2**19  # ~15.5 MB of the ~16 MB VMEM
+
+
 def render_test_pallas(
     volume: Volume,
     tf: TransferFunction,
@@ -270,15 +325,17 @@ def render_test_pallas(
     *,
     early_eps: float = 1e-3,
     interpret: bool = False,
+    light=None,
 ) -> jnp.ndarray:
     """a5/TEST render via the fused Pallas kernel -> [W, H, 4].
 
     Matches ``render_test(..., mode="fast")`` up to the early-termination
     epsilon and compiler float reassociation (``early_eps=0`` for exact
     structural agreement).  Requires dims[2] <= 127 (z lanes + the wrap
-    slot), a single channel, and no lighting — the dispatcher falls back
-    to the XLA renderer otherwise.
-    """
+    slot) and a single channel — the dispatcher falls back to the XLA
+    renderer otherwise.  ``config.lighting`` runs through baked per-voxel
+    Phong factor grids (any gradient filter; needs a uniform light color
+    and the a5_baked_light_feasible VMEM budget)."""
     d1, d2, d3 = volume.dims
     if d3 > 127:
         raise ValueError(
@@ -286,8 +343,23 @@ def render_test_pallas(
             "use the XLA renderer for larger volumes")
     if volume.channels != 1:
         raise ValueError("a5 pallas path supports single-channel volumes")
-    if config.lighting:
-        raise ValueError("a5 pallas path has no lighting; use the XLA path")
+    baked = bool(config.lighting) or light is not None
+    if baked:
+        from . import phong
+        from .pallas_march import _stage_f32_rows, bake_light_grids
+
+        lg = light if light is not None else phong.default_light()
+        col = np.asarray(lg.color) if not isinstance(
+            lg.color, jax.core.Tracer) else None
+        if col is None or col.shape != (3,) or not (
+                col[0] == col[1] == col[2]):
+            raise ValueError(
+                "a5 fused lighting needs a uniform concrete light color "
+                "(the per-voxel M grid folds it in); use the XLA path")
+        if not a5_baked_light_feasible(volume.dims):
+            raise ValueError(
+                "a5 fused lighting exceeds the VMEM budget for this "
+                "volume; use the XLA path")
 
     w, h = config.width, config.height
     ntx = -(-w // TILE_PX)
@@ -295,6 +367,18 @@ def render_test_pallas(
 
     vol_rows = _stage_rows_a5(volume)
     rows = vol_rows.shape[0]
+
+    extra_args = []
+    extra_specs = []
+    if baked:
+        data3d = volume.data.reshape(volume.dims)
+        mgrid, sgrid = bake_light_grids(data3d, config, lg, -camera.front)
+        for g in (mgrid, sgrid):
+            grows = _stage_f32_rows(g, d1, d2, d3)
+            extra_args.append(grows)
+            extra_specs.append(
+                pl.BlockSpec((grows.shape[0], 128), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM))
 
     # stage matrices exactly as models/raycast._a5_positions builds them
     iv = T.inverse(camera.look_at_origin_view())  # kernel.cu:1197-1198
@@ -325,6 +409,7 @@ def render_test_pallas(
         width=w,
         height=h,
         spr=config.samples_per_ray,
+        baked_light=baked,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -337,7 +422,7 @@ def render_test_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tf colors
             pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),  # volume
-        ],
+        ] + extra_specs,  # [M rows, S rows (baked_light)]
         out_specs=[
             pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -351,7 +436,7 @@ def render_test_pallas(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(scal, tf.lower, tf.upper, tf.colors, vol_rows)
+    )(scal, tf.lower, tf.upper, tf.colors, vol_rows, *extra_args)
 
     def unpack(a):
         a = a.reshape(ntx, nty, TILE_PX, TILE_PY)

@@ -89,9 +89,7 @@ def _march_bwd_kernel(
     tf_colors_ref,  # [K, 4]
     # VMEM
     vol_ref,  # [pad8(d1*d2), 128] f32 rows, or the packed material grid
-    g_r_ref, g_g_ref, g_b_ref, g_t_ref,  # [1, 1, 2, 128] tile cotangents
-    dcol_ref,  # out [1, 1, KR, 128]: row k, lanes 0..3 = dL/dcolors[k]
-    *,
+    *rest,  # [mg_ref, sg_ref (baked_light)] g_r/g/b/t_ref, dcol_ref
     dims: Tuple[int, int, int],
     depth: int,
     num_intervals: int,
@@ -101,7 +99,18 @@ def _march_bwd_kernel(
     conic: bool,
     zpack: Tuple[int, int, int] | None = None,
     krows: int = 8,
+    baked_light: bool = False,
 ):
+    """``baked_light``: the forward shades classified colors with baked
+    per-voxel factors, c' = c * M + S (ops/pallas_march.bake_light_grids).
+    M and S are volume-only quantities — constants w.r.t. the TF colors —
+    so the chain rule just scales the rgb scatter by the sample's M
+    (dC/dc_k = w * M) and routes the alpha gradient through the SHADED
+    g.c' (the (M, S) grids themselves get zero cotangents)."""
+    rest = list(rest)
+    mg_ref = rest.pop(0) if baked_light else None
+    sg_ref = rest.pop(0) if baked_light else None
+    g_r_ref, g_g_ref, g_b_ref, g_t_ref, dcol_ref = rest
     d1, d2, d3 = dims
     packed = zpack is not None
     if packed:
@@ -240,16 +249,55 @@ def _march_bwd_kernel(
             for c in range(4):
                 out[c] = out[c] + mf * tf_colors_ref[k, c]
         a, r, g, b = out[3], out[0], out[1], out[2]
+        mval = jnp.ones((8, 128), _f32)
+        if baked_light:
+            # fetch the baked (M, S) factors at the sample voxel (f32 row
+            # layout regardless of the main grid's packing) and shade:
+            # c' = c * M + S — mirrors _march_kernel's baked_light block
+            rowid_f = jnp.where(valid, ijk[0] * d2 + ijk[1], -1)
+            iz_f = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
+            rfxmin = jnp.min(jnp.where(valid, ijk[0], _BIG))
+            rfymin = jnp.min(jnp.where(valid, ijk[1], _BIG))
+            rfxmax = jnp.max(jnp.where(valid, ijk[0], -1))
+            rfymax = jnp.max(jnp.where(valid, ijk[1], -1))
+
+            def bfx(dxi, accs2):
+                cx = rfxmin + dxi
+
+                def bfy(dyi, accs2):
+                    am, asp = accs2
+                    crow = cx * d2 + (rfymin + dyi)
+                    sel = rowid_f == crow
+                    bm = jnp.broadcast_to(
+                        mg_ref[pl.ds(crow, 1), :], (8, 128))
+                    am = jnp.where(
+                        sel, jnp.take_along_axis(bm, iz_f, axis=1), am)
+                    bs = jnp.broadcast_to(
+                        sg_ref[pl.ds(crow, 1), :], (8, 128))
+                    asp = jnp.where(
+                        sel, jnp.take_along_axis(bs, iz_f, axis=1), asp)
+                    return am, asp
+
+                return jax.lax.fori_loop(0, rfymax - rfymin + 1, bfy, accs2)
+
+            zf2 = jnp.zeros((8, 128), _f32)
+            am, asp = jax.lax.fori_loop(
+                0, rfxmax - rfxmin + 1, bfx, (zf2, zf2))
+            mval = jnp.where(valid, am, 1.0)
+            sval = jnp.where(valid, asp, 0.0)
+            r = r * mval + sval
+            g = g * mval + sval
+            b = b * mval + sval
         # mask steps beyond spr in the last chunk (matches the forward gate)
         live = (ci * STEPS + s_idx) < spr
         a = a * live.astype(_f32)
         gdotc = gr4 * r + gg4 * g + gb4 * b
-        return a, gdotc, matches, live
+        return a, gdotc, matches, live, mval
 
     # ---- pass A: total weighted-color sum + final transmittance -------
     def pass_a(ci, carry):
         t, tot = carry
-        a_all, gdotc_all, _, _ = sample_chunk(ci)
+        a_all, gdotc_all, _, _, _ = sample_chunk(ci)
         for s in range(STEPS):
             sl = slice(2 * s, 2 * s + 2)
             a = a_all[sl]
@@ -269,7 +317,7 @@ def _march_bwd_kernel(
     # ---- pass B: prefix re-march + per-interval gradient scatter ------
     def pass_b(ci, carry):
         t, pfx, dc = carry
-        a_all, gdotc_all, matches, live = sample_chunk(ci)
+        a_all, gdotc_all, matches, live, mval = sample_chunk(ci)
         w_list, da_list = [], []
         for s in range(STEPS):
             sl = slice(2 * s, 2 * s + 2)
@@ -286,11 +334,13 @@ def _march_bwd_kernel(
             t = t * denom
         w_all = jnp.concatenate(w_list, axis=0)
         da_all = jnp.concatenate(da_list, axis=0)
+        # dC/dc_k = w (x M when the forward shades c' = c * M + S)
+        wc = w_all * mval if baked_light else w_all
         for k in range(num_intervals):
             mf = (matches[k] & live).astype(_f32)
-            dr = jnp.sum(mf * w_all * gr4)
-            dg = jnp.sum(mf * w_all * gg4)
-            db = jnp.sum(mf * w_all * gb4)
+            dr = jnp.sum(mf * wc * gr4)
+            dg = jnp.sum(mf * wc * gg4)
+            db = jnp.sum(mf * wc * gb4)
             dal = jnp.sum(mf * da_all)
             upd = jnp.where(
                 col_i == 0, dr,
@@ -307,31 +357,42 @@ def _march_bwd_kernel(
 
 @functools.lru_cache(maxsize=32)
 def _make_core(dims, depth, num_intervals, width, height, spr, conic,
-               nb, rows, interpret, zpack=None):
+               nb, rows, interpret, zpack=None, baked=False):
     """Build (and cache per static config) the custom_vjp'd tile renderer:
-    (colors, lower, upper, scal, vol_rows, occ) -> (cr, cg, cb, t) tiles.
+    (colors, lower, upper, scal, vol_rows, occ, mg, sgd)
+    -> (cr, cg, cb, t) tiles.
 
     ``occ``/``scal[4]`` are skip-control inputs (they affect which chunks
     are marched, never the value — all skips are alpha=0-exact), computed
     by the caller under stop_gradient; their cotangents are zero.  With
     ``zpack`` set, ``vol_rows`` is the packed material-id grid (i32) and
-    both kernels run in packed mode (z <= 1024, bit-exact vs f32)."""
+    both kernels run in packed mode (z <= 1024, bit-exact vs f32).  With
+    ``baked``, ``mg``/``sgd`` are the per-voxel Phong factor grids (f32
+    rows; volume-only quantities, zero cotangents) and both kernels shade
+    c' = c * M + S; otherwise they are ignored dummies."""
     ntx = -(-width // TILE_PX)
     nty = -(-height // TILE_PY)
     krows = 8 if num_intervals <= 8 else 16
+    mrows = _pad_to(dims[0] * dims[1], 8)
 
     fwd_kernel = functools.partial(
         _march_kernel,
         dims=dims, depth=depth, num_intervals=num_intervals,
         width=width, height=height, spr=spr, conic=conic,
-        density_scale=1.0, nbricks=nb, zpack=zpack,
+        density_scale=1.0, nbricks=nb, zpack=zpack, baked_light=baked,
     )
     bwd_kernel = functools.partial(
         _march_bwd_kernel,
         dims=dims, depth=depth, num_intervals=num_intervals,
         width=width, height=height, spr=spr, conic=conic,
-        zpack=zpack, krows=krows,
+        zpack=zpack, krows=krows, baked_light=baked,
     )
+
+    baked_specs = [
+        pl.BlockSpec((mrows, 128), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(2)
+    ] if baked else []
 
     fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -344,7 +405,7 @@ def _make_core(dims, depth, num_intervals, width, height, spr, conic,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # occupancy bricks
             pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + baked_specs,  # [M rows, S rows]
         out_specs=[
             pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -364,7 +425,7 @@ def _make_core(dims, depth, num_intervals, width, height, spr, conic,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tf colors
             pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),  # volume
-        ] + [
+        ] + baked_specs + [
             pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)  # 4 cotangent tile arrays
             for _ in range(4)
@@ -373,22 +434,25 @@ def _make_core(dims, depth, num_intervals, width, height, spr, conic,
                                memory_space=pltpu.VMEM),
     )
 
-    def forward_tiles(colors, lower, upper, scal, vol_rows, occ):
+    def forward_tiles(colors, lower, upper, scal, vol_rows, occ, mg, sgd):
+        extra = (mg, sgd) if baked else ()
         out = pl.pallas_call(
             fwd_kernel,
             grid_spec=fwd_grid_spec,
             out_shape=tile_shape,
             interpret=interpret,
-        )(scal, lower, upper, colors, occ, vol_rows)
+        )(scal, lower, upper, colors, occ, vol_rows, *extra)
         return tuple(out)
 
     @jax.custom_vjp
-    def core(colors, lower, upper, scal, vol_rows, occ):
-        return forward_tiles(colors, lower, upper, scal, vol_rows, occ)
+    def core(colors, lower, upper, scal, vol_rows, occ, mg, sgd):
+        return forward_tiles(colors, lower, upper, scal, vol_rows, occ,
+                             mg, sgd)
 
-    def core_fwd(colors, lower, upper, scal, vol_rows, occ):
-        out = forward_tiles(colors, lower, upper, scal, vol_rows, occ)
-        return out, (colors, lower, upper, scal, vol_rows, occ)
+    def core_fwd(colors, lower, upper, scal, vol_rows, occ, mg, sgd):
+        out = forward_tiles(colors, lower, upper, scal, vol_rows, occ,
+                            mg, sgd)
+        return out, (colors, lower, upper, scal, vol_rows, occ, mg, sgd)
 
     def _zero_cot(x):
         # integer primals (packed material grid, occupancy bricks) take
@@ -398,18 +462,20 @@ def _make_core(dims, depth, num_intervals, width, height, spr, conic,
         return jnp.zeros_like(x)
 
     def core_bwd(res, g):
-        colors, lower, upper, scal, vol_rows, occ = res
+        colors, lower, upper, scal, vol_rows, occ, mg, sgd = res
         g_cr, g_cg, g_cb, g_t = g
+        extra = (mg, sgd) if baked else ()
         dtiles = pl.pallas_call(
             bwd_kernel,
             grid_spec=bwd_grid_spec,
             out_shape=jax.ShapeDtypeStruct((ntx, nty, krows, 128), _f32),
             interpret=interpret,
-        )(scal, lower, upper, colors, vol_rows, g_cr, g_cg, g_cb, g_t)
+        )(scal, lower, upper, colors, vol_rows, *extra,
+          g_cr, g_cg, g_cb, g_t)
         dcolors = dtiles.sum(axis=(0, 1))[:num_intervals, :4]
         z = jnp.zeros_like
         return (dcolors, z(lower), z(upper), z(scal), _zero_cot(vol_rows),
-                _zero_cot(occ))
+                _zero_cot(occ), z(mg), z(sgd))
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -423,17 +489,21 @@ def diff_pallas_eligible(volume: Volume, tf: TransferFunction,
     material grid (z <= 1024, MNI-1mm-class) fit VMEM.  Static
     density_scale is folded into the alpha column internally; traced
     density folds externally (diff/fit.py)."""
-    from .pallas_march import packed_geometry
+    from .pallas_march import baked_light_feasible, packed_geometry
 
     fits = (
         volume.dims[2] <= 128
         or packed_geometry(volume.dims, tf.num_intervals) is not None
     )
+    # lighting trains through the baked per-voxel (M, S) factors — a
+    # volume-only quantity, so TF-color gradients stay exact (dC/dc = w*M)
+    lighting_ok = not config.lighting or baked_light_feasible(
+        volume.dims, tf.num_intervals, config)
     return (
         jax.default_backend() == "tpu"
         and volume.channels == 1
         and fits
-        and not config.lighting
+        and lighting_ok
         and config.interp is Interp.NEAREST
         and not config.tf_lut
         and tf.num_intervals <= 16
@@ -448,9 +518,16 @@ def render_vrc_pallas_diff(
     *,
     interpret: bool = False,
     packed: bool | None = None,
+    light=None,
 ) -> jnp.ndarray:
     """a1/VRC render -> [W, H, 4], differentiable w.r.t. ``tf.colors``
     through fused Pallas forward AND backward kernels.
+
+    ``config.lighting`` (or an explicit uniform-color ``light``) runs
+    through the baked per-voxel Phong factors — (M, S) depend only on the
+    volume, so the TF-color cotangents stay exact (the backward kernel
+    scales the rgb scatter by M and routes alpha grads through the shaded
+    colors); trains BASELINE config 2-style shaded fits fused.
 
     Value-identical to ``render_vrc_pallas(..., early_eps=0)`` ==
     ``render_vrc(..., mode="fast")``; gradients match ``jax.grad`` through
@@ -464,6 +541,9 @@ def render_vrc_pallas_diff(
     routes back automatically.
     """
     from .pallas_march import (
+        _stage_f32_rows,
+        bake_light_grids,
+        baked_light_feasible,
         brick_occupancy,
         pack_material_grid,
         packed_geometry,
@@ -472,15 +552,32 @@ def render_vrc_pallas_diff(
     d1, d2, d3 = volume.dims
     if volume.channels != 1:
         raise ValueError("diff pallas path supports single-channel volumes")
-    if config.lighting or config.tf_lut or config.interp is not Interp.NEAREST:
+    if config.tf_lut or config.interp is not Interp.NEAREST:
         raise ValueError(
-            "diff pallas path is the plain a1 classify (no lighting/LUT/"
+            "diff pallas path is the plain a1 classify (no LUT/"
             "trilinear); use the XLA renderer")
     if tf.num_intervals > 16:
         raise ValueError("diff pallas path supports at most 16 TF intervals")
+    baked = bool(config.lighting) or light is not None
+    if baked:
+        from . import phong
+
+        lg = light if light is not None else phong.default_light()
+        col = np.asarray(lg.color) if not isinstance(
+            lg.color, jax.core.Tracer) else None
+        if (config.conic or col is None or col.shape != (3,)
+                or not (col[0] == col[1] == col[2])
+                or not baked_light_feasible(
+                    volume.dims, tf.num_intervals, config)):
+            raise ValueError(
+                "diff pallas lighting needs the baked path: ortho camera, "
+                "uniform concrete light color, z <= 128 and the VMEM "
+                "budget; use the XLA renderer otherwise")
     zpack = packed_geometry(volume.dims, tf.num_intervals)
     if packed is None:
-        packed = d3 > 128 and zpack is not None
+        # baked lighting prefers the packed main grid (the two f32 factor
+        # grids take most of the VMEM budget)
+        packed = (d3 > 128 or baked) and zpack is not None
     if packed and zpack is None:
         raise ValueError(
             f"dims {volume.dims} / {tf.num_intervals} intervals don't fit "
@@ -555,12 +652,21 @@ def render_vrc_pallas_diff(
         jnp.zeros((3,), _f32),
     ])
 
+    if baked:
+        mgrid, sgrid = bake_light_grids(
+            volume.data.reshape(volume.dims), config, lg, -camera.front)
+        mg = sg(_stage_f32_rows(mgrid, d1, d2, d3))
+        sgd = sg(_stage_f32_rows(sgrid, d1, d2, d3))
+    else:
+        mg = sgd = jnp.zeros((8, 128), _f32)  # ignored dummies
+
     core = _make_core(
         volume.dims, volume.octree_depth, tf.num_intervals, w, h,
         config.samples_per_ray, bool(config.conic), nb, rows,
-        bool(interpret), zpack,
+        bool(interpret), zpack, baked,
     )
-    cr, cg, cb, t = core(colors, tf.lower, tf.upper, scal, vol_rows, occ)
+    cr, cg, cb, t = core(colors, tf.lower, tf.upper, scal, vol_rows, occ,
+                         mg, sgd)
 
     ntx = -(-w // TILE_PX)
     nty = -(-h // TILE_PY)

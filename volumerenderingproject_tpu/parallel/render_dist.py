@@ -71,24 +71,47 @@ def _pallas_segment_eligible(
     """True when the fused Pallas segment kernel implements the per-device
     work unit exactly (mirrors models/raycast._pallas_eligible, evaluated at
     the *local* slab geometry)."""
-    from ..ops.pallas_march import packed_geometry
+    from ..ops.pallas_march import (
+        baked_light_feasible,
+        packed_geometry,
+        packed_lut_geometry,
+    )
 
     dims_local = (
         (slab_x, volume.dims[1], volume.dims[2])
         if slab_x is not None
         else volume.dims
     )
-    fits = (
-        dims_local[2] <= 128
-        or packed_geometry(dims_local, tf.num_intervals) is not None
+    if config.tf_lut:
+        fits = (
+            dims_local[2] <= 128
+            or packed_lut_geometry(dims_local, int(config.tf_lut))
+            is not None
+        )
+    else:
+        fits = (
+            dims_local[2] <= 128
+            or packed_geometry(dims_local, tf.num_intervals) is not None
+        )
+    # lighting on the fused segment path: full-volume work units only
+    # (slab gradients need halos the kernel doesn't exchange); the scan
+    # fallback (_render_segment_volume_slab) covers sharded-volume lighting
+    lighting_ok = not config.lighting or (
+        slab_x is None
+        and volume.dims[2] <= 128
+        and (
+            (config.gradient_filter == "central"
+             and config.presmooth_sigma == 0.0)
+            or baked_light_feasible(volume.dims, tf.num_intervals, config)
+        )
     )
     return (
         config.algorithm is Algorithm.VRC
         and volume.channels == 1
         and fits
-        and not config.lighting
+        and lighting_ok
         and config.interp is Interp.NEAREST
-        and not config.tf_lut
+        and (not config.tf_lut or config.tf_lut <= 1024)
         and config.empty_space_skipping
     )
 
