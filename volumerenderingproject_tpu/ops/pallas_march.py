@@ -1051,7 +1051,11 @@ def _march_tiles(
     w_local = w if local_width is None else local_width
     s_count = config.samples_per_ray if s_count is None else s_count
     if tile is None:
-        tile = DEFAULT_TILE
+        # lit kernels (baked or in-kernel) prefer smaller tiles: the
+        # footprint shrinks faster than the per-chunk fixed work grows
+        # (v5e sweep, benchmarks/tpu_round3_results.json: 25 ms at
+        # 16x16x16 vs 54 ms at DEFAULT_TILE for 304^2x300 lit renders)
+        tile = (16, 16, 16) if config.lighting else DEFAULT_TILE
     tpx, tpy, steps = tile
     if (tpx * tpy) % 128 or (tpx * tpy * steps) % 1024:
         raise ValueError(f"tile {tile}: rays must fill 128-lane rows and "
