@@ -389,6 +389,26 @@ def test_nonuniform_light_color_falls_back_inkernel(scene):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_baked_lighting_dispatch_under_jit(scene):
+    """Under jit every in-trace array is a Tracer, so the bake decision
+    must be static: light=None (the default white light) keeps the baked
+    path inside jit — including non-central gradient filters, which have
+    NO in-kernel fallback (regression: the uniformity check used to
+    inspect runtime values and silently fell back / raised under jit)."""
+    import jax
+
+    volume, tf, cam, cfg = scene
+    cfg2 = cfg.replace(lighting=True, gradient_filter="sobel")
+    want = np.asarray(render_vrc(volume, tf, cam, cfg2, mode="fast"))
+    got = np.asarray(
+        jax.jit(
+            lambda v, t, c: render_vrc_pallas(
+                v, t, c, cfg2, early_eps=0.0, interpret=True)
+        )(volume, tf, cam)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_baked_lighting_supports_sobel_and_presmooth(scene):
     """The bake runs the same XLA gradient convolution as the scan
     renderer, so sobel / pre-smoothed normals now run fused (previously

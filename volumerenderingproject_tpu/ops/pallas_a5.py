@@ -346,16 +346,18 @@ def render_test_pallas(
     baked = bool(config.lighting) or light is not None
     if baked:
         from . import phong
-        from .pallas_march import _stage_f32_rows, bake_light_grids
+        from .pallas_march import (
+            _stage_f32_rows,
+            _uniform_light_color,
+            bake_light_grids,
+        )
 
         lg = light if light is not None else phong.default_light()
-        col = np.asarray(lg.color) if not isinstance(
-            lg.color, jax.core.Tracer) else None
-        if col is None or col.shape != (3,) or not (
-                col[0] == col[1] == col[2]):
+        if not _uniform_light_color(light):
             raise ValueError(
-                "a5 fused lighting needs a uniform concrete light color "
-                "(the per-voxel M grid folds it in); use the XLA path")
+                "a5 fused lighting needs a statically-uniform light color "
+                "(the per-voxel M grid folds it in) — pass light=None for "
+                "the default light, or use the XLA path")
         if not a5_baked_light_feasible(volume.dims):
             raise ValueError(
                 "a5 fused lighting exceeds the VMEM budget for this "

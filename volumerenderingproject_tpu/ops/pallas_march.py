@@ -986,6 +986,22 @@ def _scal_vector(camera, config, cal_max_trunc, early_eps, alpha0,
     ])
 
 
+def _uniform_light_color(light) -> bool:
+    """Static predicate for the per-voxel shading bake: is the light's
+    color channel-uniform, decidable at trace time?  ``None`` selects the
+    default light (uniform white by construction); an explicit light
+    qualifies only when its color is concrete — under ``jit`` every
+    in-trace array is a Tracer, so explicit lights fall back to the
+    in-kernel gradient path (pass light=None to keep the fast path)."""
+    if light is None:
+        return True
+    col = light.color
+    if isinstance(col, jax.core.Tracer):
+        return False
+    c = np.asarray(col)
+    return c.shape == (3,) and bool(c[0] == c[1] == c[2])
+
+
 def _stage_f32_rows(arr: jnp.ndarray, d1_: int, d2_: int,
                     d3_: int) -> jnp.ndarray:
     """[X, Y, Z] f32 -> padded [pad8(X*Y), 128] VMEM rows, z on lanes."""
@@ -1032,17 +1048,16 @@ def _march_tiles(
 
         lg = light if light is not None else phong.default_light()
     # per-voxel shading bake needs: ortho (ray-independent view), a
-    # uniform light color known at trace time (M collapses to one grid),
-    # and the full volume (gradients cross slab bounds)
+    # uniform light color known STATICALLY (M collapses to one grid),
+    # and the full volume (gradients cross slab bounds).  light=None
+    # means the default light — uniform white by construction — which
+    # matters under jit, where even trace-constant arrays are Tracers
+    # and a value check would always fail.
     bakeable = (
-        lg is not None
+        config.lighting
         and not config.conic
         and slab_x is None
-        and not isinstance(lg.color, jax.core.Tracer)
-        and np.asarray(lg.color).shape == (3,)
-        and np.asarray(lg.color)[0]
-        == np.asarray(lg.color)[1]
-        == np.asarray(lg.color)[2]
+        and _uniform_light_color(light)
     )
     packed, zpack, pack_bits, lut_packed, baked = _resolve_kernel_mode(
         dims_local, 1, tf.num_intervals, config, packed, bakeable)
@@ -1217,12 +1232,14 @@ def render_vrc_pallas(
 
     Matches ``render_vrc(..., mode="fast")`` up to the early-termination
     epsilon (``early_eps=0`` for exact agreement).  Requires a single
-    channel; trilinear modes fall back to the XLA renderer.  The default
-    packed material-grid mode handles z up to 1024 (MNI-1mm-class
-    volumes); the f32 mode (``packed=False``) needs dims[2] <= 128, and is
-    what ``config.lighting`` (fused Blinn-Phong on central-difference
-    normals) and ``config.tf_lut`` (fused dense-LUT classify) run on —
-    BASELINE config 2's fast path.
+    channel; trilinear modes fall back to the XLA renderer.  Grid layouts
+    (_resolve_kernel_mode): 4-bit packed material ids by default
+    (z <= 1024, MNI-1mm-class volumes), 16-bit packed LUT indices for
+    ``config.tf_lut`` (z <= 256), f32 rows otherwise (z <= 128).
+    ``config.lighting`` runs baked (per-voxel Phong factor grids — ortho
+    + uniform light color, any gradient filter; BASELINE config 2's fast
+    path) or in-kernel (central-difference normals, conic-capable) —
+    see _march_kernel's ``baked_light``/``lighting`` docs.
     """
     if volume.channels != 1:
         raise ValueError("pallas path supports single-channel volumes")

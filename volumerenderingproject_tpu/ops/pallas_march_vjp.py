@@ -561,18 +561,17 @@ def render_vrc_pallas_diff(
     baked = bool(config.lighting) or light is not None
     if baked:
         from . import phong
+        from .pallas_march import _uniform_light_color
 
         lg = light if light is not None else phong.default_light()
-        col = np.asarray(lg.color) if not isinstance(
-            lg.color, jax.core.Tracer) else None
-        if (config.conic or col is None or col.shape != (3,)
-                or not (col[0] == col[1] == col[2])
+        if (config.conic or not _uniform_light_color(light)
                 or not baked_light_feasible(
                     volume.dims, tf.num_intervals, config)):
             raise ValueError(
                 "diff pallas lighting needs the baked path: ortho camera, "
-                "uniform concrete light color, z <= 128 and the VMEM "
-                "budget; use the XLA renderer otherwise")
+                "statically-uniform light color (pass light=None for the "
+                "default), z <= 128 and the VMEM budget; use the XLA "
+                "renderer otherwise")
     zpack = packed_geometry(volume.dims, tf.num_intervals)
     if packed is None:
         # baked lighting prefers the packed main grid (the two f32 factor
