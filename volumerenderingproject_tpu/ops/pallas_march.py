@@ -1320,7 +1320,7 @@ def render_vrc_pallas_segment(
 
 def streamed_geometry(
     dims: Tuple[int, int, int], num_intervals: int,
-    block_bytes: int = 4 * 2**20,
+    block_bytes: int = 8 * 2**20,
 ) -> Tuple[int, Tuple[int, int, int] | None] | None:
     """(block_x, zpack) for the HBM-streamed march, or None when even
     streaming can't express the volume (z > 1024 packed / > 128 unpacked).
@@ -1570,7 +1570,11 @@ def render_vrc_pallas_streamed(
 
     w, h = config.width, config.height
     if tile is None:
-        tile = DEFAULT_TILE
+        # streamed sweep (benchmarks/tpu_round3_results.json r3d_streamed):
+        # larger VMEM blocks (fewer k steps) + 16x16 ray tiles (tighter
+        # per-chunk footprints) beat DEFAULT_TILE: 31.9 ms vs 39.8 at
+        # 320^3/304^2
+        tile = (16, 16, 16)
     tpx, tpy, steps = tile
     if (tpx * tpy) % 128 or (tpx * tpy * steps) % 1024:
         raise ValueError(f"tile {tile}: rays must fill 128-lane rows and "
