@@ -137,3 +137,52 @@ def test_multichannel_volume_axis_sharding():
         mesh = make_mesh(**axes)
         got = np.asarray(render_vrc_sharded(vol, tf, cam, cfg, mesh))
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(axes))
+
+
+def test_multichannel_pallas_matches_xla():
+    """The fused multichannel kernel (packed mean-id grid for alpha +
+    normalized rgb channel grids) must match the XLA multichannel
+    renderer for C=3 (rgb), C=2 (gray from channel 0, mean alpha over
+    both), and C=4 (first three channels)."""
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        multichannel_feasible,
+        render_vrc_pallas,
+    )
+
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.3, 0.4, 0.9))
+    cfg = RenderConfig(width=16, height=12, samples_per_ray=20)
+    rng = np.random.default_rng(9)
+
+    vols = [synthetic.rgb_sphere(16)]
+    for c in (2, 4):
+        vols.append(make_volume(
+            rng.uniform(0, 255, (10, 11, 9, c)).astype(np.float32)))
+
+    for volume in vols:
+        assert multichannel_feasible(
+            volume.dims, volume.channels, tf.num_intervals, cfg)
+        want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+        got = np.asarray(
+            render_vrc_pallas(volume, tf, cam, cfg, early_eps=0.0,
+                              interpret=True))
+        np.testing.assert_allclose(
+            got, want, atol=1e-5, err_msg=f"C={volume.channels}")
+
+
+def test_multichannel_feasibility_bounds():
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        multichannel_feasible,
+    )
+
+    tf = default_transfer_function()
+    cfg = RenderConfig(width=8, height=8, samples_per_ray=4)
+    assert multichannel_feasible((91, 109, 91), 2, tf.num_intervals, cfg)
+    # three rgb grids at avg152 scale exceed the budget
+    assert not multichannel_feasible(
+        (300, 300, 120), 3, tf.num_intervals, cfg)
+    # lighting / LUT / trilinear stay on the XLA multichannel path
+    assert not multichannel_feasible(
+        (16, 16, 16), 3, tf.num_intervals, cfg.replace(lighting=True))
+    assert not multichannel_feasible(
+        (16, 16, 16), 3, tf.num_intervals, cfg.replace(tf_lut=64))

@@ -535,9 +535,20 @@ def _pallas_eligible(volume: Volume, tf, config: RenderConfig,
 
     from ..ops.pallas_march import (
         baked_light_feasible,
+        multichannel_feasible,
         packed_geometry,
         packed_lut_geometry,
     )
+
+    if volume.channels != 1:
+        # 4-D multi-channel: fused when the mean-id + rgb grids fit
+        return (
+            _jax.default_backend() == "tpu"
+            and mode == "fast"
+            and config.empty_space_skipping
+            and multichannel_feasible(
+                volume.dims, volume.channels, tf.num_intervals, config)
+        )
 
     fits_f32 = volume.dims[2] <= 128
     if config.tf_lut:

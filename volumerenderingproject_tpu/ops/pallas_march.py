@@ -129,6 +129,7 @@ def _march_kernel(
     pack_bits: int = 4,
     lut_packed: bool = False,
     baked_light: bool = False,
+    mc_grids: int = 0,
     vis_ref=None,
 ):
     """``spr`` is the LOCAL sample count of this segment; the global sample
@@ -167,6 +168,7 @@ def _march_kernel(
     lut_ref = rest.pop(0) if lut_n else None
     mg_ref = rest.pop(0) if baked_light else None
     sg_ref = rest.pop(0) if baked_light else None
+    mc_refs = tuple(rest.pop(0) for _ in range(mc_grids))
     out_r_ref, out_g_ref, out_b_ref, out_t_ref = rest
     d1, d2, d3 = dims
     lw = width if local_width is None else local_width
@@ -567,11 +569,14 @@ def _march_kernel(
                               + specular * lcg) + (1.0 - w) * sg
                     sb = w * (amb * sb + dif * ndotl * sb * lcb
                               + specular * lcb) + (1.0 - w) * sb
-                if baked_light:
-                    # per-voxel shading factors from the (M, S) f32 row
-                    # grids (z on lanes): out_rgb = rgb * M + S.  The grids
-                    # use the f32 layout even when the main grid is packed,
-                    # so they get their own footprint loop over (ix, iy).
+                def fetch_f32_grids(refs):
+                    """Per-sample values from f32 row grids (z on lanes)
+                    at the sample's voxel — one footprint loop over
+                    (ix, iy) with len(refs) row reads + lane-gathers per
+                    cell.  Used by the baked-lighting factors and the
+                    multichannel rgb grids; the f32 layout applies even
+                    when the main grid is packed, so this is a separate
+                    loop from the main fetch."""
                     rowid_f = jnp.where(valid, lxv * d2 + ijk[1], -1)
                     iz_f = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
                     rfxmin = jnp.min(jnp.where(valid, lxv, _BIG))
@@ -583,28 +588,42 @@ def _march_kernel(
                         cx = rfxmin + dxi
 
                         def bfy(dyi, accs):
-                            am, asp = accs
                             crow = cx * d2 + (rfymin + dyi)
                             sel = rowid_f == crow
-                            bm = jnp.broadcast_to(
-                                mg_ref[pl.ds(crow, 1), :], (E, 128))
-                            am = jnp.where(
-                                sel, jnp.take_along_axis(bm, iz_f, axis=1),
-                                am)
-                            bs = jnp.broadcast_to(
-                                sg_ref[pl.ds(crow, 1), :], (E, 128))
-                            asp = jnp.where(
-                                sel, jnp.take_along_axis(bs, iz_f, axis=1),
-                                asp)
-                            return am, asp
+                            out = []
+                            for ref, acc in zip(refs, accs):
+                                bm = jnp.broadcast_to(
+                                    ref[pl.ds(crow, 1), :], (E, 128))
+                                out.append(jnp.where(
+                                    sel,
+                                    jnp.take_along_axis(bm, iz_f, axis=1),
+                                    acc))
+                            return tuple(out)
 
                         return jax.lax.fori_loop(
                             0, rfymax - rfymin + 1, bfy, accs)
 
-                    zf2 = jnp.zeros((E, 128), _f32)
-                    mval, sval = jax.lax.fori_loop(
-                        0, rfxmax - rfxmin + 1, bfx, (zf2, zf2))
-                    # off-volume: w = 0 limit (M = 1, S = 0) => unshaded
+                    zf2 = tuple(
+                        jnp.zeros((E, 128), _f32) for _ in refs)
+                    return jax.lax.fori_loop(
+                        0, rfxmax - rfxmin + 1, bfx, zf2)
+
+                if mc_grids:
+                    # multichannel: rgb comes straight from the staged
+                    # normalized channel grids (raycast multichannel
+                    # semantics: rgb = norm[..., :3], or channel 0
+                    # broadcast to gray); the packed grid supplies alpha
+                    # only (classify of the channel mean)
+                    vals = [jnp.where(valid, v, 0.0)
+                            for v in fetch_f32_grids(mc_refs)]
+                    if mc_grids == 1:
+                        sr = sg = sb = vals[0]
+                    else:
+                        sr, sg, sb = vals
+                if baked_light:
+                    # per-voxel shading factors: out_rgb = rgb * M + S;
+                    # off-volume fetches shade as w = 0 (M = 1, S = 0)
+                    mval, sval = fetch_f32_grids((mg_ref, sg_ref))
                     mval = jnp.where(valid, mval, 1.0)
                     sval = jnp.where(valid, sval, 0.0)
                     sr = sr * mval + sval
@@ -868,6 +887,32 @@ def bake_light_grids(
 
 
 _BAKED_BUDGET = 13 * 2**20  # main grid + two f32 factor grids (VMEM ~16 MB)
+_MC_BUDGET = 15 * 2**20 + 2**19  # id grid + rgb channel grids (a5-proven)
+
+
+def multichannel_feasible(
+    dims: Tuple[int, int, int], channels: int, num_intervals: int,
+    config: RenderConfig,
+) -> bool:
+    """Static predicate: can a 4-D multi-channel volume render through the
+    fused kernel?  Needs the packed mean-id grid (alpha), one (C < 3,
+    gray) or three (C >= 3) normalized f32 channel grids for rgb within
+    the VMEM budget, plain classify (no lighting/LUT — those stay on the
+    XLA multichannel path), and nearest-neighbor sampling."""
+    d1, d2, d3 = dims
+    if channels < 2 or config.lighting or config.tf_lut:
+        return False
+    if config.interp is not Interp.NEAREST:
+        return False
+    if d3 > 128:
+        return False
+    zp = packed_geometry(dims, num_intervals)
+    if zp is None:
+        return False
+    ngrids = 1 if channels < 3 else 3
+    main = _pad_to(d1 * zp[2], 8) * 128 * 4
+    f32b = _pad_to(d1 * d2, 8) * 128 * 4
+    return main + ngrids * f32b <= _MC_BUDGET
 
 
 def baked_light_feasible(
@@ -1030,17 +1075,31 @@ def _march_tiles(
     x0=0,
     slab_x: int | None = None,
     light=None,
+    channels: int = 1,
 ):
     """Shared kernel driver -> (cr, cg, cb, t), each [w_local, height] f32.
 
-    ``data`` is the full [X, Y, Z] volume, or an x-slab of it when
-    ``slab_x`` is set (``x0`` = the slab's global x offset, traced OK).
+    ``data`` is the full [X, Y, Z] volume ([X, Y, Z, C] when
+    ``channels`` > 1), or an x-slab of it when ``slab_x`` is set
+    (``x0`` = the slab's global x offset, traced OK).
     ``x_offset``/``local_width`` select a ray-column tile and
     ``s_start``/``s_count`` a sample segment — all static-shape, traced
     offsets, so the call is shard_map-friendly.
     """
     d1, d2, d3 = dims
     dims_local = (slab_x if slab_x is not None else d1, d2, d3)
+    mc = channels > 1
+    if mc:
+        if not multichannel_feasible(
+                dims_local, channels, tf.num_intervals, config):
+            raise ValueError(
+                "multichannel pallas path needs plain NN classify, the "
+                "packed mean-id grid, and the rgb channel grids within "
+                f"VMEM (dims {dims_local}, {channels} channels)")
+        if slab_x is not None:
+            raise ValueError(
+                "multichannel pallas path is full-volume only (the "
+                "XLA slab path shards multi-channel volumes)")
 
     lg = None
     if config.lighting:
@@ -1059,8 +1118,12 @@ def _march_tiles(
         and slab_x is None
         and _uniform_light_color(light)
     )
-    packed, zpack, pack_bits, lut_packed, baked = _resolve_kernel_mode(
-        dims_local, 1, tf.num_intervals, config, packed, bakeable)
+    if mc:
+        zpack = packed_geometry(dims_local, tf.num_intervals)
+        packed, pack_bits, lut_packed, baked = True, 4, False, False
+    else:
+        packed, zpack, pack_bits, lut_packed, baked = _resolve_kernel_mode(
+            dims_local, 1, tf.num_intervals, config, packed, bakeable)
 
     w, h = config.width, config.height
     w_local = w if local_width is None else local_width
@@ -1081,7 +1144,20 @@ def _march_tiles(
 
     cal_max_trunc = jnp.trunc(jnp.asarray(cal_max, _f32))
     id0 = jnp.zeros((), _f32)
-    if packed and lut_packed:
+    norm4 = None
+    if mc:
+        # multichannel value semantics (_vrc_sample_rgba_multichannel):
+        # clamp, normalize by the RAW float cal_max, rgb from channels,
+        # alpha from TF(channel mean) — the mean's classify index packs
+        # into the 4-bit id grid (normalization 1.0: meanv is already
+        # normalized), the rgb channels stage as f32 row grids below
+        cal_raw = jnp.asarray(cal_max, _f32)
+        norm4 = jnp.maximum(
+            data.reshape(dims_local + (channels,)), 0.0) / cal_raw
+        meanv = jnp.mean(norm4, axis=-1)
+        one = jnp.ones((), _f32)
+        vol_rows, id0 = pack_material_grid(meanv, tf, one, zpack)
+    elif packed and lut_packed:
         vol_rows = pack_lut_grid(
             data, int(config.tf_lut), cal_max_trunc, zpack)
         # id0 stays 0: round(0 * (N-1)) = 0 is the off-volume LUT index
@@ -1092,7 +1168,10 @@ def _march_tiles(
     rows = vol_rows.shape[0]
 
     lut = tf.to_lut(config.tf_lut) if config.tf_lut else None
-    occ, nb = brick_occupancy(data, tf, cal_max_trunc, lut=lut)
+    if mc:
+        occ, nb = brick_occupancy(meanv, tf, one)
+    else:
+        occ, nb = brick_occupancy(data, tf, cal_max_trunc, lut=lut)
 
     if lut is not None:
         alpha0 = lut[0, 3]  # idx(vn=0) = 0
@@ -1138,6 +1217,15 @@ def _march_tiles(
             extra_specs.append(
                 pl.BlockSpec((grows.shape[0], 128), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM))
+    mc_grids = 0
+    if mc:
+        mc_grids = 1 if channels < 3 else 3
+        for ci in range(mc_grids):
+            grows = _stage_f32_rows(norm4[..., ci], dims_local[0], d2, d3)
+            extra_args.append(grows)
+            extra_specs.append(
+                pl.BlockSpec((grows.shape[0], 128), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM))
 
     L = float(max(dims))
     # dataset box in ray space (p = pos + 0.5 in [hg/L, (hg+dim)/L + 1/n]),
@@ -1179,6 +1267,7 @@ def _march_tiles(
         pack_bits=pack_bits,
         lut_packed=lut_packed,
         baked_light=baked,
+        mc_grids=mc_grids,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1231,8 +1320,10 @@ def render_vrc_pallas(
     """a1/VRC render via the fused Pallas kernel -> [W, H, 4].
 
     Matches ``render_vrc(..., mode="fast")`` up to the early-termination
-    epsilon (``early_eps=0`` for exact agreement).  Requires a single
-    channel; trilinear modes fall back to the XLA renderer.  Grid layouts
+    epsilon (``early_eps=0`` for exact agreement).  4-D multi-channel
+    volumes run fused when ``multichannel_feasible`` (packed mean-id grid
+    for alpha + normalized rgb channel grids); trilinear modes fall back
+    to the XLA renderer.  Grid layouts
     (_resolve_kernel_mode): 4-bit packed material ids by default
     (z <= 1024, MNI-1mm-class volumes), 16-bit packed LUT indices for
     ``config.tf_lut`` (z <= 256), f32 rows otherwise (z <= 128).
@@ -1241,10 +1332,10 @@ def render_vrc_pallas(
     path) or in-kernel (central-difference normals, conic-capable) —
     see _march_kernel's ``baked_light``/``lighting`` docs.
     """
-    if volume.channels != 1:
-        raise ValueError("pallas path supports single-channel volumes")
+    c = volume.channels
+    shape = volume.dims + (c,) if c > 1 else volume.dims
     cr, cg, cb, t = _march_tiles(
-        volume.data.reshape(volume.dims),
+        volume.data.reshape(shape),
         volume.dims,
         volume.octree_depth,
         volume.cal_max,
@@ -1256,6 +1347,7 @@ def render_vrc_pallas(
         packed=packed,
         tile=tile,
         light=light,
+        channels=c,
     )
     bg = jnp.asarray(config.background, _f32)
     w, h = config.width, config.height
