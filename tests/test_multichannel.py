@@ -186,3 +186,28 @@ def test_multichannel_feasibility_bounds():
         (16, 16, 16), 3, tf.num_intervals, cfg.replace(lighting=True))
     assert not multichannel_feasible(
         (16, 16, 16), 3, tf.num_intervals, cfg.replace(tf_lut=64))
+
+
+def test_multichannel_pallas_segments_sharded():
+    """Fused multichannel work units under shard_map (rays/samples axes)
+    must match the single-device XLA multichannel render; volume-sharded
+    multichannel stays on the XLA slab fallback."""
+    from volumerenderingproject_tpu.parallel.render_dist import (
+        _pallas_segment_eligible,
+    )
+
+    volume, tf, cam, cfg = _scene()
+    want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    for axes in (dict(rays=4, samples=1, volume=1),
+                 dict(rays=2, samples=2, volume=1)):
+        mesh = make_mesh(**axes)
+        got = np.asarray(
+            render_vrc_sharded(
+                volume, tf, cam, cfg, mesh,
+                use_pallas=True, pallas_interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(axes))
+
+    assert _pallas_segment_eligible(volume, tf, cfg, slab_x=None)
+    assert not _pallas_segment_eligible(volume, tf, cfg, slab_x=8)

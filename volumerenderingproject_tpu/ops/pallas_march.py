@@ -1374,6 +1374,7 @@ def render_vrc_pallas_segment(
     interpret: bool = False,
     packed: bool | None = None,
     tile: Tuple[int, int, int] | None = None,
+    channels: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shard_map-friendly fused-kernel work unit -> (C, T) segment.
 
@@ -1406,6 +1407,7 @@ def render_vrc_pallas_segment(
         s_count=s_count,
         x0=x0,
         slab_x=slab_x,
+        channels=channels,
     )
     return jnp.stack([cr, cg, cb], axis=-1), t[..., None]
 

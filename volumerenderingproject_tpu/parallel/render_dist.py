@@ -73,6 +73,7 @@ def _pallas_segment_eligible(
     the *local* slab geometry)."""
     from ..ops.pallas_march import (
         baked_light_feasible,
+        multichannel_feasible,
         packed_geometry,
         packed_lut_geometry,
     )
@@ -82,6 +83,16 @@ def _pallas_segment_eligible(
         if slab_x is not None
         else volume.dims
     )
+    if volume.channels != 1:
+        # fused multichannel work units: full-volume only (rays/samples
+        # axes); volume-sharded multichannel stays on the XLA slab path
+        return (
+            config.algorithm is Algorithm.VRC
+            and slab_x is None
+            and config.empty_space_skipping
+            and multichannel_feasible(
+                volume.dims, volume.channels, tf.num_intervals, config)
+        )
     if config.tf_lut:
         fits = (
             dims_local[2] <= 128
@@ -182,12 +193,15 @@ def render_vrc_sharded(
             from ..ops.pallas_march import render_vrc_pallas_segment
 
             vi = jax.lax.axis_index("volume") if n_vol > 1 else 0
+            local_shape = (
+                (slab_x if n_vol > 1 else volume.dims[0]),
+                volume.dims[1],
+                volume.dims[2],
+            )
+            if volume.channels > 1:
+                local_shape = local_shape + (volume.channels,)
             seg = render_vrc_pallas_segment(
-                vol_data.reshape(
-                    (slab_x if n_vol > 1 else volume.dims[0]),
-                    volume.dims[1],
-                    volume.dims[2],
-                ),
+                vol_data.reshape(local_shape),
                 volume.dims,
                 volume.octree_depth,
                 cal_max,
@@ -202,6 +216,7 @@ def render_vrc_sharded(
                 slab_x=slab_x,
                 early_eps=config.early_termination,
                 interpret=pallas_interpret,
+                channels=volume.channels,
             )
         elif n_vol == 1:
             vol_local = Volume(
