@@ -422,3 +422,33 @@ def test_baked_lighting_supports_sobel_and_presmooth(scene):
                               interpret=True)
         )
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(kw))
+
+
+def test_streamed_lut_matches_xla():
+    """The HBM-streamed march with dense-LUT classify (16-bit packed LUT
+    indices per block) must match the XLA LUT renderer."""
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        render_vrc_pallas_streamed,
+        streamed_geometry,
+    )
+
+    rng = np.random.default_rng(13)
+    volume = make_volume(rng.uniform(0, 255, (20, 12, 11)).astype(np.float32))
+    tf = default_transfer_function()
+    cfg = RenderConfig(width=20, height=14, samples_per_ray=40, tf_lut=96)
+    for pos in ((0.35, 0.45, 0.85), (-0.5, 0.3, -0.8)):
+        cam = Camera.initial(position=pos)
+        want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+        got = np.asarray(
+            render_vrc_pallas_streamed(
+                volume, tf, cam, cfg, early_eps=0.0, interpret=True,
+                block_x=8,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # geometry: LUT ids stream up to z=256; z>256 needs f32 (z<=128)
+    assert streamed_geometry((512, 64, 200), 4, lut_n=256) is not None
+    assert streamed_geometry((512, 64, 300), 4, lut_n=256) is None
+    bx, zp = streamed_geometry((512, 64, 100), 4, lut_n=256)
+    assert zp is not None and zp[0] == 50  # 2 ids/word

@@ -598,10 +598,12 @@ def _pallas_streamed_eligible(volume: Volume, tf, config: RenderConfig,
         and mode == "fast"
         and volume.channels == 1
         and not config.conic
-        and streamed_geometry(volume.dims, tf.num_intervals) is not None
+        and streamed_geometry(
+            volume.dims, tf.num_intervals,
+            lut_n=int(config.tf_lut)) is not None
         and not config.lighting
         and config.interp is Interp.NEAREST
-        and not config.tf_lut
+        and (not config.tf_lut or config.tf_lut <= 1024)
         and config.empty_space_skipping
     )
 

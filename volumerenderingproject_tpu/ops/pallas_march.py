@@ -1415,15 +1415,29 @@ def render_vrc_pallas_segment(
 def streamed_geometry(
     dims: Tuple[int, int, int], num_intervals: int,
     block_bytes: int = 8 * 2**20,
+    lut_n: int = 0,
 ) -> Tuple[int, Tuple[int, int, int] | None] | None:
     """(block_x, zpack) for the HBM-streamed march, or None when even
     streaming can't express the volume (z > 1024 packed / > 128 unpacked).
 
-    ``zpack`` is None for the f32 row layout.  block_x is a multiple of
-    BRICK sized so one block (double-buffered by the pipeline) fits the
-    VMEM budget."""
+    ``zpack`` is None for the f32 row layout.  With ``lut_n`` the packed
+    layout holds 16-bit LUT indices (2/word, z <= 256) instead of 4-bit
+    material ids.  block_x is a multiple of BRICK sized so one block
+    (double-buffered by the pipeline) fits the VMEM budget."""
     d1, d2, d3 = dims
-    if num_intervals <= 16 and -(-d3 // 8) <= 128:
+    if lut_n:
+        zw = -(-d3 // 2)
+        if lut_n <= 65536 and zw <= 128:
+            ypack = min(128 // zw, d2)
+            nyg = -(-d2 // ypack)
+            row_bytes = nyg * 128 * 4
+            zp = (zw, ypack, nyg)
+        elif d3 <= 128:
+            row_bytes = d2 * 128 * 4  # f32 rows; LUT classify from vn
+            zp = None
+        else:
+            return None
+    elif num_intervals <= 16 and -(-d3 // 8) <= 128:
         zw = -(-d3 // 8)
         ypack = min(128 // zw, d2)
         nyg = -(-d2 // ypack)
@@ -1647,10 +1661,14 @@ def render_vrc_pallas_streamed(
         raise ValueError(
             "streamed pallas path needs one global block visit order; "
             "conic rays can disagree on sign(dir.x)")
-    if config.lighting or config.interp is not Interp.NEAREST or config.tf_lut:
-        raise ValueError("streamed pallas path is the plain a1 classify only")
+    if config.lighting or config.interp is not Interp.NEAREST:
+        raise ValueError(
+            "streamed pallas path is a1 classify (plain or LUT) only")
+    if config.tf_lut and not 0 < config.tf_lut <= 1024:
+        raise ValueError(f"tf_lut size {config.tf_lut} not in (0, 1024]")
     d1, d2, d3 = volume.dims
-    geo = streamed_geometry(volume.dims, tf.num_intervals)
+    lut_n = int(config.tf_lut)
+    geo = streamed_geometry(volume.dims, tf.num_intervals, lut_n=lut_n)
     if geo is None:
         raise ValueError(f"volume dims {volume.dims} not streamable")
     bx_auto, zpack = geo
@@ -1680,8 +1698,14 @@ def render_vrc_pallas_streamed(
     data = volume.data.reshape(volume.dims)
     data_p = jnp.pad(data, ((0, d1p - d1), (0, 0), (0, 0)))
     cal_max_trunc = jnp.trunc(jnp.asarray(volume.cal_max, _f32))
+    lut = tf.to_lut(lut_n) if lut_n else None
     id0 = jnp.zeros((), _f32)
-    if packed:
+    if packed and lut_n:
+        vol_rows = pack_lut_grid(data_p, lut_n, cal_max_trunc, zpack)
+        # id0 stays 0: the off-volume LUT index
+        nyg = zpack[2]
+        block_rows = block_x * nyg
+    elif packed:
         vol_rows, id0 = pack_material_grid(data_p, tf, cal_max_trunc, zpack)
         nyg = zpack[2]
         block_rows = block_x * nyg
@@ -1692,11 +1716,34 @@ def render_vrc_pallas_streamed(
     assert vol_rows.shape[0] == nxb * block_rows, (
         vol_rows.shape, nxb, block_rows)
 
-    occ, nb = brick_occupancy(data, tf, cal_max_trunc)  # global bricks
+    occ, nb = brick_occupancy(data, tf, cal_max_trunc, lut=lut)
 
-    alpha0 = tf.classify(jnp.zeros((), _f32))[3]
+    if lut is not None:
+        alpha0 = lut[0, 3]  # idx(vn=0) = 0
+    else:
+        alpha0 = tf.classify(jnp.zeros((), _f32))[3]
     if config.density_scale != 1.0:
         alpha0 = jnp.clip(alpha0 * np.float32(config.density_scale), 0.0, 1.0)
+
+    extra_args = []
+    extra_specs_static = []
+    extra_specs_prefetch = []
+    if lut is not None:
+        nl = lut.shape[0]
+        rl = -(-nl // 128)
+        lut_rows = jnp.zeros((_pad_to(4 * rl, 8), 128), _f32)
+        for c in range(4):
+            col = jnp.zeros((rl * 128,), _f32).at[:nl].set(lut[:, c])
+            lut_rows = lut_rows.at[c * rl:(c + 1) * rl, :].set(
+                col.reshape(rl, 128))
+        extra_args.append(lut_rows)
+        extra_specs_static.append(
+            pl.BlockSpec((lut_rows.shape[0], 128), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.VMEM))
+        extra_specs_prefetch.append(
+            pl.BlockSpec((lut_rows.shape[0], 128),
+                         lambda i, j, k, vis_s, eff_s: (0, 0),
+                         memory_space=pltpu.VMEM))
 
     L = float(max(volume.dims))
     n = float(2**volume.octree_depth)
@@ -1721,6 +1768,9 @@ def render_vrc_pallas_streamed(
         tile=tile,
         slab_x=block_x,
         hbm_mode=True,
+        lut_n=lut_n,
+        pack_bits=16 if (packed and lut_n) else 4,
+        lut_packed=bool(packed and lut_n),
     )
 
     base_in_specs = [
@@ -1760,7 +1810,8 @@ def render_vrc_pallas_streamed(
             grid=(ntx, nty, nxb),
             in_specs=base_in_specs + [
                 pl.BlockSpec((block_rows, 128), vol_map,
-                             memory_space=pltpu.VMEM)],
+                             memory_space=pltpu.VMEM)]
+            + extra_specs_prefetch,  # [LUT rows]
             out_specs=[
                 pl.BlockSpec((1, 1, rt, 128),
                              lambda i, j, k, vis_s, eff_s: (i, j, 0, 0),
@@ -1773,7 +1824,8 @@ def render_vrc_pallas_streamed(
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(vis, eff, scal, tf.lower, tf.upper, tf.colors, occ, vol_rows)
+        )(vis, eff, scal, tf.lower, tf.upper, tf.colors, occ, vol_rows,
+          *extra_args)
     else:
         # no prefetch args at all: the static index map keeps the DMA
         # pipeline's lookahead fully effective
@@ -1782,7 +1834,8 @@ def render_vrc_pallas_streamed(
             grid=(ntx, nty, nxb),
             in_specs=base_in_specs + [
                 pl.BlockSpec((block_rows, 128), lambda i, j, k: (k, 0),
-                             memory_space=pltpu.VMEM)],
+                             memory_space=pltpu.VMEM)]
+            + extra_specs_static,  # [LUT rows]
             out_specs=[
                 pl.BlockSpec((1, 1, rt, 128), lambda i, j, k: (i, j, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -1794,7 +1847,7 @@ def render_vrc_pallas_streamed(
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows)
+        )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows, *extra_args)
 
     def unpack(a):
         a = a.reshape(ntx, nty, tpx, tpy)
