@@ -1,22 +1,37 @@
-"""Benchmark: rays/s/chip on the BASELINE.json headline config.
+"""Benchmark: rays/s/chip on the BASELINE.json config matrix.
 
-Renders avg152T1 (the bundled reference dataset) with the flagship a1/VRC
-fused Pallas ray-marcher at 700x700, 500 samples/ray (the reference's
-maximum demonstrated workload, BASELINE.md), on the real TPU chip, and
-prints ONE JSON line:
+Headline: the flagship a1/VRC fused Pallas ray-marcher on avg152T1 (the
+bundled reference dataset) at 700x700, 500 samples/ray (the reference's
+maximum demonstrated workload, BASELINE.md), on the real TPU chip.
+
+Also regression-gates the rest of the BASELINE config matrix (VERDICT
+round-2 item 7) so the numbers can't rot silently between rounds:
+
+  * lut_phong_300:    300^2 x 300, dense-LUT classify + fused Phong
+                      (BASELINE config 2)
+  * sobel_lit_700:    700^2 x 250, Sobel gradient prefilter + shading
+                      (BASELINE config 4)
+  * streamed_320:     320^3 synthetic (beyond the VMEM-resident budget),
+                      304^2 x 300, HBM-streamed kernel (BASELINE config 3
+                      at large-volume scale)
+  * multichannel_304: 3-channel avg152-scale 4-D volume, 304^2 x 300,
+                      fused multichannel kernel (BASELINE config 5)
+
+Prints ONE JSON line:
 
     {"metric": "rays_per_sec_700x700_spr500", "value": N, "unit": "rays/s",
-     "vs_baseline": R}
+     "vs_baseline": R, "value_exact_mode": N2, "configs": {...}}
 
-Protocol: a 32-frame camera orbit is marched inside ONE jit (lax.scan over
-stacked cameras, each frame reduced on-device to its [0,0] pixel so no
-frame can be elided), timed end-to-end and divided by the frame count.
+Protocol: per config, a camera orbit is marched inside ONE jit (lax.scan
+over stacked cameras, each frame reduced on-device to its [0,0] pixel so
+no frame can be elided), timed end-to-end and divided by the frame count.
 This measures sustained device throughput the way the reference's render
 loop consumes it (frame after frame, myApp.cu:861), and keeps host-link
 round-trip latency — ~33 ms/call through the axon tunnel on this rig,
 several times the actual per-frame compute — out of the number.  Each
 repetition jitters the orbit angles so no caching layer (JAX or platform)
-can elide work; the best of 5 repetitions is reported.
+can elide work; the best repetition is reported.  The secondary configs
+are time-gated so a slow relay compile queue can't starve the headline.
 
 The reference publishes no numbers (BASELINE.md: README is build notes
 only), so ``vs_baseline`` is measured against this repo's committed anchor
@@ -37,6 +52,9 @@ DATASET = "/root/reference/avg152T1_LR_nifti2.nii"
 
 FRAMES = 32
 REPS = 5
+MATRIX_FRAMES = 8
+MATRIX_REPS = 3
+TIME_BUDGET_S = 2100  # stop starting new configs past this
 
 
 def main() -> None:
@@ -47,6 +65,7 @@ def main() -> None:
         RenderConfig,
         default_transfer_function,
         load_nifti,
+        make_volume,
     )
     from volumerenderingproject_tpu.models.raycast import render
     from volumerenderingproject_tpu.scene.camera import Camera
@@ -65,70 +84,111 @@ def main() -> None:
         width=700, height=700, samples_per_ray=500, early_termination=1e-3
     )
 
-    def orbit_cameras(jitter: np.ndarray):
-        thetas = np.linspace(0.0, 2.0 * np.pi, FRAMES + 1)[:FRAMES] + jitter
+    rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
+    t_start = time.time()
+
+    def orbit_cameras(frames, jitter: np.ndarray, radius=1.5):
+        thetas = np.linspace(0.0, 2.0 * np.pi, frames + 1)[:frames] + jitter
         cams = [
             Camera.initial(
                 position=(
-                    1.5 * np.cos(t),
+                    radius * np.cos(t),
                     0.4 + 0.2 * np.sin(2.0 * t),
-                    1.5 * np.sin(t),
+                    radius * np.sin(t),
                 )
             )
             for t in thetas
         ]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
 
-    @jax.jit
-    def render_orbit(volume, tf, cams):
-        def frame(carry, cam):
-            img = render(volume, tf, cam, config)
-            return carry + img[0, 0], None
+    def bench_config(vol, cfg, frames, reps):
+        """Best-of-reps rays/s through the render() dispatcher (which
+        routes to the fused / streamed / multichannel kernels)."""
 
-        probe, _ = jax.lax.scan(frame, jnp.zeros((4,), jnp.float32), cams)
-        return probe
+        @jax.jit
+        def render_orbit(volume_, tf_, cams):
+            def frame(carry, cam):
+                img = render(volume_, tf_, cam, cfg)
+                return carry + img[0, 0], None
 
-    config_exact = config.replace(early_termination=0.0)
+            probe, _ = jax.lax.scan(
+                frame, jnp.zeros((4,), jnp.float32), cams)
+            return probe
 
-    @jax.jit
-    def render_orbit_exact(volume, tf, cams):
-        def frame(carry, cam):
-            img = render(volume, tf, cam, config_exact)
-            return carry + img[0, 0], None
+        np.asarray(render_orbit(
+            vol, tf, orbit_cameras(frames, rng.random(frames) * 1e-4)))
+        times = []
+        for _ in range(reps):
+            cams = orbit_cameras(frames, rng.random(frames) * 1e-4)
+            t0 = time.time()
+            np.asarray(render_orbit(vol, tf, cams))
+            times.append(time.time() - t0)
+        return cfg.num_rays / (min(times) / frames)
 
-        probe, _ = jax.lax.scan(frame, jnp.zeros((4,), jnp.float32), cams)
-        return probe
-
-    rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
-    t_start = time.time()
-
-    # warm up / compile
-    np.asarray(render_orbit(volume, tf, orbit_cameras(rng.random(FRAMES) * 1e-4)))
-
-    times = []
-    for _ in range(REPS):
-        cams = orbit_cameras(rng.random(FRAMES) * 1e-4)
-        t0 = time.time()
-        np.asarray(render_orbit(volume, tf, cams))  # force full completion
-        times.append(time.time() - t0)
-    best = min(times) / FRAMES
-    rays_per_sec = config.num_rays / best
+    # ---- headline: a1 700x700 spr500 -----------------------------------
+    rays_per_sec = bench_config(volume, config, FRAMES, REPS)
 
     # exact mode (early_termination=0, bit-exact vs the scan renderer):
-    # tracked so the exactness-vs-speed tradeoff is visible round-over-round.
-    # Skipped when the relay's compile queue already ate the time budget.
+    # tracked so the exactness-vs-speed tradeoff is visible round-over-round
     rays_per_sec_exact = None
     if time.time() - t_start < 900:
-        np.asarray(
-            render_orbit_exact(volume, tf,
-                               orbit_cameras(rng.random(FRAMES) * 1e-4)))
-        times = []
-        for _ in range(max(2, REPS - 2)):
-            cams = orbit_cameras(rng.random(FRAMES) * 1e-4)
-            t0 = time.time()
-            np.asarray(render_orbit_exact(volume, tf, cams))
-            times.append(time.time() - t0)
-        rays_per_sec_exact = config.num_rays / (min(times) / FRAMES)
+        rays_per_sec_exact = bench_config(
+            volume, config.replace(early_termination=0.0),
+            FRAMES, max(2, REPS - 2))
+
+    # ---- BASELINE config matrix (time-gated) ---------------------------
+    configs = {}
+
+    def matrix(name, vol, cfg):
+        if time.time() - t_start > TIME_BUDGET_S:
+            configs[name] = None  # skipped: time budget
+            return
+        try:
+            configs[name] = round(
+                bench_config(vol, cfg, MATRIX_FRAMES, MATRIX_REPS), 1)
+        except Exception as e:  # record the failure, keep the line valid
+            configs[name] = f"error: {type(e).__name__}"
+
+    matrix(
+        "lut_phong_300",
+        volume,
+        RenderConfig(width=300, height=300, samples_per_ray=300,
+                     tf_lut=256, lighting=True, early_termination=1e-3),
+    )
+    matrix(
+        "sobel_lit_700",
+        volume,
+        RenderConfig(width=700, height=700, samples_per_ray=250,
+                     lighting=True, gradient_filter="sobel",
+                     early_termination=1e-3),
+    )
+
+    # 320^3 dense synthetic: beyond the VMEM-resident budget -> streamed
+    xs = np.linspace(-1, 1, 320, dtype=np.float32)
+    r2 = (xs[:, None, None] ** 2 + xs[None, :, None] ** 2
+          + xs[None, None, :] ** 2)
+    dense = make_volume(
+        np.where(r2 < 0.8, 55.0 + 60.0 * r2, 0.0).astype(np.float32))
+    matrix(
+        "streamed_320",
+        dense,
+        RenderConfig(width=304, height=304, samples_per_ray=300,
+                     early_termination=1e-3),
+    )
+
+    # 3-channel avg152-scale synthetic (the RGB16_4D-class workload)
+    xs = np.linspace(-1, 1, 91, dtype=np.float32)
+    r2 = (xs[:, None, None] ** 2 + xs[None, :, None] ** 2
+          + xs[None, None, :] ** 2)
+    base = np.where(r2 < 0.8, 40.0 + 80.0 * (1.0 - r2), 0.0)
+    vol3 = make_volume(
+        np.stack([base, base * 0.7, base * 0.4], axis=-1).astype(np.float32))
+    matrix(
+        "multichannel_304",
+        vol3,
+        RenderConfig(width=304, height=304, samples_per_ray=300,
+                     early_termination=1e-3),
+    )
 
     if os.path.exists(ANCHOR_PATH):
         with open(ANCHOR_PATH) as f:
@@ -149,6 +209,7 @@ def main() -> None:
     }
     if rays_per_sec_exact is not None:
         out["value_exact_mode"] = round(rays_per_sec_exact, 1)
+    out["configs"] = configs
     print(json.dumps(out))
 
 

@@ -34,15 +34,40 @@ _f32 = jnp.float32
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FitParams:
-    """Optimizable render parameters."""
+    """Optimizable render parameters.
+
+    The full parameter set named by BASELINE.json's north star: transfer
+    function (colors and, in smooth mode, interval bounds), density, and
+    lighting.  ``tf_lower``/``tf_upper``/``light`` default to ``None``
+    (excluded from the optimizable set; ``None`` is an empty pytree so
+    optax simply skips them).  Bounds gradients are nonzero only through
+    the smooth classify (``config.interp = TRILINEAR``) — the reference's
+    piecewise-constant table (TransferFunction.cu:19-23) has zero bound
+    gradients a.e., so fitting bounds *requires* the smooth relaxation.
+    ``light`` is an ops.phong.Light; its gradients flow through the fused
+    baked-light kernels when eligible (ops/pallas_march_vjp) and through
+    the XLA scan otherwise.
+    """
 
     tf_colors: jnp.ndarray  # [K, 4]
     density_scale: jnp.ndarray  # scalar
+    tf_lower: Optional[jnp.ndarray] = None  # [K] (smooth-mode bound fits)
+    tf_upper: Optional[jnp.ndarray] = None  # [K]
+    light: Optional[Any] = None  # ops.phong.Light
 
     @staticmethod
-    def init(tf: TransferFunction) -> "FitParams":
+    def init(
+        tf: TransferFunction,
+        *,
+        fit_bounds: bool = False,
+        light=None,
+    ) -> "FitParams":
         return FitParams(
-            tf_colors=tf.colors, density_scale=jnp.asarray(1.0, _f32)
+            tf_colors=tf.colors,
+            density_scale=jnp.asarray(1.0, _f32),
+            tf_lower=tf.lower if fit_bounds else None,
+            tf_upper=tf.upper if fit_bounds else None,
+            light=light,
         )
 
 
@@ -50,8 +75,8 @@ def _apply_params(
     tf: TransferFunction, params: FitParams
 ) -> TransferFunction:
     return TransferFunction(
-        lower=tf.lower,
-        upper=tf.upper,
+        lower=tf.lower if params.tf_lower is None else params.tf_lower,
+        upper=tf.upper if params.tf_upper is None else params.tf_upper,
         colors=params.tf_colors,
         hg_g=tf.hg_g,
     )
@@ -70,7 +95,8 @@ def render_loss(
     tf2 = _apply_params(tf, params)
     density = jnp.clip(params.density_scale, 0.0, None)
     if mesh is None:
-        img = _render_with_density(volume, tf2, camera, config, density)
+        img = _render_with_density(
+            volume, tf2, camera, config, density, params.light)
     else:
         from ..parallel.render_dist import render_vrc_sharded
 
@@ -85,13 +111,15 @@ def render_loss(
         # use_pallas=False: the training path must stay differentiable and
         # the forward-only segment kernel has no autodiff rule (the fused
         # diff kernels cover the single-device path; sharded training
-        # differentiates through the XLA scan segments)
+        # differentiates through the XLA scan segments).  Light and bound
+        # gradients all-reduce over the mesh exactly like the colors (XLA
+        # inserts the psum when transposing shard_map).
         img = render_vrc_sharded(volume, tf3, camera, config, mesh,
-                                 use_pallas=False)
+                                 use_pallas=False, light=params.light)
     return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
 
 
-def _render_with_density(volume, tf, camera, config, density):
+def _render_with_density(volume, tf, camera, config, density, light=None):
     # scale TF alphas by the (traced) density knob, then render
     tf2 = TransferFunction(
         lower=tf.lower,
@@ -101,9 +129,18 @@ def _render_with_density(volume, tf, camera, config, density):
     )
     from ..ops.pallas_march_vjp import (
         diff_pallas_eligible,
+        diff_pallas_light_eligible,
         render_vrc_pallas_diff,
     )
 
+    if light is not None:
+        # optimizable light: fused baked-light kernels when eligible
+        # (dL/dlight via tangent forward calls), XLA Phong scan otherwise
+        if diff_pallas_light_eligible(volume, tf2, config):
+            return render_vrc_pallas_diff(
+                volume, tf2, camera, config, light=light)
+        return raycast.render_vrc(
+            volume, tf2, camera, config, mode="fast", light=light)
     if diff_pallas_eligible(volume, tf2, config):
         # fused Pallas forward+backward (ops/pallas_march_vjp.py); the
         # alpha-column density fold above routes d/d density by chain rule
@@ -144,13 +181,20 @@ def fit_transfer_function(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    fit_bounds: bool = False,
+    light=None,
 ) -> Tuple[FitParams, list]:
-    """Optimize TF colors + density against a target image.
+    """Optimize TF colors + density (and optionally interval bounds and
+    light parameters) against a target image.
+
+    ``fit_bounds=True`` adds tf_lower/tf_upper to the optimizable set
+    (meaningful with ``config.interp = TRILINEAR``, the smooth classify);
+    ``light`` (an ops.phong.Light) adds the 10 light parameters.
 
     ``resume=True`` restores the latest checkpoint in ``checkpoint_dir``
     (params AND optimizer state, so the continued trajectory is identical
     to an uninterrupted run) and continues until ``steps`` total steps."""
-    params = FitParams.init(tf)
+    params = FitParams.init(tf, fit_bounds=fit_bounds, light=light)
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
     start = 0
@@ -183,7 +227,14 @@ def save_checkpoint(directory: str, step: int, params: FitParams,
     import os
 
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
-    state = {"params": dataclasses.asdict(params)}
+    # drop the optional fields that are not being fitted (None is an empty
+    # pytree; orbax round-trips are cleaner without the keys entirely)
+    pdict = {
+        k: v
+        for k, v in dataclasses.asdict(params).items()
+        if v is not None
+    }
+    state = {"params": pdict}
     if opt_state is not None:
         import jax as _jax
 
@@ -221,9 +272,19 @@ def load_checkpoint(directory: str, step: int, opt_state_like=None):
     ckpt = ocp.StandardCheckpointer()
     restored = ckpt.restore(path)
     p = restored.get("params", restored)  # round-1 files stored flat
+    light = None
+    if p.get("light") is not None:
+        from ..ops.phong import Light
+
+        light = Light(**{k: jnp.asarray(v) for k, v in p["light"].items()})
     params = FitParams(
         tf_colors=jnp.asarray(p["tf_colors"]),
         density_scale=jnp.asarray(p["density_scale"]),
+        tf_lower=(None if p.get("tf_lower") is None
+                  else jnp.asarray(p["tf_lower"])),
+        tf_upper=(None if p.get("tf_upper") is None
+                  else jnp.asarray(p["tf_upper"])),
+        light=light,
     )
     if opt_state_like is None:
         return params

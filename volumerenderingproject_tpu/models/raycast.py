@@ -139,6 +139,7 @@ def _vrc_sample_rgba(
     config: RenderConfig,
     shading=None,
     lut=None,
+    scatter=None,
 ) -> jnp.ndarray:
     """a1 per-sample classify: modelAux(+0.5) -> octree NN -> TF [-> Phong].
 
@@ -147,6 +148,9 @@ def _vrc_sample_rgba(
     (the working upgrade of the reference's LightInteraction stub, C16).
     ``lut``, when set, is a precompiled [N, 4] dense TF table used instead
     of the interval scan (config.tf_lut).
+    ``scatter``, when set, is a (tl_flat [X*Y*Z], light, ray_dirs) triple
+    for single-scattering (config.scattering): adds HG-phase-weighted
+    in-scattered light, see :func:`_apply_scattering`.
     """
     p = positions + jnp.asarray(0.5, _f32)  # modelAux kernel.cu:1050
     if volume.channels > 1:
@@ -200,10 +204,69 @@ def _vrc_sample_rgba(
         shaded = phong.phong_shade(rgba[..., :3], normal, view_dir, light)
         rgba = jnp.concatenate([shaded, rgba[..., 3:4]], axis=-1)
 
+    if scatter is not None:
+        if flat is None:
+            flat, valid = sampling.octree_nn_index(
+                volume.dims, volume.octree_depth, p
+            )
+        vol_flat = volume.data.reshape(-1)
+        v = jnp.maximum(jnp.take(vol_flat, flat, axis=0), 0.0)
+        v = jnp.where(valid, v, jnp.asarray(0.0, _f32))
+        rgba = _apply_scattering(
+            rgba, tf, config, scatter, flat, valid,
+            v / jnp.trunc(volume.cal_max))
+
     if config.density_scale != 1.0:
         a = rgba[..., 3:4] * jnp.asarray(config.density_scale, _f32)
         rgba = jnp.concatenate([rgba[..., :3], jnp.clip(a, 0.0, 1.0)], axis=-1)
     return rgba
+
+
+def _apply_scattering(rgba, tf, config, scatter, flat, valid, v_norm):
+    """Add single-scattered radiance to sample colors (config.scattering).
+
+    Per sample: ``rgb += strength * p_HG(cos t; g_material) * T_light(v) *
+    light.color`` — the working realization of the reference's stubbed
+    ``inscattering``/``scattering_probability`` (LightInteraction.h:10-35)
+    with the per-material HG g finally consumed by a render path
+    (Material.h:14-23 stores it but nothing reads it upstream).
+    ``T_light`` is the per-voxel light transmittance
+    (ops/phong.light_transmittance_grid); ``cos t`` is between the photon's
+    incoming propagation (-light_dir) and the outgoing direction toward the
+    camera (-ray_dir), which equals dot(ray_dir, light_dir)."""
+    from ..ops import phong
+
+    tl_flat, light, ray_dirs = scatter
+    tl = jnp.where(valid, jnp.take(tl_flat, flat, axis=0), 0.0)
+    gk = jnp.take(tf.hg_g, tf.classify_index(v_norm), axis=0)
+    ldir = light.direction / jnp.maximum(
+        jnp.linalg.norm(light.direction), 1e-8)
+    cos_t = jnp.sum(ray_dirs * ldir, axis=-1)
+    ph = phong.henyey_greenstein(cos_t, gk)
+    add = (
+        jnp.asarray(config.scattering_strength, _f32)
+        * (ph * tl)[..., None]
+        * light.color
+    )
+    return jnp.concatenate([rgba[..., :3] + add, rgba[..., 3:4]], axis=-1)
+
+
+def _make_scatter(volume, tf, config, light, ray_dirs):
+    """Build the per-call scattering inputs: the light-transmittance grid
+    (flattened) + light + unit ray directions.  Single-channel only (the
+    multichannel sampler has no per-voxel material)."""
+    from ..ops import phong
+
+    if volume.channels != 1:
+        raise NotImplementedError(
+            "config.scattering supports single-channel volumes")
+    if light is None:
+        light = phong.default_light()
+    alpha = tf.classify(
+        jnp.maximum(volume.data, 0.0) / jnp.trunc(volume.cal_max))[..., 3]
+    alpha = jnp.clip(alpha * jnp.asarray(config.density_scale, _f32), 0.0, 1.0)
+    tgrid = phong.light_transmittance_grid(alpha, light.direction)
+    return (tgrid.reshape(-1), light, ray_dirs)
 
 
 def _vrc_sample_rgba_multichannel(
@@ -359,7 +422,7 @@ def render_vrc(
     clip = jnp.asarray(config.front_clip, _f32)
 
     shading = None
-    if config.lighting or light is not None:
+    if config.lighting or (light is not None and not config.scattering):
         from ..ops import conv3d, phong
 
         if light is None:
@@ -369,11 +432,16 @@ def render_vrc(
             data, config.gradient_filter, config.presmooth_sigma)
         shading = (grad.reshape(-1, 3), light, -dirs)
     lut = tf.to_lut(config.tf_lut) if config.tf_lut else None
+    scatter = (
+        _make_scatter(volume, tf, config, light, dirs)
+        if config.scattering else None
+    )
 
     def sample_rgba(i):
         t = i * ds + clip  # kernel.cu:54,59
         pos = origins + t * dirs
-        return _vrc_sample_rgba(pos, volume, tf, config, shading, lut)
+        return _vrc_sample_rgba(pos, volume, tf, config, shading, lut,
+                                scatter)
 
     return _march(sample_rgba, config, mode, remat)
 
@@ -389,6 +457,7 @@ def render_vrc_segment(
     s_start: jnp.ndarray | int = 0,
     s_count: int | None = None,
     remat: bool = True,
+    light=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shardable a1 work unit: columns [x_offset, x_offset+local_width) x
     samples [s_start, s_start+s_count) -> front-to-back (C, T) segment.
@@ -396,7 +465,8 @@ def render_vrc_segment(
     Used by parallel/render_dist.py under shard_map: the rays axis needs no
     communication; sample-axis segments compose with
     ops/composite.segment_compose (the over operator is associative in
-    (C, T) form — SURVEY.md §5 long-context analog).
+    (C, T) form — SURVEY.md §5 long-context analog).  ``light`` overrides
+    the default light (sharded light-parameter fits, diff/fit.py).
     """
     w_local = config.width if local_width is None else local_width
     origins = ray_origins(camera, config, x_offset, w_local)
@@ -405,19 +475,26 @@ def render_vrc_segment(
     clip = jnp.asarray(config.front_clip, _f32)
 
     shading = None
-    if config.lighting:
+    if config.lighting or (light is not None and not config.scattering):
         from ..ops import conv3d, phong
 
+        if light is None:
+            light = phong.default_light()
         data = volume.data if volume.channels == 1 else volume.data[..., 0]
         grad = conv3d.gradient_field(
             data, config.gradient_filter, config.presmooth_sigma)
-        shading = (grad.reshape(-1, 3), phong.default_light(), -dirs)
+        shading = (grad.reshape(-1, 3), light, -dirs)
     lut = tf.to_lut(config.tf_lut) if config.tf_lut else None
+    scatter = (
+        _make_scatter(volume, tf, config, light, dirs)
+        if config.scattering else None
+    )
 
     def sample_rgba(i):
         t = i * ds + clip
         pos = origins + t * dirs
-        return _vrc_sample_rgba(pos, volume, tf, config, shading, lut)
+        return _vrc_sample_rgba(pos, volume, tf, config, shading, lut,
+                                scatter)
 
     return _march(
         sample_rgba,
@@ -455,7 +532,7 @@ def render_test(
 def _a5_sample_fn(volume, tf, camera, config, x, y, light):
     """Build the a5 per-step sampler (shared by full and segment renders)."""
     vol_flat = volume.data.reshape(-1)
-    lit = config.lighting or light is not None
+    lit = config.lighting or (light is not None and not config.scattering)
     if lit:
         from ..ops import conv3d, phong
 
@@ -466,15 +543,19 @@ def _a5_sample_fn(volume, tf, camera, config, x, y, light):
             data, config.gradient_filter, config.presmooth_sigma
         ).reshape(-1, 3)
         view_dir = -camera.front
+    # a5 marches along camera.front for every ray (kernel.cu:1190)
+    scatter = (
+        _make_scatter(volume, tf, config, light, camera.front)
+        if config.scattering else None
+    )
 
     def sample_rgba(i):
         pos = _a5_positions(x, y, i, camera, volume, config)
         rgba = sampling.trilinear_color_sample(
             vol_flat, volume.dims, pos, tf.classify, volume.cal_max
         )
-        if not lit:
+        if not lit and scatter is None:
             return rgba
-        from ..ops import phong as _phong
 
         d1, d2, d3 = volume.dims
         dimv = jnp.asarray(volume.dims, _f32)
@@ -485,10 +566,21 @@ def _a5_sample_fn(volume, tf, camera, config, x, y, light):
             + jnp.clip(ijk[..., 1], 0, d2 - 1) * d3
             + jnp.clip(ijk[..., 2], 0, d3 - 1)
         )
-        normal = jnp.take(grad_flat, flat, axis=0)
-        normal = jnp.where(inside[..., None], normal, 0.0)
-        shaded = _phong.phong_shade(rgba[..., :3], normal, view_dir, light)
-        return jnp.concatenate([shaded, rgba[..., 3:4]], axis=-1)
+        if lit:
+            from ..ops import phong as _phong
+
+            normal = jnp.take(grad_flat, flat, axis=0)
+            normal = jnp.where(inside[..., None], normal, 0.0)
+            shaded = _phong.phong_shade(
+                rgba[..., :3], normal, view_dir, light)
+            rgba = jnp.concatenate([shaded, rgba[..., 3:4]], axis=-1)
+        if scatter is not None:
+            v = jnp.maximum(jnp.take(vol_flat, flat, axis=0), 0.0)
+            v = jnp.where(inside, v, 0.0)
+            rgba = _apply_scattering(
+                rgba, tf, config, scatter, flat, inside,
+                v / volume.cal_max)
+        return rgba
 
     return sample_rgba
 
@@ -504,13 +596,14 @@ def render_test_segment(
     s_start: jnp.ndarray | int = 0,
     s_count: int | None = None,
     remat: bool = True,
+    light=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shardable a5 work unit (cf. render_vrc_segment): columns x samples
     tile -> (C, T) segment.  The a5 grid is indexed by global pixel
     coordinates, so the local grid carries the x offset."""
     w_local = config.width if local_width is None else local_width
     x, y = pixel_grid(config, x_offset, w_local)
-    sample_rgba = _a5_sample_fn(volume, tf, camera, config, x, y, None)
+    sample_rgba = _a5_sample_fn(volume, tf, camera, config, x, y, light)
     return _march(
         sample_rgba,
         config,
@@ -580,6 +673,7 @@ def _pallas_eligible(volume: Volume, tf, config: RenderConfig,
         and kernel_lighting_ok
         and config.interp is Interp.NEAREST
         and config.empty_space_skipping
+        and not config.scattering
     )
 
 
@@ -605,6 +699,7 @@ def _pallas_streamed_eligible(volume: Volume, tf, config: RenderConfig,
         and config.interp is Interp.NEAREST
         and (not config.tf_lut or config.tf_lut <= 1024)
         and config.empty_space_skipping
+        and not config.scattering
     )
 
 
@@ -625,6 +720,7 @@ def _pallas_a5_eligible(volume: Volume, config: RenderConfig,
         and volume.channels == 1
         and volume.dims[2] <= 127
         and (not config.lighting or a5_baked_light_feasible(volume.dims))
+        and not config.scattering
     )
 
 

@@ -867,7 +867,7 @@ def bake_light_grids(
     ``light.color`` so M collapses to one channel-independent grid.
     Supports every gradient_filter / presmooth_sigma (the bake runs the
     same XLA convolution the scan renderer uses)."""
-    from . import conv3d
+    from . import conv3d, phong
 
     grad = conv3d.gradient_field(
         data, config.gradient_filter, config.presmooth_sigma)  # [X,Y,Z,3]
@@ -882,7 +882,7 @@ def bake_light_grids(
     w = jnp.clip(n_norm / np.float32(1e-3), 0.0, 1.0)  # grad_threshold
     lc = light.color[0]
     m = 1.0 - w + w * (light.ambient + light.diffuse * ndotl * lc)
-    s = w * light.specular * (ndoth ** light.shininess) * lc
+    s = w * light.specular * phong.safe_pow(ndoth, light.shininess) * lc
     return m, s
 
 

@@ -44,12 +44,16 @@ skips that are exact for values are NOT exact for parameter gradients.
 Early ray termination (T == 0) stays exact in both directions and is
 what the backward's suffix arithmetic degrades to gracefully.
 
-Gradients are exposed for ``tf.colors`` only (and, by chain rule through
-an external alpha-column fold, a global density scale — diff/fit.py).
-Cotangents for the volume, camera, and TF bounds are zero through this
-path: volume/bounds grads are zero a.e. anyway under nearest-neighbor
-sampling + a piecewise-constant TF (SURVEY.md §7 "differentiability of
-non-smooth ops"); camera grads require the XLA renderer.
+Gradients are exposed for ``tf.colors`` (and, by chain rule through an
+external alpha-column fold, a global density scale — diff/fit.py) and,
+when a traced light is passed, for the 10 Blinn-Phong light parameters
+through the baked-light path (``_make_lit_core``: the render is linear
+in the baked (M, S) grids, so dL/dlight is computed with tangent forward
+kernel calls).  Cotangents for the volume, camera, and TF bounds are
+zero through this path: volume/bounds grads are zero a.e. anyway under
+nearest-neighbor sampling + a piecewise-constant TF (SURVEY.md §7
+"differentiability of non-smooth ops"); camera grads require the XLA
+renderer.
 """
 
 from __future__ import annotations
@@ -481,6 +485,128 @@ def _make_core(dims, depth, num_intervals, width, height, spr, conic,
     return core
 
 
+@functools.lru_cache(maxsize=32)
+def _make_lit_core(dims, depth, num_intervals, width, height, spr, conic,
+                   nb, rows, interpret, zpack, gradient_filter,
+                   presmooth_sigma):
+    """Light-differentiable wrapper over the baked-light core: exposes
+    gradients w.r.t. the 10-scalar light parameter vector
+    (ops/phong.light_to_vec) in addition to the TF colors.
+
+    Math: lighting only touches the rgb channels (alpha, hence every
+    march weight w_s = T_s a_s, is light-independent), so the rendered
+    color is EXACTLY linear in the baked (M, S) grids:
+
+        C = sum_s w_s (c_s M_{v_s} + S_{v_s}) + T_N bg
+
+    The backward therefore computes dL/dlight_p as an inner product of the
+    upstream cotangent with a *tangent forward call*: run the unmodified
+    forward kernel with (M, S) replaced by the bake's JVP grids
+    (dM_p, dS_p).  One correction: samples outside the volume are shaded
+    with the constants (M, S) = (1, 0) in-kernel, so the tangent call
+    overcounts them by core(colors, ..., 1->?); evaluating the kernel once
+    with all-zero grids isolates exactly that out-of-volume term, which is
+    subtracted.  Exact for any TF table (including alpha0 > 0), at the
+    cost of (n_params + 1) forward kernel calls in the backward — cheap at
+    fit resolutions, and incurred only when light gradients are requested.
+
+    The bake collapses the light color to its channel mean (identical for
+    the uniform colors the baked forward requires; gives symmetric
+    per-channel color gradients, so gradient descent preserves
+    uniformity).  Upgrades the reference's LightInteraction stub API
+    (LightInteraction.h:10-35) into a real optimizable light model.
+    """
+    from .pallas_march import _stage_f32_rows, bake_light_grids
+    from . import phong
+    from ..utils.config import RenderConfig
+    import dataclasses as _dc
+
+    core = _make_core(dims, depth, num_intervals, width, height, spr,
+                      conic, nb, rows, interpret, zpack, True)
+    d1, d2, d3 = dims
+    bake_cfg = RenderConfig(
+        gradient_filter=gradient_filter, presmooth_sigma=presmooth_sigma)
+
+    def bake_stage(light_vec, view_dir, data3d):
+        lg = phong.light_from_vec(light_vec)
+        lg = _dc.replace(
+            lg, color=jnp.full((3,), jnp.mean(lg.color), _f32))
+        mgrid, sgrid = bake_light_grids(data3d, bake_cfg, lg, view_dir)
+        return (_stage_f32_rows(mgrid, d1, d2, d3),
+                _stage_f32_rows(sgrid, d1, d2, d3))
+
+    @jax.custom_vjp
+    def lit(colors, light_vec, view_dir, data3d, lower, upper, scal,
+            vol_rows, occ):
+        mg, sgd = bake_stage(light_vec, view_dir, data3d)
+        return core(colors, lower, upper, scal, vol_rows, occ, mg, sgd)
+
+    def lit_fwd(colors, light_vec, view_dir, data3d, lower, upper, scal,
+                vol_rows, occ):
+        out = lit(colors, light_vec, view_dir, data3d, lower, upper, scal,
+                  vol_rows, occ)
+        return out, (colors, light_vec, view_dir, data3d, lower, upper,
+                     scal, vol_rows, occ)
+
+    def lit_bwd(res, g):
+        (colors, light_vec, view_dir, data3d, lower, upper, scal,
+         vol_rows, occ) = res
+        mg, sgd = bake_stage(light_vec, view_dir, data3d)
+        _, vjp = jax.vjp(
+            lambda c: core(c, lower, upper, scal, vol_rows, occ, mg, sgd),
+            colors)
+        (dcolors,) = vjp(g)
+        g_cr, g_cg, g_cb, _g_t = g
+
+        def dot_rgb(tiles):
+            tcr, tcg, tcb, _ = tiles
+            return (jnp.sum(g_cr * tcr) + jnp.sum(g_cg * tcg)
+                    + jnp.sum(g_cb * tcb))
+
+        zero_grid = jnp.zeros_like(mg)
+        # out-of-volume samples read (M, S) = (1, 0) constants in-kernel;
+        # the all-zero-grid call isolates exactly their tangent overcount
+        oov = dot_rgb(core(colors, lower, upper, scal, vol_rows, occ,
+                           zero_grid, jnp.zeros_like(sgd)))
+
+        def one(p):
+            e = jnp.zeros_like(light_vec).at[p].set(1.0)
+            _, (dmg, dsgd) = jax.jvp(
+                lambda lv: bake_stage(lv, view_dir, data3d),
+                (light_vec,), (e,))
+            return dot_rgb(core(colors, lower, upper, scal, vol_rows, occ,
+                                dmg, dsgd)) - oov
+
+        dlight = jnp.stack([one(p) for p in range(phong.N_LIGHT_PARAMS)])
+        z = jnp.zeros_like
+        return (dcolors, dlight, z(view_dir), z(data3d), z(lower),
+                z(upper), z(scal), _zero_cot_pub(vol_rows),
+                _zero_cot_pub(occ))
+
+    lit.defvjp(lit_fwd, lit_bwd)
+    return lit
+
+
+def _zero_cot_pub(x):
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return np.zeros(x.shape, jax.dtypes.float0)
+    return jnp.zeros_like(x)
+
+
+def diff_pallas_light_eligible(volume: Volume, tf: TransferFunction,
+                               config: RenderConfig) -> bool:
+    """Static predicate: can a fit optimize *light parameters* through the
+    fused kernels?  Needs the baked-light path (ortho camera + VMEM
+    budget) on top of the base diff-kernel eligibility."""
+    from .pallas_march import baked_light_feasible
+
+    return (
+        diff_pallas_eligible(volume, tf, config)
+        and not config.conic
+        and baked_light_feasible(volume.dims, tf.num_intervals, config)
+    )
+
+
 def diff_pallas_eligible(volume: Volume, tf: TransferFunction,
                          config: RenderConfig) -> bool:
     """True when the fused differentiable kernel implements this render
@@ -507,6 +633,7 @@ def diff_pallas_eligible(volume: Volume, tf: TransferFunction,
         and config.interp is Interp.NEAREST
         and not config.tf_lut
         and tf.num_intervals <= 16
+        and not config.scattering
     )
 
 
@@ -559,12 +686,21 @@ def render_vrc_pallas_diff(
     if tf.num_intervals > 16:
         raise ValueError("diff pallas path supports at most 16 TF intervals")
     baked = bool(config.lighting) or light is not None
+    light_traced = False
     if baked:
         from . import phong
         from .pallas_march import _uniform_light_color
 
         lg = light if light is not None else phong.default_light()
-        if (config.conic or not _uniform_light_color(light)
+        # a light with traced leaves (e.g. FitParams.light under jit) takes
+        # the light-differentiable core: dL/d(light params) through tangent
+        # forward calls (_make_lit_core); its bake collapses the color to
+        # the channel mean, so the uniformity check is moot there.
+        light_traced = light is not None and any(
+            isinstance(leaf, jax.core.Tracer)
+            for leaf in jax.tree.leaves(light))
+        if (config.conic
+                or not (light_traced or _uniform_light_color(light))
                 or not baked_light_feasible(
                     volume.dims, tf.num_intervals, config)):
             raise ValueError(
@@ -651,21 +787,35 @@ def render_vrc_pallas_diff(
         jnp.zeros((3,), _f32),
     ])
 
-    if baked:
-        mgrid, sgrid = bake_light_grids(
-            volume.data.reshape(volume.dims), config, lg, -camera.front)
-        mg = sg(_stage_f32_rows(mgrid, d1, d2, d3))
-        sgd = sg(_stage_f32_rows(sgrid, d1, d2, d3))
-    else:
-        mg = sgd = jnp.zeros((8, 128), _f32)  # ignored dummies
+    if baked and light_traced:
+        from . import phong
 
-    core = _make_core(
-        volume.dims, volume.octree_depth, tf.num_intervals, w, h,
-        config.samples_per_ray, bool(config.conic), nb, rows,
-        bool(interpret), zpack, baked,
-    )
-    cr, cg, cb, t = core(colors, tf.lower, tf.upper, scal, vol_rows, occ,
-                         mg, sgd)
+        lit = _make_lit_core(
+            volume.dims, volume.octree_depth, tf.num_intervals, w, h,
+            config.samples_per_ray, bool(config.conic), nb, rows,
+            bool(interpret), zpack, config.gradient_filter,
+            float(config.presmooth_sigma),
+        )
+        cr, cg, cb, t = lit(
+            colors, phong.light_to_vec(lg), -camera.front,
+            volume.data.reshape(volume.dims), tf.lower, tf.upper, scal,
+            vol_rows, occ)
+    else:
+        if baked:
+            mgrid, sgrid = bake_light_grids(
+                volume.data.reshape(volume.dims), config, lg, -camera.front)
+            mg = sg(_stage_f32_rows(mgrid, d1, d2, d3))
+            sgd = sg(_stage_f32_rows(sgrid, d1, d2, d3))
+        else:
+            mg = sgd = jnp.zeros((8, 128), _f32)  # ignored dummies
+
+        core = _make_core(
+            volume.dims, volume.octree_depth, tf.num_intervals, w, h,
+            config.samples_per_ray, bool(config.conic), nb, rows,
+            bool(interpret), zpack, baked,
+        )
+        cr, cg, cb, t = core(colors, tf.lower, tf.upper, scal, vol_rows,
+                             occ, mg, sgd)
 
     ntx = -(-w // TILE_PX)
     nty = -(-h // TILE_PY)

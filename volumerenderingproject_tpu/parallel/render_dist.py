@@ -124,6 +124,7 @@ def _pallas_segment_eligible(
         and config.interp is Interp.NEAREST
         and (not config.tf_lut or config.tf_lut <= 1024)
         and config.empty_space_skipping
+        and not config.scattering
     )
 
 
@@ -137,6 +138,7 @@ def render_vrc_sharded(
     remat: bool = True,
     use_pallas: bool | None = None,
     pallas_interpret: bool = False,
+    light=None,
 ) -> jnp.ndarray:
     """Distributed a1/VRC render over a ("rays", "samples", "volume") mesh.
 
@@ -177,16 +179,24 @@ def render_vrc_sharded(
             "volume-axis sharding requires a consistent slab visit order; "
             "conic rays can disagree on sign(dir.x) — use rays/samples axes"
         )
+    if n_vol > 1 and config.scattering:
+        raise NotImplementedError(
+            "config.scattering needs the full volume for the light-"
+            "transmittance sweep; use rays/samples axes"
+        )
     w_local = config.width // n_rays
     s_local = config.samples_per_ray // n_samp
     slab_x = volume.dims[0] // n_vol if n_vol > 1 else None
 
     if use_pallas is None:
+        # an explicit light is threaded through the XLA segment paths only
+        # (the fused segment kernel shades with the default light)
         use_pallas = (
             jax.default_backend() == "tpu" or pallas_interpret
-        ) and _pallas_segment_eligible(volume, tf, config, slab_x)
+        ) and light is None and _pallas_segment_eligible(
+            volume, tf, config, slab_x)
 
-    def tile_fn(vol_data, cal_max, tf_, cam):
+    def tile_fn(vol_data, cal_max, tf_, cam, lgt):
         ri = jax.lax.axis_index("rays")
         si = jax.lax.axis_index("samples")
         if use_pallas:
@@ -242,6 +252,7 @@ def render_vrc_sharded(
                 s_start=si * s_local,
                 s_count=s_local,
                 remat=remat,
+                light=lgt,
             )
         else:
             seg = _render_segment_volume_slab(
@@ -257,6 +268,7 @@ def render_vrc_sharded(
                 dims=volume.dims,
                 depth=volume.octree_depth,
                 remat=remat,
+                light=lgt,
             )
         if n_vol > 1:
             # compose slabs in visibility order: front.x >= 0 means rays
@@ -279,11 +291,11 @@ def render_vrc_sharded(
     fn = shard_map(
         tile_fn,
         mesh=mesh,
-        in_specs=(vol_spec, P(), P(), P()),
+        in_specs=(vol_spec, P(), P(), P(), P()),
         out_specs=P("rays"),
         check_vma=False,
     )
-    return fn(volume.data, volume.cal_max, tf, camera)
+    return fn(volume.data, volume.cal_max, tf, camera, light)
 
 
 def _with_x_halo(slab: jnp.ndarray, hw: int, axis_name: str = "volume"
@@ -332,6 +344,7 @@ def _render_segment_volume_slab(
     dims: Tuple[int, int, int],
     depth: int,
     remat: bool,
+    light=None,
 ):
     """March a ray/sample tile against one x-slab of the volume.
 
@@ -348,7 +361,8 @@ def _render_segment_volume_slab(
 
     a5 = config.algorithm is Algorithm.TEST
     need_halo = (
-        a5 or config.lighting or config.interp is not Interp.NEAREST
+        a5 or config.lighting or light is not None
+        or config.interp is not Interp.NEAREST
     )
     # hw=2: the a5/trilinear-color corner fetch guards only flat < totaldim
     # (kernel.cu:130), so a y-wrap AND z-wrap can compound into the row two
@@ -358,7 +372,7 @@ def _render_segment_volume_slab(
     ext_flat = ext.reshape(-1) if need_halo else None
 
     shading = None
-    if config.lighting:
+    if config.lighting or light is not None:
         from ..ops import conv3d, phong
 
         # gradient on the extended slab: owned voxels see the same
@@ -370,7 +384,8 @@ def _render_segment_volume_slab(
                 "than 2 voxels; use rays/samples axes")
         grad_ext = conv3d.gradient_field(
             ext, config.gradient_filter, 0.0).reshape(-1, 3)
-        shading = (grad_ext, phong.default_light())
+        shading = (grad_ext,
+                   light if light is not None else phong.default_light())
 
     origins = raycast.ray_origins(camera, config, x_offset, local_width)
     dirs = raycast.primary_ray_dirs(camera, config, x_offset, local_width)
@@ -516,8 +531,10 @@ def render_vrc_sharded_jit(
     remat: bool = True,
     use_pallas: bool | None = None,
     pallas_interpret: bool = False,
+    light=None,
 ) -> jnp.ndarray:
     return render_vrc_sharded(
         volume, tf, camera, config, mesh, remat=remat,
         use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+        light=light,
     )

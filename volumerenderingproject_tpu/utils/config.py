@@ -70,6 +70,15 @@ class RenderConfig:
     # classic fast path for large TF tables (BASELINE config 2 "TF LUT");
     # with the default 4-interval table the scan is already cheap.
     tf_lut: int = 0
+    # single-scattering light transport (off by default): adds in-scattered
+    # radiance — Henyey-Greenstein phase (per-material g, Material.h:14-23)
+    # x per-voxel light transmittance (a sheared plane sweep along the
+    # light direction) — to every sample.  Realizes the reference's
+    # declared-but-stubbed radiative-transfer API (optical_depth /
+    # inscattering / extinction, LightInteraction.h:10-35) for real, and
+    # puts the HG phase function in an actual render path.
+    scattering: bool = False
+    scattering_strength: float = 1.0
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:
