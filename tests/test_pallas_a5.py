@@ -105,3 +105,52 @@ def test_a5_baked_light_feasibility():
     assert a5_baked_light_feasible((91, 109, 91))  # avg152
     assert not a5_baked_light_feasible((300, 300, 120))  # 3 grids >> VMEM
     assert not a5_baked_light_feasible((10, 10, 200))  # z over the lanes
+
+
+def test_a5_packed_matches_xla():
+    """z > 127 routes to the packed 4-bit interval-id grid (VERDICT round-2
+    item 3) — exact vs the XLA renderer, including negative intensities
+    (the a5 classify has no negative clamp, PARITY C4)."""
+    rng = np.random.default_rng(9)
+    vol_np = rng.uniform(-30.0, 255.0, size=(12, 14, 150)).astype(np.float32)
+    volume = make_volume(vol_np)
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
+    cfg = RenderConfig(width=20, height=18, samples_per_ray=40)
+    want = np.asarray(render_test(volume, tf, cam, cfg, mode="fast"))
+    got = np.asarray(
+        render_test_pallas(volume, tf, cam, cfg, early_eps=0.0,
+                           interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_a5_packed_wrap_quirks():
+    """Packed-grid wraps: the z+1 tap at z == d3-1 reads the wrap slot
+    (next row's voxel 0) and a y+1 tap at y == d2-1 normalizes into the
+    next x row — same oracle-agreement scheme as the f32 wrap test, on a
+    z > 127 volume with hot voxels at the wrap targets."""
+    tf = default_transfer_function()
+    vol_np = np.zeros((6, 6, 130), np.float32)
+    vol_np[2, 3, 0] = 150.0  # wrap target of (x=2, y=2, z=129)'s z+1 tap
+    vol_np[2, 2, 129] = 150.0
+    vol_np[3, 0, 64] = 150.0  # y-wrap target of (x=2, y=5, z=64)
+    vol_np[2, 5, 64] = 150.0
+    volume = make_volume(vol_np)
+    cam = Camera.initial(position=(0.1, 0.2, 0.95))
+    cfg = RenderConfig(width=16, height=16, samples_per_ray=24)
+    want = np.asarray(render_test(volume, tf, cam, cfg, mode="fast"))
+    got = np.asarray(
+        render_test_pallas(volume, tf, cam, cfg, early_eps=0.0,
+                           interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_a5_packed_geometry_mni_scale():
+    from volumerenderingproject_tpu.ops.pallas_a5 import a5_packed_geometry
+
+    zp = a5_packed_geometry((182, 218, 182), 4)  # MNI-1mm class
+    assert zp is not None
+    zw, ypack, nyg = zp
+    assert (182 + 1) <= zw * 8 and ypack * zw <= 128
+    assert a5_packed_geometry((10, 10, 1030), 4) is None  # z over 1023
+    assert a5_packed_geometry((10, 10, 150), 20) is None  # ids over a nibble

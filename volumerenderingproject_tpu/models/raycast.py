@@ -703,23 +703,31 @@ def _pallas_streamed_eligible(volume: Volume, tf, config: RenderConfig,
     )
 
 
-def _pallas_a5_eligible(volume: Volume, config: RenderConfig,
+def _pallas_a5_eligible(volume: Volume, tf, config: RenderConfig,
                         mode: str) -> bool:
     """True when the fused a5 Pallas kernel (ops/pallas_a5.py) implements
-    this exact render: fast mode, single channel, z <= 127 lanes (z + the
-    flat-wrap slot); lighting runs through baked per-voxel Phong factor
-    grids when they fit VMEM (the a5 view direction is camera.front for
-    every ray, so the bake is camera-exact — no ortho restriction)."""
+    this exact render: fast mode, single channel, and either z <= 127 f32
+    lanes (z + the flat-wrap slot) or the packed 4-bit interval-id grid
+    (z <= 1023, MNI-1mm-class, unlit); lighting runs through baked
+    per-voxel Phong factor grids when they fit VMEM (the a5 view direction
+    is camera.front for every ray, so the bake is camera-exact — no ortho
+    restriction)."""
     import jax as _jax
 
-    from ..ops.pallas_a5 import a5_baked_light_feasible
+    from ..ops.pallas_a5 import a5_baked_light_feasible, a5_packed_geometry
 
+    fits_f32 = volume.dims[2] <= 127
+    fits = fits_f32 or (
+        not config.lighting
+        and a5_packed_geometry(volume.dims, tf.num_intervals) is not None
+    )
     return (
         _jax.default_backend() == "tpu"
         and mode == "fast"
         and volume.channels == 1
-        and volume.dims[2] <= 127
-        and (not config.lighting or a5_baked_light_feasible(volume.dims))
+        and fits
+        and (not config.lighting
+             or (fits_f32 and a5_baked_light_feasible(volume.dims)))
         and not config.scattering
     )
 
@@ -742,7 +750,7 @@ def render(
     placement).
     """
     if config.algorithm is Algorithm.TEST:
-        if _pallas_a5_eligible(volume, config, mode):
+        if _pallas_a5_eligible(volume, tf, config, mode):
             from ..ops.pallas_a5 import render_test_pallas
 
             return render_test_pallas(

@@ -72,12 +72,22 @@ def _a5_kernel(
     height: int,
     spr: int,
     baked_light: bool = False,
+    zpack: Tuple[int, int, int] | None = None,
 ):
     """``baked_light``: Blinn-Phong on the containing voxel's gradient
     normal (models/raycast._a5_sample_fn lit branch) via per-voxel (M, S)
     factor grids baked in XLA (ops/pallas_march.bake_light_grids) — exact
     for ANY a5 camera because the a5 view direction is the camera front
-    for every ray (kernel.cu:1190; raycast.py view_dir = -camera.front)."""
+    for every ray (kernel.cu:1190; raycast.py view_dir = -camera.front).
+
+    ``zpack`` (zw, ypack, nyg): packed mode — ``vol_ref`` holds 4-bit
+    per-voxel TF-interval ids (a5_pack_id_grid: z-major incl. the z-wrap
+    slot at index d3, ``ypack`` y-columns per 128-lane row).  Lifts the
+    z <= 127 f32 limit to z <= 1023 (MNI-1mm-class a5, VERDICT item 3);
+    exact because the a5 classify is per-CORNER, so corner ids + the color
+    table reproduce corner colors bit-for-bit, including the flat-index
+    wraps (a y-wrap normalizes through rid // d2 before the group
+    decomposition; the z-wrap reads the packed slot at z == d3)."""
     rest = list(rest)
     mg_ref = rest.pop(0) if baked_light else None
     sg_ref = rest.pop(0) if baked_light else None
@@ -86,6 +96,9 @@ def _a5_kernel(
     total = d1 * d2 * d3
     nchunks = -(-spr // STEPS)
     df = [np.float32(d) for d in dims]
+    packed = zpack is not None
+    if packed:
+        zw, ypack, nyg = zpack
 
     s1 = scal_ref[0]  # real_screen_width / width
     s2 = scal_ref[1]  # real_screen_height / height
@@ -165,75 +178,145 @@ def _a5_kernel(
         rid01 = jnp.where(valid, ixi * d2 + iy1i, neg1)
         rid10 = jnp.where(valid, ix1i * d2 + iyi, neg1)
         rid11 = jnp.where(valid, ix1i * d2 + iy1i, neg1)
-        lz = jnp.where(valid, jnp.clip(izi, 0, 127), 0)
-        lz1 = jnp.where(valid, jnp.clip(iz1i, 0, 127), 0)
+        rids = (rid00, rid01, rid10, rid11)
 
-        rxmin = jnp.min(jnp.where(valid, ixi, _BIG))
-        rymin = jnp.min(jnp.where(valid, iyi, _BIG))
-        rxmax = jnp.max(jnp.where(valid, ix1i, -1))
-        rymax = jnp.max(jnp.where(valid, iy1i, -1))
-
-        # ---- fetch: one row read + 2 lane gathers + 8 selects per row --
-        # (+2 reads/gathers for the baked shading factors at the
-        # containing voxel, which is exactly corner 00's row/lane)
-        def fx_loop(dxi, accs):
-            cx = rxmin + dxi
-
-            def fy_loop(dyi, accs):
-                acc8 = accs[:8]
-                cy = rymin + dyi
-                crow = cx * d2 + cy
-                rowv = vol_ref[pl.ds(crow, 1), :]
-                bc = jnp.broadcast_to(rowv, (8, 128))
-                gz = jnp.take_along_axis(bc, lz, axis=1)
-                gz1 = jnp.take_along_axis(bc, lz1, axis=1)
-                out = (
-                    jnp.where(rid00 == crow, gz, acc8[0]),
-                    jnp.where(rid00 == crow, gz1, acc8[1]),
-                    jnp.where(rid01 == crow, gz, acc8[2]),
-                    jnp.where(rid01 == crow, gz1, acc8[3]),
-                    jnp.where(rid10 == crow, gz, acc8[4]),
-                    jnp.where(rid10 == crow, gz1, acc8[5]),
-                    jnp.where(rid11 == crow, gz, acc8[6]),
-                    jnp.where(rid11 == crow, gz1, acc8[7]),
-                )
-                if baked_light:
-                    # M/S rows have no wrap margin: clip the access (the
-                    # rid00 == crow select rejects clipped misreads)
-                    crowc = jnp.clip(crow, 0, d1 * d2 - 1)
-                    bm = jnp.broadcast_to(
-                        mg_ref[pl.ds(crowc, 1), :], (8, 128))
-                    bs = jnp.broadcast_to(
-                        sg_ref[pl.ds(crowc, 1), :], (8, 128))
-                    out = out + (
-                        jnp.where(rid00 == crow,
-                                  jnp.take_along_axis(bm, lz, axis=1),
-                                  accs[8]),
-                        jnp.where(rid00 == crow,
-                                  jnp.take_along_axis(bs, lz, axis=1),
-                                  accs[9]),
-                    )
-                return out
-
-            return jax.lax.fori_loop(0, rymax - rymin + 1, fy_loop, accs)
-
-        nacc = 10 if baked_light else 8
-        zeros8 = tuple(jnp.zeros((8, 128), _f32) for _ in range(nacc))
-        accs = jax.lax.fori_loop(0, rxmax - rxmin + 1, fx_loop, zeros8)
-        acc8 = accs[:8]
-
-        # only-guard-is-flat<total, incl. the z-wrap (kernel.cu:129-159);
-        # the row staging realizes the wrap value, the guard the cutoff
+        # only-guard-is-flat<total, incl. the z-wrap (kernel.cu:129-159)
         flats = (
             rid00 * d3 + izi, rid00 * d3 + iz1i,
             rid01 * d3 + izi, rid01 * d3 + iz1i,
             rid10 * d3 + izi, rid10 * d3 + iz1i,
             rid11 * d3 + izi, rid11 * d3 + iz1i,
         )
-        inten = [jnp.where(fl < total, a, 0.0) for a, fl in zip(acc8, flats)]
 
-        # classify the 8 corners, then mix COLORS y->x->z (kernel.cu:161-175)
-        cols = [classify(it / cal) for it in inten]  # 8 x [4 x (8,128)]
+        if not packed:
+            lz = jnp.where(valid, jnp.clip(izi, 0, 127), 0)
+            lz1 = jnp.where(valid, jnp.clip(iz1i, 0, 127), 0)
+
+            rxmin = jnp.min(jnp.where(valid, ixi, _BIG))
+            rymin = jnp.min(jnp.where(valid, iyi, _BIG))
+            rxmax = jnp.max(jnp.where(valid, ix1i, -1))
+            rymax = jnp.max(jnp.where(valid, iy1i, -1))
+
+            # ---- fetch: one row read + 2 lane gathers + 8 selects/row --
+            # (+2 reads/gathers for the baked shading factors at the
+            # containing voxel, which is exactly corner 00's row/lane)
+            def fx_loop(dxi, accs):
+                cx = rxmin + dxi
+
+                def fy_loop(dyi, accs):
+                    acc8 = accs[:8]
+                    cy = rymin + dyi
+                    crow = cx * d2 + cy
+                    rowv = vol_ref[pl.ds(crow, 1), :]
+                    bc = jnp.broadcast_to(rowv, (8, 128))
+                    gz = jnp.take_along_axis(bc, lz, axis=1)
+                    gz1 = jnp.take_along_axis(bc, lz1, axis=1)
+                    out = (
+                        jnp.where(rid00 == crow, gz, acc8[0]),
+                        jnp.where(rid00 == crow, gz1, acc8[1]),
+                        jnp.where(rid01 == crow, gz, acc8[2]),
+                        jnp.where(rid01 == crow, gz1, acc8[3]),
+                        jnp.where(rid10 == crow, gz, acc8[4]),
+                        jnp.where(rid10 == crow, gz1, acc8[5]),
+                        jnp.where(rid11 == crow, gz, acc8[6]),
+                        jnp.where(rid11 == crow, gz1, acc8[7]),
+                    )
+                    if baked_light:
+                        # M/S rows have no wrap margin: clip the access
+                        # (the rid00 == crow select rejects misreads)
+                        crowc = jnp.clip(crow, 0, d1 * d2 - 1)
+                        bm = jnp.broadcast_to(
+                            mg_ref[pl.ds(crowc, 1), :], (8, 128))
+                        bs = jnp.broadcast_to(
+                            sg_ref[pl.ds(crowc, 1), :], (8, 128))
+                        out = out + (
+                            jnp.where(rid00 == crow,
+                                      jnp.take_along_axis(bm, lz, axis=1),
+                                      accs[8]),
+                            jnp.where(rid00 == crow,
+                                      jnp.take_along_axis(bs, lz, axis=1),
+                                      accs[9]),
+                        )
+                    return out
+
+                return jax.lax.fori_loop(0, rymax - rymin + 1, fy_loop, accs)
+
+            nacc = 10 if baked_light else 8
+            zeros8 = tuple(jnp.zeros((8, 128), _f32) for _ in range(nacc))
+            accs = jax.lax.fori_loop(0, rxmax - rxmin + 1, fx_loop, zeros8)
+            acc8 = accs[:8]
+
+            inten = [jnp.where(fl < total, a, 0.0)
+                     for a, fl in zip(acc8, flats)]
+
+            # classify corners, then mix COLORS y->x->z (kernel.cu:161-175)
+            cols = [classify(it / cal) for it in inten]  # 8 x [4 x (8,128)]
+        else:
+            # ---- packed 4-bit id fetch ---------------------------------
+            # normalize the y-wrap first: flat row rid decomposes as
+            # (rid // d2, rid % d2), so row (x, d2) IS row (x+1, 0); the
+            # z-wrap reads the packed slot at z == d3 (a5_pack_id_grid)
+            id0k = scal_ref[23].astype(_i32)
+            taps = []
+            for rid in rids:
+                rx = jnp.where(rid >= 0, rid // d2, 0)
+                ry = rid - rx * d2
+                g = jnp.where(rid >= 0, ry // ypack, 0)
+                growid = jnp.where(rid >= 0, rx * nyg + g, -1)
+                base_lane = (ry - g * ypack) * zw
+                for izv in (izi, iz1i):
+                    izc = jnp.where(valid, jnp.clip(izv, 0, d3), 0)
+                    lane = jnp.where(valid, base_lane + (izc >> 3), 0)
+                    shift = (izc & 7) * 4
+                    taps.append((growid, lane, shift, rx, g))
+
+            # row/group ranges: rid11 has the max rx; groups come from the
+            # two distinct y rows (g(10) == g(00), g(11) == g(01)), and a
+            # y-wrapped corner 01 can land in group 0 BELOW g(00), so both
+            # bounds consider both
+            rxmin = jnp.min(jnp.where(valid, taps[0][3], _BIG))
+            rxmax = jnp.max(jnp.where(valid, taps[6][3], -1))
+            gmin = jnp.min(
+                jnp.where(valid, jnp.minimum(taps[0][4], taps[2][4]), _BIG))
+            gmax = jnp.max(
+                jnp.where(valid, jnp.maximum(taps[0][4], taps[2][4]), -1))
+            nrows_grid = vol_ref.shape[0]
+
+            def px_loop(dxi, accs):
+                cx = rxmin + dxi
+
+                def pg_loop(dgi, accs):
+                    cg = gmin + dgi
+                    crow = cx * nyg + cg
+                    # rx == d1 rows (always flat-guarded) may exceed the
+                    # grid: clamp the read; the growid select rejects it
+                    crowc = jnp.clip(crow, 0, nrows_grid - 1)
+                    rowv = vol_ref[pl.ds(crowc, 1), :]
+                    bc = jnp.broadcast_to(rowv, (8, 128))
+                    out = []
+                    for acc, (growid, lane, shift, _, _) in zip(accs, taps):
+                        w = jnp.take_along_axis(bc, lane, axis=1)
+                        mid = jax.lax.shift_right_logical(w, shift) & 15
+                        out.append(jnp.where(growid == crow, mid, acc))
+                    return tuple(out)
+
+                return jax.lax.fori_loop(0, gmax - gmin + 1, pg_loop, accs)
+
+            zeros8i = tuple(jnp.zeros((8, 128), _i32) for _ in range(8))
+            ids8 = jax.lax.fori_loop(0, rxmax - rxmin + 1, px_loop, zeros8i)
+            ids8 = [jnp.where(fl < total, m, id0k)
+                    for m, fl in zip(ids8, flats)]
+
+            def classify_id(mid):
+                out = [jnp.full((8, 128), tf_colors_ref[0, c], _f32)
+                       for c in range(4)]
+                for k in range(1, num_intervals):
+                    m = mid == k
+                    for c in range(4):
+                        out[c] = jnp.where(m, tf_colors_ref[k, c], out[c])
+                return out
+
+            cols = [classify_id(m) for m in ids8]
         mixed = []
         for c in range(4):
             cy1 = cols[0][c] * (1.0 - fy) + cols[2][c] * fy
@@ -301,6 +384,68 @@ def _stage_rows_a5(volume: Volume) -> jnp.ndarray:
     return vol_rows
 
 
+def a5_packed_geometry(
+    dims: Tuple[int, int, int], num_intervals: int
+) -> Tuple[int, int, int] | None:
+    """(zw, ypack, nyg) for the a5 4-bit interval-id grid, or None when it
+    cannot apply.  The z column packs d3 + 1 nibbles (the extra slot holds
+    the z-wrap value, cf. _stage_rows_a5's lane-d3 margin), 8 per i32
+    word, ``ypack`` y columns per 128-lane row."""
+    d1, d2, d3 = dims
+    if num_intervals > 16:
+        return None
+    zw = -(-(d3 + 1) // 8)
+    if zw > 128:
+        return None  # d3 > 1023
+    ypack = min(128 // zw, d2)
+    nyg = -(-d2 // ypack)
+    if _pad_to(d1 * nyg, 8) * 128 * 4 > 12 * 2**20:  # VMEM budget
+        return None
+    return zw, ypack, nyg
+
+
+def a5_pack_id_grid(
+    volume: Volume,
+    tf: TransferFunction,
+    zpack: Tuple[int, int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(rows [pad8(d1*nyg), 128] i32, id0 f32): per-voxel a5 TF-interval
+    ids, 4-bit packed z-major with the z-wrap slot at index d3.
+
+    a5 value semantics (PARITY C4): classify(v / FLOAT cal_max), no
+    negative clamp; no-match falls back to interval 0.  The wrap slot of
+    row r holds row r+1's first voxel's id, so a z+1 corner tap at
+    z == d3 - 1 reproduces the reference's flat-index wrap
+    (kernel.cu:129-159) from the packed grid."""
+    d1, d2, d3 = volume.dims
+    zw, ypack, nyg = zpack
+    vn = volume.data.reshape(d1, d2, d3) / volume.cal_max
+    ids = jnp.zeros((d1, d2, d3), _i32)
+    id0 = jnp.zeros((), _i32)
+    for k in range(tf.num_intervals):
+        m = (vn >= tf.lower[k]) & (vn <= tf.upper[k])
+        ids = jnp.where(m, k, ids)
+        id0 = jnp.where((tf.lower[k] <= 0.0) & (tf.upper[k] >= 0.0), k, id0)
+    # wrap slot: the NEXT flat row's first id (last row's slot reads 0 —
+    # its wrap tap has flat == total, which the kernel guards to id0)
+    flat_ids = ids.reshape(d1 * d2, d3)
+    wrap = jnp.concatenate(
+        [flat_ids[1:, 0], jnp.zeros((1,), _i32)])[:, None]
+    ext = jnp.concatenate([flat_ids, wrap], axis=1)  # [d1*d2, d3+1]
+    ext = ext.reshape(d1, d2, d3 + 1)
+    ext = jnp.pad(
+        ext, ((0, 0), (0, nyg * ypack - d2), (0, zw * 8 - (d3 + 1))))
+    shifts = jnp.arange(8, dtype=_i32) * 4
+    words = jnp.sum(
+        jnp.left_shift(ext.reshape(d1, nyg, ypack, zw, 8), shifts), axis=-1
+    ).astype(_i32)
+    rows = _pad_to(d1 * nyg, 8)
+    grid = jnp.zeros((rows, 128), _i32)
+    grid = grid.at[: d1 * nyg, : ypack * zw].set(
+        words.reshape(d1 * nyg, ypack * zw))
+    return grid, id0.astype(_f32)
+
+
 def a5_baked_light_feasible(dims: Tuple[int, int, int]) -> bool:
     """Static predicate: do the volume rows plus the two per-voxel Phong
     factor grids fit the a5 kernel's VMEM budget?  (a5 lighting always
@@ -331,16 +476,28 @@ def render_test_pallas(
 
     Matches ``render_test(..., mode="fast")`` up to the early-termination
     epsilon and compiler float reassociation (``early_eps=0`` for exact
-    structural agreement).  Requires dims[2] <= 127 (z lanes + the wrap
-    slot) and a single channel — the dispatcher falls back to the XLA
-    renderer otherwise.  ``config.lighting`` runs through baked per-voxel
-    Phong factor grids (any gradient filter; needs a uniform light color
-    and the a5_baked_light_feasible VMEM budget)."""
+    structural agreement).  Volumes with z <= 127 stage f32 rows (z on
+    lanes + the wrap slot); larger volumes (z <= 1023, MNI-1mm-class) use
+    the packed 4-bit interval-id grid (a5_pack_id_grid — bit-exact: the
+    a5 classify is per corner, so corner ids reproduce corner colors,
+    VERDICT item 3).  Single channel only — the dispatcher falls back to
+    the XLA renderer otherwise.  ``config.lighting`` runs through baked
+    per-voxel Phong factor grids (any gradient filter; needs a uniform
+    light color, the a5_baked_light_feasible VMEM budget, and the f32
+    layout — packed volumes render unlit)."""
     d1, d2, d3 = volume.dims
+    zpack = None
     if d3 > 127:
-        raise ValueError(
-            f"a5 pallas path needs z dim <= 127 (got {d3}); "
-            "use the XLA renderer for larger volumes")
+        zpack = a5_packed_geometry(volume.dims, tf.num_intervals)
+        if zpack is None:
+            raise ValueError(
+                f"a5 pallas path: dims {volume.dims} / {tf.num_intervals} "
+                "intervals fit neither the f32 rows (z <= 127) nor the "
+                "packed id grid; use the XLA renderer")
+        if config.lighting or light is not None:
+            raise ValueError(
+                "a5 fused lighting needs the f32 row layout (z <= 127); "
+                "use the XLA renderer for lit oversize volumes")
     if volume.channels != 1:
         raise ValueError("a5 pallas path supports single-channel volumes")
     baked = bool(config.lighting) or light is not None
@@ -367,7 +524,11 @@ def render_test_pallas(
     ntx = -(-w // TILE_PX)
     nty = -(-h // TILE_PY)
 
-    vol_rows = _stage_rows_a5(volume)
+    id0 = jnp.zeros((), _f32)
+    if zpack is None:
+        vol_rows = _stage_rows_a5(volume)
+    else:
+        vol_rows, id0 = a5_pack_id_grid(volume, tf, zpack)
     rows = vol_rows.shape[0]
 
     extra_args = []
@@ -401,7 +562,8 @@ def render_test_pallas(
         jnp.asarray([early_eps], _f32),
         iv[:3, :4].reshape(-1).astype(_f32),
         jnp.asarray(m3, _f32),
-        jnp.asarray([L, 0.0], _f32),
+        jnp.asarray([L], _f32),
+        id0.reshape(1),  # [23] classify-index of vn=0 (packed mode)
     ])
 
     kernel = functools.partial(
@@ -412,6 +574,7 @@ def render_test_pallas(
         height=h,
         spr=config.samples_per_ray,
         baked_light=baked,
+        zpack=zpack,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
