@@ -141,6 +141,15 @@ def _render_with_density(volume, tf, camera, config, density, light=None):
                 volume, tf2, camera, config, light=light)
         return raycast.render_vrc(
             volume, tf2, camera, config, mode="fast", light=light)
+    from ..ops.pallas_smooth import (
+        render_vrc_smooth_pallas,
+        smooth_pallas_eligible,
+    )
+
+    if smooth_pallas_eligible(volume, tf2, config):
+        # fused smooth-mode kernels: TF color + bound + volume-field
+        # gradients at kernel speed (ops/pallas_smooth.py)
+        return render_vrc_smooth_pallas(volume, tf2, camera, config)
     if diff_pallas_eligible(volume, tf2, config):
         # fused Pallas forward+backward (ops/pallas_march_vjp.py); the
         # alpha-column density fold above routes d/d density by chain rule

@@ -774,6 +774,14 @@ def render(
         return render_vrc_pallas_streamed(
             volume, tf, camera, config, early_eps=config.early_termination
         )
+    if mode == "fast" and config.interp is Interp.TRILINEAR:
+        from ..ops.pallas_smooth import (
+            render_vrc_smooth_pallas,
+            smooth_pallas_eligible,
+        )
+
+        if smooth_pallas_eligible(volume, tf, config):
+            return render_vrc_smooth_pallas(volume, tf, camera, config)
     return render_vrc(volume, tf, camera, config, mode=mode, remat=remat)
 
 
