@@ -253,15 +253,26 @@ def _a5_kernel(
             cols = [classify(it / cal) for it in inten]  # 8 x [4 x (8,128)]
         else:
             # ---- packed 4-bit id fetch ---------------------------------
-            # normalize the y-wrap first: flat row rid decomposes as
-            # (rid // d2, rid % d2), so row (x, d2) IS row (x+1, 0); the
-            # z-wrap reads the packed slot at z == d3 (a5_pack_id_grid)
+            # normalize the y-wrap first: a corner's y index can only be
+            # d2 (iy1 at the boundary), in which case its flat row IS
+            # (x+1, 0); the z-wrap reads the packed slot at z == d3
+            # (a5_pack_id_grid).  NOTE: no rid // d2 here — Mosaic lowers
+            # vector i32 division through f32 reciprocals, which is
+            # inexact for large numerators (measured on-chip), so the
+            # wrap is decided by comparison and the small // ypack gets
+            # a +-1 floor correction.
             id0k = scal_ref[23].astype(_i32)
+            corners_xy = ((ixi, iyi), (ixi, iy1i), (ix1i, iyi),
+                          (ix1i, iy1i))
             taps = []
-            for rid in rids:
-                rx = jnp.where(rid >= 0, rid // d2, 0)
-                ry = rid - rx * d2
-                g = jnp.where(rid >= 0, ry // ypack, 0)
+            for (cxi, cyi), rid in zip(corners_xy, rids):
+                wrapn = (cyi == d2).astype(_i32)
+                rx = cxi + wrapn
+                ry = jnp.where(wrapn == 1, 0, cyi)
+                ry = jnp.where(rid >= 0, ry, 0)
+                g = ry // ypack
+                g = jnp.where(ry >= (g + 1) * ypack, g + 1, g)
+                g = jnp.where(ry < g * ypack, g - 1, g)
                 growid = jnp.where(rid >= 0, rx * nyg + g, -1)
                 base_lane = (ry - g * ypack) * zw
                 for izv in (izi, iz1i):
