@@ -190,8 +190,9 @@ def test_multichannel_feasibility_bounds():
 
 def test_multichannel_pallas_segments_sharded():
     """Fused multichannel work units under shard_map (rays/samples axes)
-    must match the single-device XLA multichannel render; volume-sharded
-    multichannel stays on the XLA slab fallback."""
+    must match the single-device XLA multichannel render; since round 3
+    the volume axis also routes through the kernel (the mean-id + channel
+    grids stage per x-slab — VERDICT round-2 item 9)."""
     from volumerenderingproject_tpu.parallel.render_dist import (
         _pallas_segment_eligible,
     )
@@ -210,4 +211,4 @@ def test_multichannel_pallas_segments_sharded():
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(axes))
 
     assert _pallas_segment_eligible(volume, tf, cfg, slab_x=None)
-    assert not _pallas_segment_eligible(volume, tf, cfg, slab_x=8)
+    assert _pallas_segment_eligible(volume, tf, cfg, slab_x=8)

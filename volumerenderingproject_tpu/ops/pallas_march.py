@@ -1149,10 +1149,9 @@ def _march_tiles(
                 "multichannel pallas path needs plain NN classify, the "
                 "packed mean-id grid, and the rgb channel grids within "
                 f"VMEM (dims {dims_local}, {channels} channels)")
-        if slab_x is not None:
-            raise ValueError(
-                "multichannel pallas path is full-volume only (the "
-                "XLA slab path shards multi-channel volumes)")
+        # slab_x is supported: the mean-id pack and channel-grid staging
+        # are pointwise per voxel (NN sampling needs no halo), and both
+        # the packed fetch and fetch_f32_grids index by the slab-local x
 
     lg = None
     if config.lighting:

@@ -84,14 +84,14 @@ def _pallas_segment_eligible(
         else volume.dims
     )
     if volume.channels != 1:
-        # fused multichannel work units: full-volume only (rays/samples
-        # axes); volume-sharded multichannel stays on the XLA slab path
+        # fused multichannel work units, full-volume OR x-slab (the
+        # mean-id + channel grids stage per slab; NN needs no halo)
         return (
             config.algorithm is Algorithm.VRC
-            and slab_x is None
             and config.empty_space_skipping
+            and not config.scattering
             and multichannel_feasible(
-                volume.dims, volume.channels, tf.num_intervals, config)
+                dims_local, volume.channels, tf.num_intervals, config)
         )
     if config.tf_lut:
         fits = (
