@@ -87,6 +87,10 @@ def _config(args):
         over["conic"] = True
     if getattr(args, "interp", None):
         over["interp"] = Interp(args.interp)
+    if getattr(args, "scattering", False):
+        over["scattering"] = True
+    if getattr(args, "scattering_strength", None) is not None:
+        over["scattering_strength"] = args.scattering_strength
     return cfg.replace(**over) if over else cfg
 
 
@@ -217,6 +221,11 @@ def cmd_fit(args) -> int:
         )
     else:  # self-target smoke: fit against own render
         target = render(volume, tf, cam, cfg)
+    light = None
+    if getattr(args, "fit_light", False):
+        from ..ops import phong
+
+        light = phong.default_light()
     params, losses = fit_transfer_function(
         volume,
         cam,
@@ -227,9 +236,19 @@ def cmd_fit(args) -> int:
         learning_rate=args.lr,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
+        fit_bounds=getattr(args, "fit_bounds", False),
+        light=light,
     )
     print(f"fit: loss {losses[0]:.6f} -> {losses[-1]:.6f} in {args.steps} steps")
-    fitted = TransferFunction(tf.lower, tf.upper, params.tf_colors, tf.hg_g)
+    fitted = TransferFunction(
+        tf.lower if params.tf_lower is None else params.tf_lower,
+        tf.upper if params.tf_upper is None else params.tf_upper,
+        params.tf_colors, tf.hg_g)
+    if params.light is not None:
+        from ..ops import phong
+
+        print("fitted light:",
+              np.asarray(phong.light_to_vec(params.light)).round(4).tolist())
     if args.out_tf:
         with open(args.out_tf, "w") as f:
             f.write(to_text(fitted))
@@ -375,6 +394,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Gaussian sigma for the pre-render gradient "
                              "filter (BASELINE config 4)")
         sp.add_argument("--conic", action="store_true")
+        sp.add_argument("--scattering", action="store_true",
+                        help="single-scattering transport (HG phase x "
+                             "light transmittance)")
+        sp.add_argument("--scattering-strength", type=float)
         sp.add_argument("--interp", choices=["nearest", "trilinear_color", "trilinear"])
         sp.add_argument("--config", help="RenderConfig JSON path")
         sp.add_argument("--tf", help="transfer-function text file")
@@ -414,6 +437,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out-tf")
     sp.add_argument("--checkpoint-dir")
     sp.add_argument("--checkpoint-every", type=int, default=0)
+    sp.add_argument("--fit-bounds", action="store_true",
+                    help="optimize TF interval bounds too (smooth mode: "
+                         "--interp trilinear)")
+    sp.add_argument("--fit-light", action="store_true",
+                    help="optimize the 10 Blinn-Phong light parameters")
     sp.set_defaults(fn=cmd_fit)
 
     sp = sub.add_parser("bench", help="timed render with per-stage report")

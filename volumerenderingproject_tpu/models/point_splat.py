@@ -77,9 +77,9 @@ def render_points(
         rgba = tf.classify(vol_flat / volume.cal_max)  # [N, 4]
 
     mvp = (
-        T.ortho(-1.0, 1.0, -1.0, 1.0, -1.5, 1.5)
-        @ camera.look_at_origin_view()
-        @ T.translation((-0.5, -0.5, -0.5))
+        T.matmul(T.matmul(T.ortho(-1.0, 1.0, -1.0, 1.0, -1.5, 1.5),
+        camera.look_at_origin_view()),
+        T.translation((-0.5, -0.5, -0.5)))
     )
     ndc = T.apply(mvp, pos)  # ortho: w stays 1
 
@@ -142,9 +142,9 @@ def _render_points_exact(
     ).reshape(-1)
     rgba = tf.classify(vol_flat / volume.cal_max)
     mvp = (
-        T.ortho(-1.0, 1.0, -1.0, 1.0, -1.5, 1.5)
-        @ camera.look_at_origin_view()
-        @ T.translation((-0.5, -0.5, -0.5))
+        T.matmul(T.matmul(T.ortho(-1.0, 1.0, -1.0, 1.0, -1.5, 1.5),
+        camera.look_at_origin_view()),
+        T.translation((-0.5, -0.5, -0.5)))
     )
     ndc = T.apply(mvp, pos)
     img = native.point_rasterize(
@@ -175,9 +175,9 @@ def render_points_depth(
 
     pos = voxel_positions(volume)
     mvp = (
-        T.ortho(-1.0, 1.0, -1.0, 1.0, -1.5, 1.5)
-        @ camera.look_at_origin_view()
-        @ T.translation((-0.5, -0.5, -0.5))
+        T.matmul(T.matmul(T.ortho(-1.0, 1.0, -1.0, 1.0, -1.5, 1.5),
+        camera.look_at_origin_view()),
+        T.translation((-0.5, -0.5, -0.5)))
     )
     ndc = T.apply(mvp, pos)
 

@@ -327,16 +327,18 @@ def _a5_positions(
     )  # kernel.cu:1177-1192
     inverse_view = T.inverse(camera.look_at_origin_view())  # kernel.cu:1197-1198
     L = float(volume.longest_dimension)
-    to_volume = (
-        T.translation(
-            (
-                volume.dims[0] / 2.0 - L / 2.0,
-                volume.dims[1] / 2.0 - L / 2.0,
-                volume.dims[2] / 2.0 - L / 2.0,
-            )
-        )
-        @ T.scaling((L, L, L))
-        @ T.translation((0.5, 0.5, 0.5))
+    to_volume = T.matmul(
+        T.matmul(
+            T.translation(
+                (
+                    volume.dims[0] / 2.0 - L / 2.0,
+                    volume.dims[1] / 2.0 - L / 2.0,
+                    volume.dims[2] / 2.0 - L / 2.0,
+                )
+            ),
+            T.scaling((L, L, L)),
+        ),
+        T.translation((0.5, 0.5, 0.5)),
     )  # kernel.cu:1203-1217
 
     grid = jnp.stack(

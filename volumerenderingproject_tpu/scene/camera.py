@@ -86,9 +86,10 @@ class Camera:
         rot = T.identity()
         pitch = jnp.asarray(pitch_rad, _f32)
         yaw = jnp.asarray(yaw_rad, _f32)
-        rot = T.rotate(rot, pitch, -self.right) @ T.rotation(yaw, self.up)
+        rot = T.matmul(T.rotate(rot, pitch, -self.right),
+                       T.rotation(yaw, self.up))
         trans = T.translate(T.identity(), self.front * jnp.asarray(zoom, _f32))
-        pos = T.apply(rot @ trans, self.position)
+        pos = T.apply(T.matmul(rot, trans), self.position)
         return dataclasses.replace(self, position=pos).rederive(screen_w, screen_h)
 
     def look_at_origin_view(self) -> jnp.ndarray:

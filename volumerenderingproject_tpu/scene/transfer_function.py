@@ -80,7 +80,11 @@ class TransferFunction:
         none = ~jnp.any(match, axis=-1, keepdims=True)
         weights = wins.astype(self.colors.dtype)
         weights = weights.at[..., 0].add(none[..., 0].astype(self.colors.dtype))
-        return weights @ self.colors
+        # full-precision product: XLA:TPU's default bf16 MXU matmul would
+        # round every rendered color to ~3 decimal digits (see
+        # utils/transforms._HI)
+        return jnp.matmul(weights, self.colors,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def classify_smooth(
         self, value: jnp.ndarray, sharpness: float = 200.0
@@ -101,7 +105,8 @@ class TransferFunction:
             s * (self.upper[1:] - v)
         )  # [..., K-1]
         base = self.colors[0]
-        return base + w @ (self.colors[1:] - base)
+        return base + jnp.matmul(w, self.colors[1:] - base,
+                                 precision=jax.lax.Precision.HIGHEST)
 
     def to_lut(self, resolution: int = 256) -> jnp.ndarray:
         """Dense RGBA LUT over [0, 1] (interval semantics at bin centers?

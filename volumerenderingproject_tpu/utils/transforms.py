@@ -14,6 +14,7 @@ e.g. kernel.cu:1177-1192 (modelCam) and BinaryLoader.cu:247-269
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "ortho",
     "perspective",
     "inverse",
+    "matmul",
     "apply",
     "apply_dir",
     "normalize",
@@ -35,6 +37,23 @@ __all__ = [
 ]
 
 _f32 = jnp.float32
+
+# XLA:TPU lowers matmul/dot at DEFAULT precision through the MXU, i.e.
+# bf16 multiplicands (~3 decimal digits) — measured ~5e-3 relative error
+# in transformed sample positions, enough to flip voxel truncations and
+# visibly corrupt a5 renders on hardware (round-3 finding; CPU tests
+# never see it).  Every matrix product in this module is tiny (4x4 or
+# Nx3 by 3x3), so full float32 precision is effectively free.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b) -> jnp.ndarray:
+    return jnp.matmul(a, b, precision=_HI)
+
+
+def matmul(a, b) -> jnp.ndarray:
+    """Full-f32-precision matmul for transform chains (see _HI note)."""
+    return _mm(jnp.asarray(a, _f32), jnp.asarray(b, _f32)).astype(_f32)
 
 
 def _as_vec3(v) -> jnp.ndarray:
@@ -82,17 +101,17 @@ def rotation(angle_rad, axis) -> jnp.ndarray:
 
 def translate(m, v) -> jnp.ndarray:
     """``glm::translate(m, v) == m @ translation(v)``."""
-    return (jnp.asarray(m, _f32) @ translation(v)).astype(_f32)
+    return _mm(jnp.asarray(m, _f32), translation(v)).astype(_f32)
 
 
 def scale(m, v) -> jnp.ndarray:
     """``glm::scale(m, v) == m @ scaling(v)``."""
-    return (jnp.asarray(m, _f32) @ scaling(v)).astype(_f32)
+    return _mm(jnp.asarray(m, _f32), scaling(v)).astype(_f32)
 
 
 def rotate(m, angle_rad, axis) -> jnp.ndarray:
     """``glm::rotate(m, angle, axis) == m @ rotation(angle, axis)``."""
-    return (jnp.asarray(m, _f32) @ rotation(angle_rad, axis)).astype(_f32)
+    return _mm(jnp.asarray(m, _f32), rotation(angle_rad, axis)).astype(_f32)
 
 
 def normalize(v) -> jnp.ndarray:
@@ -121,9 +140,9 @@ def look_at(eye, center, up) -> jnp.ndarray:
     u = cross(s, f)
     m = jnp.stack(
         [
-            jnp.concatenate([s, -jnp.dot(s, eye)[None]]),
-            jnp.concatenate([u, -jnp.dot(u, eye)[None]]),
-            jnp.concatenate([-f, jnp.dot(f, eye)[None]]),
+            jnp.concatenate([s, -jnp.dot(s, eye, precision=_HI)[None]]),
+            jnp.concatenate([u, -jnp.dot(u, eye, precision=_HI)[None]]),
+            jnp.concatenate([-f, jnp.dot(f, eye, precision=_HI)[None]]),
             jnp.asarray([0.0, 0.0, 0.0, 1.0], _f32),
         ]
     )
@@ -161,7 +180,8 @@ def perspective(fovy_rad, aspect, znear, zfar) -> jnp.ndarray:
 
 def inverse(m) -> jnp.ndarray:
     """General 4x4 inverse (glm::inverse, kernel.cu:1198)."""
-    return jnp.linalg.inv(jnp.asarray(m, _f32)).astype(_f32)
+    with jax.default_matmul_precision("float32"):
+        return jnp.linalg.inv(jnp.asarray(m, _f32)).astype(_f32)
 
 
 def apply(m, p) -> jnp.ndarray:
@@ -171,7 +191,10 @@ def apply(m, p) -> jnp.ndarray:
     """
     m = jnp.asarray(m, _f32)
     p = jnp.asarray(p, _f32)
-    out = p @ m[:3, :3].T + m[:3, 3]
+    # explicit mul-adds: stays on the VPU in full f32 (see _HI note)
+    r = m[:3, :3]
+    out = (p[..., 0:1] * r[:, 0] + p[..., 1:2] * r[:, 1]
+           + p[..., 2:3] * r[:, 2] + m[:3, 3])
     return out.astype(_f32)
 
 
@@ -179,4 +202,6 @@ def apply_dir(m, d) -> jnp.ndarray:
     """Apply only the linear part (w=0) to direction(s)."""
     m = jnp.asarray(m, _f32)
     d = jnp.asarray(d, _f32)
-    return (d @ m[:3, :3].T).astype(_f32)
+    r = m[:3, :3]
+    return (d[..., 0:1] * r[:, 0] + d[..., 1:2] * r[:, 1]
+            + d[..., 2:3] * r[:, 2]).astype(_f32)
