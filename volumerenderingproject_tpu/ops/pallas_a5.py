@@ -281,58 +281,40 @@ def _a5_kernel(
                     shift = (izc & 7) * 4
                     taps.append((growid, lane, shift, rx, g))
 
-            # per-corner footprint loops: each corner's (rx, group) range
-            # is 1-2 rows, so looping corners separately does 2 lane
-            # gathers per visited row instead of 8 over the union
-            # footprint (~3x fewer gathers per chunk, the packed-mode
-            # bottleneck at MNI scale)
+            # row/group ranges: rid11 has the max rx; groups come from the
+            # two distinct y rows (g(10) == g(00), g(11) == g(01)), and a
+            # y-wrapped corner 01 can land in group 0 BELOW g(00), so both
+            # bounds consider both
+            rxmin = jnp.min(jnp.where(valid, taps[0][3], _BIG))
+            rxmax = jnp.max(jnp.where(valid, taps[6][3], -1))
+            gmin = jnp.min(
+                jnp.where(valid, jnp.minimum(taps[0][4], taps[2][4]), _BIG))
+            gmax = jnp.max(
+                jnp.where(valid, jnp.maximum(taps[0][4], taps[2][4]), -1))
             nrows_grid = vol_ref.shape[0]
 
-            def corner_fetch(growid, lane_z, shift_z, lane_z1, shift_z1,
-                             rx_c, g_c):
-                cxmin = jnp.min(jnp.where(valid, rx_c, _BIG))
-                cxmax = jnp.max(jnp.where(valid, rx_c, -1))
-                cgmin = jnp.min(jnp.where(valid, g_c, _BIG))
-                cgmax = jnp.max(jnp.where(valid, g_c, -1))
+            def px_loop(dxi, accs):
+                cx = rxmin + dxi
 
-                def cx_loop(dxi, accs):
-                    cx = cxmin + dxi
+                def pg_loop(dgi, accs):
+                    cg = gmin + dgi
+                    crow = cx * nyg + cg
+                    # rx == d1 rows (always flat-guarded) may exceed the
+                    # grid: clamp the read; the growid select rejects it
+                    crowc = jnp.clip(crow, 0, nrows_grid - 1)
+                    rowv = vol_ref[pl.ds(crowc, 1), :]
+                    bc = jnp.broadcast_to(rowv, (8, 128))
+                    out = []
+                    for acc, (growid, lane, shift, _, _) in zip(accs, taps):
+                        w = jnp.take_along_axis(bc, lane, axis=1)
+                        mid = jax.lax.shift_right_logical(w, shift) & 15
+                        out.append(jnp.where(growid == crow, mid, acc))
+                    return tuple(out)
 
-                    def cg_loop(dgi, accs):
-                        az, az1 = accs
-                        cg = cgmin + dgi
-                        crow = cx * nyg + cg
-                        # rx == d1 rows (always flat-guarded) may exceed
-                        # the grid: clamp the read; the select rejects it
-                        crowc = jnp.clip(crow, 0, nrows_grid - 1)
-                        rowv = vol_ref[pl.ds(crowc, 1), :]
-                        bc = jnp.broadcast_to(rowv, (8, 128))
-                        sel = growid == crow
-                        wz = jnp.take_along_axis(bc, lane_z, axis=1)
-                        wz1 = jnp.take_along_axis(bc, lane_z1, axis=1)
-                        az = jnp.where(
-                            sel,
-                            jax.lax.shift_right_logical(wz, shift_z) & 15,
-                            az)
-                        az1 = jnp.where(
-                            sel,
-                            jax.lax.shift_right_logical(wz1, shift_z1) & 15,
-                            az1)
-                        return az, az1
+                return jax.lax.fori_loop(0, gmax - gmin + 1, pg_loop, accs)
 
-                    return jax.lax.fori_loop(
-                        0, cgmax - cgmin + 1, cg_loop, accs)
-
-                z2 = (jnp.zeros((8, 128), _i32), jnp.zeros((8, 128), _i32))
-                return jax.lax.fori_loop(0, cxmax - cxmin + 1, cx_loop, z2)
-
-            ids8 = []
-            for c4 in range(4):
-                growid, lane_z, shift_z, rx_c, g_c = taps[c4 * 2]
-                _, lane_z1, shift_z1, _, _ = taps[c4 * 2 + 1]
-                az, az1 = corner_fetch(growid, lane_z, shift_z,
-                                       lane_z1, shift_z1, rx_c, g_c)
-                ids8.extend([az, az1])
+            zeros8i = tuple(jnp.zeros((8, 128), _i32) for _ in range(8))
+            ids8 = jax.lax.fori_loop(0, rxmax - rxmin + 1, px_loop, zeros8i)
             ids8 = [jnp.where(fl < total, m, id0k)
                     for m, fl in zip(ids8, flats)]
 
