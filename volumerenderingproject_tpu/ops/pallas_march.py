@@ -132,6 +132,8 @@ def _march_kernel(
     mc_grids: int = 0,
     vis_ref=None,
     block_major: bool = False,
+    manual_stream: bool = False,
+    nxb: int = 0,
 ):
     """``spr`` is the LOCAL sample count of this segment; the global sample
     index is ``scal[30] + local`` (full renders pass s_start=0 so the two
@@ -166,6 +168,8 @@ def _march_kernel(
     gathers), composing with any main-grid layout including packed ids."""
     rest = list(rest)
     state_ref = rest.pop() if block_major else None  # trailing scratch
+    dma_sem_ref = rest.pop() if manual_stream else None
+    bufs_ref = rest.pop() if manual_stream else None
     light_ref = rest.pop(0) if lighting else None
     lut_ref = rest.pop(0) if lut_n else None
     mg_ref = rest.pop(0) if baked_light else None
@@ -222,7 +226,7 @@ def _march_kernel(
     else:
         tx = pl.program_id(0)
         ty = pl.program_id(1)
-    if hbm_mode:
+    if hbm_mode and not manual_stream:
         # the streaming grid dim sweeps x-blocks of the volume; this
         # invocation owns the block starting at global voxel x0
         kblk = pl.program_id(0) if block_major else pl.program_id(2)
@@ -239,10 +243,13 @@ def _march_kernel(
     zeros = jnp.zeros((RT, 128), _f32)
     ones = jnp.ones((RT, 128), _f32)
 
-    def _compute_ct():
+    def _compute_ct(vol_ref=vol_ref, x0_i=x0_i, box_lo=box_lo,
+                    box_hi=box_hi):
         """Slot decode, ray setup, box clip and the chunk march — the
         per-invocation heavy work, deferred so hbm_mode can gate it
-        behind the (tile, block) visibility bit."""
+        behind the (tile, block) visibility bit.  The default arguments
+        re-bind the enclosing values; manual_stream overrides them per
+        block (a VMEM buffer slot + that block's x offset/box)."""
         # ---- slot decode: e = step*nrays + u*tpy + v -----------------------
         e = _iota(0, E) * 128 + _iota(1, E)
         s_idx = e // nrays  # step-in-chunk 0..steps-1
@@ -675,6 +682,82 @@ def _march_kernel(
 
     if not hbm_mode:
         cr, cg, cb, t = _compute_ct()
+        out_r_ref[0, 0] = cr
+        out_g_ref[0, 0] = cg
+        out_b_ref[0, 0] = cb
+        out_t_ref[0, 0] = t
+        return
+
+    if manual_stream:
+        # ---- one invocation per tile: in-kernel block loop with manual
+        # double-buffered DMA.  The grid-based streamed variants pay a
+        # full kernel invocation (~10-30 us of ray setup, box clips and
+        # pipeline overhead) per (tile, block) pair; here that fixed cost
+        # is paid once per tile and each block costs a semaphore wait + a
+        # conditional march.  Blocks are VISITED in visibility order
+        # (sign(front.x)), so the compose is always front-to-back and
+        # early ray termination skips every remaining block's march.
+        block_rows = slab_x_rows = bufs_ref.shape[1]
+        fwd = front[0] >= 0.0
+
+        def bk_of(kvis):
+            return jnp.where(fwd, kvis, nxb - 1 - kvis).astype(_i32)
+
+        def dma(slot, kvis):
+            bk = bk_of(kvis)
+            return pltpu.make_async_copy(
+                vol_ref.at[pl.ds(bk * block_rows, block_rows), :],
+                bufs_ref.at[slot],
+                dma_sem_ref.at[slot],
+            )
+
+        def march(slot_ref, kvis, carry):
+            cr, cg, cb, t = carry
+            bk = bk_of(kvis)
+            x0b = x0_i + bk * slab_x
+            x0f = x0b.astype(_f32)
+            blk_lo = (hg[0] + x0f) / L - 0.5
+            blk_hi = ((hg[0] + (x0f + np.float32(slab_x))) / L
+                      + 1.0 / n - 0.5)
+            bl = [jnp.maximum(box_lo[0], blk_lo), box_lo[1], box_lo[2]]
+            bh = [jnp.minimum(box_hi[0], blk_hi), box_hi[1], box_hi[2]]
+            bcr, bcg, bcb, bt = _compute_ct(
+                vol_ref=slot_ref, x0_i=x0b, box_lo=bl, box_hi=bh)
+            # visit order == visibility order: accumulator is in front
+            return (cr + t * bcr, cg + t * bcg, cb + t * bcb, t * bt)
+
+        def maybe_march(slot_ref, kvis, carry):
+            live = (kvis < nxb) & (jnp.max(carry[3]) > eps)
+            return jax.lax.cond(
+                live, lambda c: march(slot_ref, kvis, c),
+                lambda c: c, carry)
+
+        dma(0, 0).start()
+
+        def body(it, carry):
+            k0 = it * 2
+            k1 = it * 2 + 1
+
+            @pl.when(k1 < nxb)
+            def _():
+                dma(1, k1).start()
+
+            dma(0, k0).wait()
+            carry = maybe_march(bufs_ref.at[0], k0, carry)
+
+            @pl.when(k1 + 1 < nxb)
+            def _():
+                dma(0, k1 + 1).start()
+
+            @pl.when(k1 < nxb)
+            def _():
+                dma(1, k1).wait()
+
+            return maybe_march(bufs_ref.at[1], k1, carry)
+
+        npairs = -(-nxb // 2)
+        cr, cg, cb, t = jax.lax.fori_loop(
+            0, npairs, body, (zeros, zeros, zeros, ones))
         out_r_ref[0, 0] = cr
         out_g_ref[0, 0] = cg
         out_b_ref[0, 0] = cb
@@ -1684,7 +1767,8 @@ def render_vrc_pallas_streamed(
     tile: Tuple[int, int, int] | None = None,
     use_vis: bool = False,
     remap_dma: bool = False,
-    block_major: bool = True,
+    block_major: bool = False,
+    manual: bool = True,
 ) -> jnp.ndarray:
     """a1/VRC render with the volume streamed from HBM -> [W, H, 4].
 
@@ -1708,14 +1792,18 @@ def render_vrc_pallas_streamed(
     defeat the pipeline's lookahead by more than the skipped work saves.
     Default off; kept for A/B measurement (tile-major grid only).
 
-    ``block_major`` (default, VERDICT round-2 item 2): grid
-    (nxb, ntx, nty) with the block index OUTERMOST, so each volume block
-    is DMA'd from HBM exactly ONCE per frame — the tile-major grid
-    (ntx, nty, nxb) re-copies every block for every tile (ntiles x the
-    volume's bytes of HBM traffic per frame, the dominant streamed-mode
-    cost).  Per-tile (C, T) accumulators persist in a VMEM scratch
-    across the sweep; visibility-ordered composition and cross-block
-    early termination are unchanged.
+    ``block_major``: grid (nxb, ntx, nty) with the block index OUTERMOST,
+    so each volume block is DMA'd from HBM exactly once per frame;
+    per-tile (C, T) accumulators persist in a VMEM scratch.  Measured
+    round 4: no win over tile-major (36.9 vs 35.2 ms dense 320^3 —
+    packed-grid DMA was never the bottleneck; the per-(tile, block)
+    invocation fixed cost is).  Kept for A/B.
+
+    ``manual`` (default, VERDICT round-2 item 2): ONE kernel invocation
+    per ray tile; the kernel loops over x-blocks itself with manual
+    double-buffered HBM->VMEM DMA, visiting blocks in visibility order —
+    the per-block cost drops to a semaphore wait + a conditional march,
+    and cross-block early termination skips whole blocks of work.
     """
     if volume.channels != 1:
         raise ValueError("streamed pallas path supports single-channel")
@@ -1730,6 +1818,8 @@ def render_vrc_pallas_streamed(
         raise ValueError(f"tf_lut size {config.tf_lut} not in (0, 1024]")
     d1, d2, d3 = volume.dims
     lut_n = int(config.tf_lut)
+    if use_vis or block_major:
+        manual = False
     if use_vis:
         block_major = False  # the bitmap indexes the tile-major grid
 
@@ -1753,6 +1843,8 @@ def render_vrc_pallas_streamed(
         # block: shrink the block budget accordingly
         state_bytes = ntx * nty * 4 * rt * 128 * 4
         bb = max(2**20, (13 * 2**20 - state_bytes) // 2)
+    elif manual:
+        bb = 6 * 2**20  # two explicit buffers + compute headroom
     else:
         bb = 8 * 2**20
     geo = streamed_geometry(volume.dims, tf.num_intervals,
@@ -1899,6 +1991,33 @@ def render_vrc_pallas_streamed(
             interpret=interpret,
         )(vis, eff, scal, tf.lower, tf.upper, tf.colors, occ, vol_rows,
           *extra_args)
+    elif manual:
+        # one invocation per tile; the kernel streams blocks itself with
+        # double-buffered DMA (see _march_kernel manual_stream)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(ntx, nty),
+            in_specs=base_in_specs + [
+                pl.BlockSpec(memory_space=pltpu.ANY)]  # volume stays in HBM
+            + [pl.BlockSpec((a.shape[0], 128), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+               for a in extra_args],  # [LUT rows]
+            out_specs=[
+                pl.BlockSpec((1, 1, rt, 128), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(4)
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, block_rows, 128), vol_rows.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        cr, cg, cb, t = pl.pallas_call(
+            functools.partial(base_kernel, manual_stream=True, nxb=nxb),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows, *extra_args)
     elif block_major:
         # block OUTERMOST: the volume block index changes only when grid
         # dim 0 advances, so Pallas's consecutive-index elision copies
