@@ -61,8 +61,11 @@ _f32 = jnp.float32
 _i32 = jnp.int32
 
 
-def _ray_setup(scal_ref, conic, width, height):
+def _ray_setup(scal_ref, conic, width, height, tile):
     """Shared per-tile ray origins/directions (mirrors _march_kernel)."""
+    tpx, tpy, steps = tile
+    nrays = tpx * tpy
+    E = nrays * steps // 128
     pos = [scal_ref[5 + c] for c in range(3)]
     front = [scal_ref[8 + c] for c in range(3)]
     right = [scal_ref[11 + c] for c in range(3)]
@@ -73,13 +76,13 @@ def _ray_setup(scal_ref, conic, width, height):
 
     tx = pl.program_id(0)
     ty = pl.program_id(1)
-    e = _iota(0) * 128 + _iota(1)
-    s_idx = e // 256
-    f = e % 256
-    u = f // TILE_PY
-    v = f % TILE_PY
-    pxi = tx * TILE_PX + u
-    pyi = ty * TILE_PY + v
+    e = _iota(0, E) * 128 + _iota(1, E)
+    s_idx = e // nrays
+    f = e % nrays
+    u = f // tpy
+    v = f % tpy
+    pxi = tx * tpx + u
+    pyi = ty * tpy + v
     pix_ok = (pxi < width) & (pyi < height)
     px = pxi.astype(_f32)
     py = pyi.astype(_f32)
@@ -87,21 +90,23 @@ def _ray_setup(scal_ref, conic, width, height):
     xt = [((px * rsw) / np.float32(width)) * right[c] for c in range(3)]
     yt = [((py * rsh) / np.float32(height)) * (-up[c]) for c in range(3)]
     if conic:
-        o = [jnp.zeros((8, 128), _f32) + pos[c] for c in range(3)]
+        o = [jnp.zeros((E, 128), _f32) + pos[c] for c in range(3)]
         rd = [tl[c] + xt[c] + yt[c] - pos[c] for c in range(3)]
         inv = jax.lax.rsqrt(rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2])
         d = [rd[c] * inv for c in range(3)]
     else:
         o = [(tl[c] + xt[c]) + yt[c] for c in range(3)]
-        d = [jnp.zeros((8, 128), _f32) + front[c] for c in range(3)]
+        d = [jnp.zeros((E, 128), _f32) + front[c] for c in range(3)]
     return o, d, s_idx, pix_ok
 
 
 def _sample_smooth(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
-                   o, d, s_idx, pix_ok, ci, dims, num_intervals):
+                   o, d, s_idx, pix_ok, ci, dims, num_intervals, tile):
     """One chunk's smooth sample: returns (rgb[3], a, vn, sig1[K-1],
-    sig2[K-1], w[K-1], corner residuals for reuse) as [8,128] registers."""
+    sig2[K-1], w[K-1]) as [E,128] registers."""
     d1, d2, d3 = dims
+    tpx, tpy, steps = tile
+    E = tpx * tpy * steps // 128
     ds = scal_ref[0]
     clip = scal_ref[1]
     cal = scal_ref[2]
@@ -109,7 +114,7 @@ def _sample_smooth(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
     L = scal_ref[25]
     voff = [scal_ref[22 + c] for c in range(3)]
 
-    i_f = (ci * STEPS + s_idx).astype(_f32)
+    i_f = (ci * steps + s_idx).astype(_f32)
     ti = i_f * ds + clip  # kernel.cu:54,59
     # modelAux (+0.5) then toVolumeSpace — same op order as the XLA path
     vox = [((o[c] + ti * d[c]) + 0.5) * L + voff[c] for c in range(3)]
@@ -160,7 +165,7 @@ def _sample_smooth(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
             cy = rymin + dyi
             crow = cx * d2 + cy
             rowv = vol_ref[pl.ds(crow, 1), :]
-            bc = jnp.broadcast_to(rowv, (8, 128))
+            bc = jnp.broadcast_to(rowv, (E, 128))
             gz = jnp.take_along_axis(bc, lz, axis=1)
             gz1 = jnp.take_along_axis(bc, lz1, axis=1)
             return (
@@ -176,7 +181,7 @@ def _sample_smooth(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
 
         return jax.lax.fori_loop(0, rymax - rymin + 1, fy_loop, accs)
 
-    zeros8 = tuple(jnp.zeros((8, 128), _f32) for _ in range(8))
+    zeros8 = tuple(jnp.zeros((E, 128), _f32) for _ in range(8))
     c = jax.lax.fori_loop(0, jnp.maximum(rxmax - rxmin + 1, 0),
                           fx_loop, zeros8)
 
@@ -206,7 +211,7 @@ def _sample_smooth(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
         sig2.append(s2)
         w.append(s1 * s2)
 
-    rgba = [jnp.zeros((8, 128), _f32) + colors_ref[0, ch] for ch in range(4)]
+    rgba = [jnp.zeros((E, 128), _f32) + colors_ref[0, ch] for ch in range(4)]
     for k in range(1, num_intervals):
         dk = [colors_ref[k, ch] - colors_ref[0, ch] for ch in range(4)]
         for ch in range(4):
@@ -216,27 +221,30 @@ def _sample_smooth(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
 
 def _smooth_fwd_kernel(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
                        out_r_ref, out_g_ref, out_b_ref, out_t_ref,
-                       *, dims, num_intervals, width, height, spr, conic):
-    nchunks = -(-spr // STEPS)
+                       *, dims, num_intervals, width, height, spr, conic,
+                       tile):
+    tpx, tpy, steps = tile
+    RT = (tpx * tpy) // 128
+    nchunks = -(-spr // steps)
     eps = scal_ref[3]
-    o, d, s_idx, pix_ok = _ray_setup(scal_ref, conic, width, height)
+    o, d, s_idx, pix_ok = _ray_setup(scal_ref, conic, width, height, tile)
 
     def chunk_body(carry):
         ci, cr, cg, cb, t = carry
         rgba, _, _, _, _ = _sample_smooth(
             scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
-            o, d, s_idx, pix_ok, ci, dims, num_intervals)
+            o, d, s_idx, pix_ok, ci, dims, num_intervals, tile)
         sr, sg, sb, sa = rgba
-        for s in range(STEPS):
-            lo = 2 * s
-            a_s = sa[lo:lo + 2, :]
-            if spr % STEPS:
-                gate = ((ci * STEPS + s) < spr).astype(_f32)
+        for s in range(steps):
+            lo = RT * s
+            a_s = sa[lo:lo + RT, :]
+            if spr % steps:
+                gate = ((ci * steps + s) < spr).astype(_f32)
                 a_s = a_s * gate
             w_s = t * a_s
-            cr = cr + w_s * sr[lo:lo + 2, :]
-            cg = cg + w_s * sg[lo:lo + 2, :]
-            cb = cb + w_s * sb[lo:lo + 2, :]
+            cr = cr + w_s * sr[lo:lo + RT, :]
+            cg = cg + w_s * sg[lo:lo + RT, :]
+            cb = cb + w_s * sb[lo:lo + RT, :]
             t = t * (1.0 - a_s)
         return ci + 1, cr, cg, cb, t
 
@@ -244,8 +252,8 @@ def _smooth_fwd_kernel(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
         ci, _, _, _, t = carry
         return (ci < nchunks) & (jnp.max(t) > eps)
 
-    zeros = jnp.zeros((2, 128), _f32)
-    ones = jnp.ones((2, 128), _f32)
+    zeros = jnp.zeros((RT, 128), _f32)
+    ones = jnp.ones((RT, 128), _f32)
     _, cr, cg, cb, t = jax.lax.while_loop(
         chunk_cond, chunk_body,
         (jnp.asarray(0, _i32), zeros, zeros, zeros, ones))
@@ -259,28 +267,31 @@ def _smooth_bwd_kernel(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
                        g_r_ref, g_g_ref, g_b_ref, g_t_ref,
                        dcol_ref, dvn_ref,
                        *, dims, num_intervals, width, height, spr, conic,
-                       krows):
+                       krows, tile):
     """Two-pass backward: per-tile [krows, 128] gradient rows (columns
     0-3 = dL/dcolors, 4 = dL/dlower, 5 = dL/dupper) + the per-sample
-    dL/dvn field [nchunks*8, 128] for the XLA trilinear-adjoint splat."""
-    nchunks = -(-spr // STEPS)
-    o, d, s_idx, pix_ok = _ray_setup(scal_ref, conic, width, height)
+    dL/dvn field [nchunks*E, 128] for the XLA trilinear-adjoint splat."""
+    tpx, tpy, steps = tile
+    RT = (tpx * tpy) // 128
+    E = RT * steps
+    nchunks = -(-spr // steps)
+    o, d, s_idx, pix_ok = _ray_setup(scal_ref, conic, width, height, tile)
     sharp = scal_ref[4]
 
     g_r = g_r_ref[0, 0]
     g_g = g_g_ref[0, 0]
     g_b = g_b_ref[0, 0]
     g_t = g_t_ref[0, 0]
-    gr4 = jnp.concatenate([g_r] * STEPS, axis=0)
-    gg4 = jnp.concatenate([g_g] * STEPS, axis=0)
-    gb4 = jnp.concatenate([g_b] * STEPS, axis=0)
+    gr4 = jnp.concatenate([g_r] * steps, axis=0)
+    gg4 = jnp.concatenate([g_g] * steps, axis=0)
+    gb4 = jnp.concatenate([g_b] * steps, axis=0)
 
     def sample(ci):
         rgba, vn, sig1, sig2, w = _sample_smooth(
             scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
-            o, d, s_idx, pix_ok, ci, dims, num_intervals)
+            o, d, s_idx, pix_ok, ci, dims, num_intervals, tile)
         sr, sg, sb, sa = rgba
-        live = ((ci * STEPS + s_idx) < spr).astype(_f32)
+        live = ((ci * steps + s_idx) < spr).astype(_f32)
         sa = sa * live
         gdotc = gr4 * sr + gg4 * sg + gb4 * sb
         return sa, gdotc, (sr, sg, sb), vn, sig1, sig2, w, live
@@ -289,15 +300,15 @@ def _smooth_bwd_kernel(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
     def pass_a(ci, carry):
         t, tot = carry
         a_all, gdotc_all, _, _, _, _, _, _ = sample(ci)
-        for s in range(STEPS):
-            sl = slice(2 * s, 2 * s + 2)
+        for s in range(steps):
+            sl = slice(RT * s, RT * s + RT)
             a = a_all[sl]
             tot = tot + (t * a) * gdotc_all[sl]
             t = t * (1.0 - a)
         return t, tot
 
-    ones = jnp.ones((2, 128), _f32)
-    zeros = jnp.zeros((2, 128), _f32)
+    ones = jnp.ones((RT, 128), _f32)
+    zeros = jnp.zeros((RT, 128), _f32)
     t_final, total = jax.lax.fori_loop(0, nchunks, pass_a, (ones, zeros))
     bg_term = t_final * g_t
 
@@ -309,8 +320,8 @@ def _smooth_bwd_kernel(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
         t, pfx, dc = carry
         a_all, gdotc_all, (sr, sg, sb), vn, sig1, sig2, w, live = sample(ci)
         w_list, da_list = [], []
-        for s in range(STEPS):
-            sl = slice(2 * s, 2 * s + 2)
+        for s in range(steps):
+            sl = slice(RT * s, RT * s + RT)
             a = a_all[sl]
             gd = gdotc_all[sl]
             ws = t * a
@@ -326,8 +337,8 @@ def _smooth_bwd_kernel(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
         da_all = jnp.concatenate(da_list, axis=0) * live
 
         # dL/d(w_k), then vn / bounds / color chains
-        dvn = jnp.zeros((8, 128), _f32)
-        wsum = jnp.zeros((8, 128), _f32)
+        dvn = jnp.zeros((E, 128), _f32)
+        wsum = jnp.zeros((E, 128), _f32)
         for k in range(1, num_intervals):
             dkr = colors_ref[k, 0] - colors_ref[0, 0]
             dkg = colors_ref[k, 1] - colors_ref[0, 1]
@@ -372,7 +383,7 @@ def _smooth_bwd_kernel(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
                                 jnp.where(col_i == 3, da0, 0.0))))
         dc = dc + jnp.where(row_i == 0, upd0, 0.0)
 
-        dvn_ref[0, pl.ds(ci * 8, 8), :] = dvn * live
+        dvn_ref[0, pl.ds(ci * E, E), :] = dvn * live
         return t, pfx, dc
 
     _, _, dc = jax.lax.fori_loop(
@@ -381,30 +392,33 @@ def _smooth_bwd_kernel(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
     dcol_ref[0, 0] = dc
 
 
-def _splat_volume_grad(dvn_tiles, scal_np, camera, config, volume_dims,
+def _splat_volume_grad(dvn_tiles, tile, camera, config, volume_dims,
                        cal_max):
     """XLA epilogue: trilinear-adjoint scatter of the per-sample dL/dvn
     field into the volume cotangent, `lax.scan` over sample chunks."""
     d1, d2, d3 = volume_dims
+    tpx, tpy, steps = tile
+    nrays = tpx * tpy
+    E = nrays * steps // 128
     w, h = config.width, config.height
-    ntx = -(-w // TILE_PX)
-    nty = -(-h // TILE_PY)
-    nchunks = -(-config.samples_per_ray // STEPS)
+    ntx = -(-w // tpx)
+    nty = -(-h // tpy)
+    nchunks = -(-config.samples_per_ray // steps)
 
-    # static slot-decode arrays for the [8, 128] register layout
-    e = np.arange(8)[:, None] * 128 + np.arange(128)[None, :]
-    s_idx = (e // 256).astype(np.int32)  # step within chunk
-    f = e % 256
-    u = (f // TILE_PY).astype(np.int32)
-    v = (f % TILE_PY).astype(np.int32)
-    px = (np.arange(ntx)[:, None, None, None] * TILE_PX
-          + u[None, None]).astype(np.float32)  # [ntx,1,8,128]
-    py = (np.arange(nty)[None, :, None, None] * TILE_PY
-          + v[None, None]).astype(np.float32)  # [1,nty,8,128]
-    px = jnp.asarray(np.broadcast_to(px, (ntx, nty, 8, 128)))
-    py = jnp.asarray(np.broadcast_to(py, (ntx, nty, 8, 128)))
+    # static slot-decode arrays for the [E, 128] register layout
+    e = np.arange(E)[:, None] * 128 + np.arange(128)[None, :]
+    s_idx = (e // nrays).astype(np.int32)  # step within chunk
+    f = e % nrays
+    u = (f // tpy).astype(np.int32)
+    v = (f % tpy).astype(np.int32)
+    px = (np.arange(ntx)[:, None, None, None] * tpx
+          + u[None, None]).astype(np.float32)  # [ntx,1,E,128]
+    py = (np.arange(nty)[None, :, None, None] * tpy
+          + v[None, None]).astype(np.float32)  # [1,nty,E,128]
+    px = jnp.asarray(np.broadcast_to(px, (ntx, nty, E, 128)))
+    py = jnp.asarray(np.broadcast_to(py, (ntx, nty, E, 128)))
     s_idx = jnp.asarray(np.broadcast_to(s_idx[None, None],
-                                        (ntx, nty, 8, 128)))
+                                        (ntx, nty, E, 128)))
 
     rsw = np.float32(config.real_screen_width)
     rsh = np.float32(config.real_screen_height)
@@ -428,10 +442,10 @@ def _splat_volume_grad(dvn_tiles, scal_np, camera, config, volume_dims,
     ds = np.float32(config.sample_distance)
     clip = np.float32(config.front_clip)
 
-    dvn_tiles = dvn_tiles.reshape(ntx, nty, nchunks, 8, 128)
+    dvn_tiles = dvn_tiles.reshape(ntx, nty, nchunks, E, 128)
 
     def chunk(acc, ci):
-        i_f = (ci * STEPS + s_idx).astype(_f32)
+        i_f = (ci * steps + s_idx).astype(_f32)
         ti = i_f * ds + clip
         vox = ((o + ti[..., None] * dvec) + 0.5) * L + voff
         b = jnp.floor(vox)
@@ -467,18 +481,22 @@ def _splat_volume_grad(dvn_tiles, scal_np, camera, config, volume_dims,
 
 @functools.lru_cache(maxsize=32)
 def _make_smooth_core(dims, num_intervals, width, height, spr, conic,
-                      rows, interpret):
-    ntx = -(-width // TILE_PX)
-    nty = -(-height // TILE_PY)
-    nchunks = -(-spr // STEPS)
+                      rows, interpret, tile):
+    tpx, tpy, steps = tile
+    RT = (tpx * tpy) // 128
+    E = RT * steps
+    ntx = -(-width // tpx)
+    nty = -(-height // tpy)
+    nchunks = -(-spr // steps)
     krows = 8 if num_intervals <= 8 else 16
 
     fwd_kernel = functools.partial(
         _smooth_fwd_kernel, dims=dims, num_intervals=num_intervals,
-        width=width, height=height, spr=spr, conic=conic)
+        width=width, height=height, spr=spr, conic=conic, tile=tile)
     bwd_kernel = functools.partial(
         _smooth_bwd_kernel, dims=dims, num_intervals=num_intervals,
-        width=width, height=height, spr=spr, conic=conic, krows=krows)
+        width=width, height=height, spr=spr, conic=conic, krows=krows,
+        tile=tile)
 
     fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -492,12 +510,12 @@ def _make_smooth_core(dims, num_intervals, width, height, spr, conic,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, RT, 128), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ],
     )
-    tile_shape = [jax.ShapeDtypeStruct((ntx, nty, 2, 128), _f32)
+    tile_shape = [jax.ShapeDtypeStruct((ntx, nty, RT, 128), _f32)
                   for _ in range(4)]
 
     bwd_grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -511,14 +529,14 @@ def _make_smooth_core(dims, num_intervals, width, height, spr, conic,
             pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, RT, 128), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ],
         out_specs=[
             pl.BlockSpec((1, 1, krows, 128), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nchunks * 8, 128), lambda i, j: (i * nty + j,
+            pl.BlockSpec((1, nchunks * E, 128), lambda i, j: (i * nty + j,
                                                               0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -538,7 +556,7 @@ def _make_smooth_core(dims, num_intervals, width, height, spr, conic,
             grid_spec=bwd_grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((ntx, nty, krows, 128), _f32),
-                jax.ShapeDtypeStruct((ntx * nty, nchunks * 8, 128), _f32),
+                jax.ShapeDtypeStruct((ntx * nty, nchunks * E, 128), _f32),
             ],
             interpret=interpret,
         )(scal, lower, upper, colors, vol_rows, *g)
@@ -571,6 +589,7 @@ def render_vrc_smooth_pallas(
     config: RenderConfig,
     *,
     interpret: bool = False,
+    tile: Tuple[int, int, int] | None = None,
 ) -> jnp.ndarray:
     """Smooth-mode a1 render -> [W, H, 4], differentiable w.r.t. the TF
     colors AND interval bounds AND the volume data through fused Pallas
@@ -601,6 +620,12 @@ def render_vrc_smooth_pallas(
 
     w, h = config.width, config.height
     rows = _pad_to(d1 * d2, 8)
+    if tile is None:
+        tile = (TILE_PX, TILE_PY, STEPS)
+    tpx, tpy, steps = tile
+    if (tpx * tpy) % 128 or (tpx * tpy * steps) % 1024:
+        raise ValueError(f"tile {tile}: rays must fill 128-lane rows and "
+                         "rays*steps must fill full registers")
 
     top_left = camera.top_left
     if config.conic and config.conic_corrected:
@@ -626,7 +651,7 @@ def render_vrc_smooth_pallas(
 
     forward_tiles, backward_tiles, krows = _make_smooth_core(
         volume.dims, tf.num_intervals, w, h, config.samples_per_ray,
-        bool(config.conic), rows, bool(interpret))
+        bool(config.conic), rows, bool(interpret), tile)
 
     @jax.custom_vjp
     def core(colors, lower, upper, scal_, data3d):
@@ -650,7 +675,7 @@ def render_vrc_smooth_pallas(
         dlower = summed[:k, 4]
         dupper = summed[:k, 5]
         dvol = _splat_volume_grad(
-            dvn_tiles, None, camera, config, volume.dims,
+            dvn_tiles, tile, camera, config, volume.dims,
             jnp.asarray(volume.cal_max, _f32))
         return (dcolors, dlower, dupper, jnp.zeros_like(scal_), dvol)
 
@@ -659,12 +684,12 @@ def render_vrc_smooth_pallas(
     cr, cg, cb, t = core(tf.colors, tf.lower, tf.upper, scal,
                          volume.data.reshape(volume.dims))
 
-    ntx = -(-w // TILE_PX)
-    nty = -(-h // TILE_PY)
+    ntx = -(-w // tpx)
+    nty = -(-h // tpy)
 
     def unpack(a):
-        a = a.reshape(ntx, nty, TILE_PX, TILE_PY)
-        a = a.transpose(0, 2, 1, 3).reshape(ntx * TILE_PX, nty * TILE_PY)
+        a = a.reshape(ntx, nty, tpx, tpy)
+        a = a.transpose(0, 2, 1, 3).reshape(ntx * tpx, nty * tpy)
         return a[:w, :h]
 
     bg = jnp.asarray(config.background, _f32)
