@@ -452,3 +452,31 @@ def test_streamed_lut_matches_xla():
     assert streamed_geometry((512, 64, 300), 4, lut_n=256) is None
     bx, zp = streamed_geometry((512, 64, 100), 4, lut_n=256)
     assert zp is not None and zp[0] == 50  # 2 ids/word
+
+
+def test_streamed_variants_agree():
+    """All three streamed orchestrations — manual DMA (default),
+    tile-major grid, block-major grid — produce the same image, for even
+    and odd block counts and both visit directions."""
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        render_vrc_pallas_streamed,
+    )
+
+    rng = np.random.default_rng(13)
+    volume = make_volume(rng.uniform(0, 255, (24, 12, 11)).astype(np.float32))
+    tf = default_transfer_function()
+    cfg = RenderConfig(width=16, height=14, samples_per_ray=36)
+    for pos in ((0.35, 0.45, 0.85), (-0.5, 0.3, -0.8)):
+        cam = Camera.initial(position=pos)
+        want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+        for block_x in (8, 16):  # nxb = 3 (odd) and 2 (even)
+            for kw in (dict(manual=True),
+                       dict(manual=False, block_major=False),
+                       dict(manual=False, block_major=True)):
+                got = np.asarray(
+                    render_vrc_pallas_streamed(
+                        volume, tf, cam, cfg, early_eps=0.0,
+                        interpret=True, block_x=block_x, **kw))
+                np.testing.assert_allclose(
+                    got, want, atol=1e-5,
+                    err_msg=f"{pos} block_x={block_x} {kw}")

@@ -1998,7 +1998,7 @@ def render_vrc_pallas_streamed(
             num_scalar_prefetch=0,
             grid=(ntx, nty),
             in_specs=base_in_specs + [
-                pl.BlockSpec(memory_space=pltpu.ANY)]  # volume stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY)]  # volume stays in HBM
             + [pl.BlockSpec((a.shape[0], 128), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
                for a in extra_args],  # [LUT rows]
