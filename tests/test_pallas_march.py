@@ -480,3 +480,23 @@ def test_streamed_variants_agree():
                 np.testing.assert_allclose(
                     got, want, atol=1e-5,
                     err_msg=f"{pos} block_x={block_x} {kw}")
+
+
+def test_streamed_manual_lut():
+    """Manual-DMA streaming + dense-LUT classify (16-bit packed LUT-index
+    blocks) matches the XLA LUT renderer."""
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        render_vrc_pallas_streamed,
+    )
+
+    rng = np.random.default_rng(17)
+    volume = make_volume(rng.uniform(0, 255, (16, 12, 11)).astype(np.float32))
+    tf = default_transfer_function()
+    cfg = RenderConfig(width=16, height=14, samples_per_ray=30, tf_lut=64)
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
+    want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    got = np.asarray(
+        render_vrc_pallas_streamed(
+            volume, tf, cam, cfg, early_eps=0.0, interpret=True,
+            block_x=8, manual=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
