@@ -133,8 +133,9 @@ def test_scatter_hg_g_changes_result(scene):
 
 
 def test_scatter_a5_and_dispatch(scene):
-    """render() dispatch honors scattering for both algorithms (the Pallas
-    kernels are ineligible; the XLA path implements it)."""
+    """render() dispatch honors scattering for both algorithms (on the
+    CPU test mesh the XLA path serves it; on TPU the fused kernels take
+    it through the baked additive slot)."""
     vol, tf, cam, cfg = scene
     for alg in (Algorithm.VRC, Algorithm.TEST):
         cfg_s = cfg.replace(scattering=True, algorithm=alg)
@@ -184,3 +185,62 @@ def test_scatter_sharded_matches_single(scene):
     mesh3 = Mesh(devs3, ("rays", "samples", "volume"))
     with pytest.raises(NotImplementedError):
         render_vrc_sharded(vol8, tf, cam, cfg_s, mesh3, use_pallas=False)
+
+
+def test_scatter_fused_kernels_match_xla(scene):
+    """Fused scattering (the baked additive slot, ops/pallas_march.
+    bake_scatter_grid) must match the XLA scatter path for a1 plain,
+    a1 + lighting, a1 + LUT, and a5."""
+    from volumerenderingproject_tpu.ops.pallas_a5 import render_test_pallas
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        render_vrc_pallas,
+    )
+    from volumerenderingproject_tpu.models.raycast import render_test
+
+    vol, tf, cam, cfg = scene
+    for kw in ({}, {"lighting": True}, {"tf_lut": 64}):
+        cfg_s = cfg.replace(scattering=True, scattering_strength=1.5, **kw)
+        want = np.asarray(render_vrc(vol, tf, cam, cfg_s, mode="fast"))
+        got = np.asarray(render_vrc_pallas(
+            vol, tf, cam, cfg_s, early_eps=0.0, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-5, err_msg=str(kw))
+    cfg_5 = cfg.replace(scattering=True, algorithm=Algorithm.TEST)
+    want = np.asarray(render_test(vol, tf, cam, cfg_5, mode="fast"))
+    got = np.asarray(render_test_pallas(
+        vol, tf, cam, cfg_5, early_eps=0.0, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_scatter_fused_hg_g(scene):
+    """Fused scattering honors a nonzero per-material HG g."""
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        render_vrc_pallas,
+    )
+
+    vol, tf, cam, cfg = scene
+    tf_g = dataclasses.replace(tf, hg_g=jnp.asarray([0.0, 0.7, -0.3, 0.5]))
+    cfg_s = cfg.replace(scattering=True)
+    want = np.asarray(render_vrc(vol, tf_g, cam, cfg_s, mode="fast"))
+    got = np.asarray(render_vrc_pallas(
+        vol, tf_g, cam, cfg_s, early_eps=0.0, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_scatter_fused_segments_sharded(scene):
+    """Scattering through the fused segment kernels under shard_map
+    (rays/samples axes) == single-device."""
+    from jax.sharding import Mesh
+
+    from volumerenderingproject_tpu.parallel.render_dist import (
+        render_vrc_sharded,
+    )
+
+    vol, tf, cam, cfg = scene
+    cfg_s = cfg.replace(width=16, scattering=True)
+    devs = np.array(jax.devices()[:4]).reshape(2, 2, 1)
+    mesh = Mesh(devs, ("rays", "samples", "volume"))
+    single = np.asarray(render_vrc(vol, tf, cam, cfg_s, mode="fast"))
+    sharded = np.asarray(
+        render_vrc_sharded(vol, tf, cam, cfg_s, mesh,
+                           use_pallas=True, pallas_interpret=True))
+    np.testing.assert_allclose(sharded, single, atol=2e-5)

@@ -666,6 +666,12 @@ def _pallas_eligible(volume: Volume, tf, config: RenderConfig,
             or baked_light_feasible(volume.dims, tf.num_intervals, config)
         )
     )
+    # scattering rides the baked additive slot: ortho + baked-feasible
+    # (render() uses the default light — uniform white — so bakeable)
+    scattering_ok = not config.scattering or (
+        not config.conic
+        and baked_light_feasible(volume.dims, tf.num_intervals, config)
+    )
     return (
         _jax.default_backend() == "tpu"
         and mode == "fast"
@@ -673,9 +679,9 @@ def _pallas_eligible(volume: Volume, tf, config: RenderConfig,
         and (fits_f32 if config.lighting else fits)
         and (not config.tf_lut or config.tf_lut <= 1024)
         and kernel_lighting_ok
+        and scattering_ok
         and config.interp is Interp.NEAREST
         and config.empty_space_skipping
-        and not config.scattering
     )
 
 
@@ -719,8 +725,9 @@ def _pallas_a5_eligible(volume: Volume, tf, config: RenderConfig,
     from ..ops.pallas_a5 import a5_baked_light_feasible, a5_packed_geometry
 
     fits_f32 = volume.dims[2] <= 127
+    need_bake = config.lighting or config.scattering
     fits = fits_f32 or (
-        not config.lighting
+        not need_bake
         and a5_packed_geometry(volume.dims, tf.num_intervals) is not None
     )
     return (
@@ -728,9 +735,9 @@ def _pallas_a5_eligible(volume: Volume, tf, config: RenderConfig,
         and mode == "fast"
         and volume.channels == 1
         and fits
-        and (not config.lighting
+        and (not need_bake
              or (fits_f32 and a5_baked_light_feasible(volume.dims)))
-        and not config.scattering
+        and not (config.scattering and config.conic)
     )
 
 

@@ -511,13 +511,15 @@ def render_test_pallas(
                 "use the XLA renderer for lit oversize volumes")
     if volume.channels != 1:
         raise ValueError("a5 pallas path supports single-channel volumes")
-    baked = bool(config.lighting) or light is not None
+    baked = (bool(config.lighting) or bool(config.scattering)
+             or light is not None)
     if baked:
         from . import phong
         from .pallas_march import (
             _stage_f32_rows,
             _uniform_light_color,
             bake_light_grids,
+            bake_scatter_grid,
         )
 
         lg = light if light is not None else phong.default_light()
@@ -546,7 +548,20 @@ def render_test_pallas(
     extra_specs = []
     if baked:
         data3d = volume.data.reshape(volume.dims)
-        mgrid, sgrid = bake_light_grids(data3d, config, lg, -camera.front)
+        if config.lighting or (light is not None and not config.scattering):
+            mgrid, sgrid = bake_light_grids(data3d, config, lg,
+                                            -camera.front)
+        else:
+            mgrid = jnp.ones(volume.dims, _f32)
+            sgrid = jnp.zeros(volume.dims, _f32)
+        if config.scattering:
+            # the a5 march direction is camera.front for every ray; the
+            # a5 material (g) lookup normalizes by the FLOAT cal_max
+            # (PARITY C4) while the transmittance alpha uses trunc
+            sgrid = sgrid + bake_scatter_grid(
+                data3d, tf, config, lg, camera.front,
+                jnp.asarray(volume.cal_max, _f32),
+                jnp.trunc(jnp.asarray(volume.cal_max, _f32)))
         for g in (mgrid, sgrid):
             grows = _stage_f32_rows(g, d1, d2, d3)
             extra_args.append(grows)

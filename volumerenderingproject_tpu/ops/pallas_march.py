@@ -1022,6 +1022,46 @@ def bake_light_grids(
     return m, s
 
 
+def bake_scatter_grid(
+    data: jnp.ndarray,
+    tf: TransferFunction,
+    config: RenderConfig,
+    light,
+    ray_dir: jnp.ndarray,
+    cal_for_g: jnp.ndarray,
+    cal_max_trunc: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-voxel single-scattering radiance S_scat [X, Y, Z] f32.
+
+    For ortho marches the whole scattering add
+    (models/raycast._apply_scattering) is a per-voxel quantity:
+    ``strength * HG(cos t; g_voxel) * T_light(voxel) * light_color`` —
+    cos t = dot(ray_dir, light_dir) is ray-independent and T_light is the
+    ops/phong.light_transmittance_grid sweep — so it folds into the baked
+    additive (S) slot of the kernels' ``rgb * M + S`` shading, exactly
+    like the Blinn-Phong bake.  ``cal_for_g`` is the normalization used
+    for the material (g) lookup: trunc(cal_max) on the a1 path, the float
+    header value on a5 (PARITY C4); the transmittance alpha always uses
+    trunc (one _make_scatter in raycast.py serves both).  Requires a
+    uniform light color (single grid serves all three channels)."""
+    from . import phong
+
+    vn_g = jnp.maximum(data, 0.0) / cal_for_g
+    gk = jnp.take(tf.hg_g, tf.classify_index(vn_g), axis=0)
+    alpha = tf.classify(
+        jnp.maximum(data, 0.0) / cal_max_trunc)[..., 3]
+    alpha = jnp.clip(
+        alpha * jnp.asarray(config.density_scale, _f32), 0.0, 1.0)
+    tgrid = phong.light_transmittance_grid(alpha, light.direction)
+    rdir = ray_dir / jnp.maximum(jnp.linalg.norm(ray_dir), 1e-8)
+    ldir = light.direction / jnp.maximum(
+        jnp.linalg.norm(light.direction), 1e-8)
+    cos_t = jnp.sum(rdir * ldir)
+    ph = phong.henyey_greenstein(cos_t, gk)
+    return (jnp.asarray(config.scattering_strength, _f32)
+            * ph * tgrid * light.color[0])
+
+
 _BAKED_BUDGET = 13 * 2**20  # main grid + two f32 factor grids (VMEM ~16 MB)
 _MC_BUDGET = 15 * 2**20 + 2**19  # id grid + rgb channel grids (a5-proven)
 
@@ -1117,10 +1157,15 @@ def _resolve_kernel_mode(
         main_bytes = _pad_to(d1 * zp[2], 8) * 128 * 4
 
     baked = False
-    if config.lighting:
+    if config.lighting or config.scattering:
         if (bakeable and d3 <= 128
                 and main_bytes + 2 * f32_bytes <= _BAKED_BUDGET):
             baked = True
+        elif config.scattering:
+            raise ValueError(
+                "fused scattering rides the baked per-voxel path (ortho "
+                "camera, uniform light color, z <= 128, VMEM budget, "
+                "full volume); use the XLA renderer otherwise")
         else:
             # in-kernel gradient shading needs intensities: f32 rows only
             if d3 > 128:
@@ -1237,7 +1282,7 @@ def _march_tiles(
         # the packed fetch and fetch_f32_grids index by the slab-local x
 
     lg = None
-    if config.lighting:
+    if config.lighting or config.scattering:
         from . import phong
 
         lg = light if light is not None else phong.default_light()
@@ -1248,7 +1293,7 @@ def _march_tiles(
     # matters under jit, where even trace-constant arrays are Tracers
     # and a value check would always fail.
     bakeable = (
-        config.lighting
+        (config.lighting or config.scattering)
         and not config.conic
         and slab_x is None
         and _uniform_light_color(light)
@@ -1344,8 +1389,20 @@ def _march_tiles(
             pl.BlockSpec((lut_rows.shape[0], 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM))
     if baked:
-        mgrid, sgrid = bake_light_grids(
-            data.reshape(dims_local), config, lg, -camera.front)
+        data3d = data.reshape(dims_local)
+        if config.lighting:
+            mgrid, sgrid = bake_light_grids(data3d, config, lg,
+                                            -camera.front)
+        else:
+            mgrid = jnp.ones(dims_local, _f32)
+            sgrid = jnp.zeros(dims_local, _f32)
+        if config.scattering:
+            # the scattering add folds into the additive slot: the a1
+            # march direction is camera.front for every ortho ray, and
+            # the a1 material lookup normalizes by trunc(cal_max)
+            sgrid = sgrid + bake_scatter_grid(
+                data3d, tf, config, lg, camera.front,
+                cal_max_trunc, cal_max_trunc)
         for g in (mgrid, sgrid):
             grows = _stage_f32_rows(g, dims_local[0], d2, d3)
             extra_args.append(grows)

@@ -116,15 +116,22 @@ def _pallas_segment_eligible(
             or baked_light_feasible(volume.dims, tf.num_intervals, config)
         )
     )
+    # fused scattering rides the baked additive slot: full-volume work
+    # units (rays/samples axes), ortho, within the baked VMEM budget
+    scattering_ok = not config.scattering or (
+        slab_x is None
+        and not config.conic
+        and baked_light_feasible(volume.dims, tf.num_intervals, config)
+    )
     return (
         config.algorithm is Algorithm.VRC
         and volume.channels == 1
         and fits
         and lighting_ok
+        and scattering_ok
         and config.interp is Interp.NEAREST
         and (not config.tf_lut or config.tf_lut <= 1024)
         and config.empty_space_skipping
-        and not config.scattering
     )
 
 
