@@ -12,7 +12,7 @@ client can drive it:
 
 Query/JSON parameters mirror the CLI: width, height, spr, algorithm
 (point|vrc|test), camera ("preset" | "default" | "x,y,z"), orbit
-("yaw_deg,pitch_deg,zoom"), lighting (0/1), conic (0/1).
+("yaw_deg,pitch_deg,zoom"), lighting (0/1), conic (0/1), scattering (0/1).
 
 The model state (volume + transfer function) is loaded once at startup;
 renders are jit-cached per static config, so repeated interactive requests
@@ -78,6 +78,7 @@ class RenderService:
             samples_per_ray=int(params.get("spr", 300)),
             algorithm=Algorithm[alg],
             lighting=bool(int(params.get("lighting", 0))),
+            scattering=bool(int(params.get("scattering", 0))),
             conic=bool(int(params.get("conic", 0))),
         )
         cam_spec = str(params.get("camera", "preset"))

@@ -20,6 +20,7 @@ Key map (1:1 with processInput):
   P     print camera state to the status line       myApp.cu:1189
   O     download the frame as PNG, reference name   myApp.cu:1203-1221
   L     toggle Phong lighting (new capability)
+  B     toggle single-scattering light transport (new capability)
   C     toggle conic projection (new capability)
   B     toggle the z-buffer depth view (3.3.zbuffershader.fs analog)
 """
@@ -52,7 +53,8 @@ VIEWER_HTML = """<!DOCTYPE html>
     <kbd>Z</kbd> point/test &nbsp; <kbd>R</kbd> reset &nbsp;
     <kbd>M</kbd>/<kbd>X</kbd> save/restore camera &nbsp;
     <kbd>P</kbd> print camera &nbsp; <kbd>O</kbd> save PNG &nbsp;
-    <kbd>L</kbd> lighting &nbsp; <kbd>C</kbd> conic &nbsp;
+    <kbd>L</kbd> lighting &nbsp; <kbd>B</kbd> scattering &nbsp;
+    <kbd>C</kbd> conic &nbsp;
     <kbd>B</kbd> depth buffer
   </div>
 </div>
@@ -65,7 +67,7 @@ const ZOOM_STEP = 0.08;   // world units along front per keypress
 const ALGOS = ["point", "vrc", "test"];
 const ALGO_IDS = { point: 0, vrc: 1, test: 5 };   // utils.h:13-18
 let state = { yaw: 0, pitch: 0, zoom: 0, algorithm: "vrc",
-              lighting: 0, conic: 0, depth: 0,
+              lighting: 0, scattering: 0, conic: 0, depth: 0,
               width: 300, height: 300, spr: 300 };
 let saved = null;                                  // key M preset
 let inflight = false, dirty = true, lastMs = 0;
@@ -75,7 +77,8 @@ function qs() {
          "&spr=" + state.spr + "&algorithm=" + state.algorithm +
          "&camera=preset&orbit=" + state.yaw.toFixed(3) + "," +
          state.pitch.toFixed(3) + "," + state.zoom.toFixed(3) +
-         "&lighting=" + state.lighting + "&conic=" + state.conic +
+         "&lighting=" + state.lighting +
+         "&scattering=" + state.scattering + "&conic=" + state.conic +
          "&depth=" + state.depth;
 }
 
@@ -84,7 +87,8 @@ function status(extra) {
     "a=" + state.algorithm +
     " yaw=" + state.yaw.toFixed(1) + " pitch=" + state.pitch.toFixed(1) +
     " zoom=" + state.zoom.toFixed(2) +
-    " light=" + state.lighting + " conic=" + state.conic +
+    " light=" + state.lighting + " scat=" + state.scattering +
+    " conic=" + state.conic +
     " | " + lastMs.toFixed(0) + " ms" + (extra ? " | " + extra : "");
 }
 
@@ -143,6 +147,7 @@ document.addEventListener("keydown", (ev) => {
     status("camera: " + JSON.stringify(state)); changed = false;
   } else if (k === "o") { savePng(); changed = false; }  // myApp.cu:1203
   else if (k === "l") state.lighting = 1 - state.lighting;
+  else if (k === "b") state.scattering = 1 - state.scattering;
   else if (k === "c") state.conic = 1 - state.conic;
   else if (k === "b") state.depth = 1 - state.depth;
   else changed = false;
