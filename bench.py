@@ -162,6 +162,14 @@ def main() -> None:
                      lighting=True, gradient_filter="sobel",
                      early_termination=1e-3),
     )
+    from volumerenderingproject_tpu.utils.config import Algorithm
+
+    matrix(
+        "a5_500",
+        volume,
+        RenderConfig(width=500, height=500, samples_per_ray=500,
+                     algorithm=Algorithm.TEST, early_termination=1e-3),
+    )
 
     # 320^3 dense synthetic: beyond the VMEM-resident budget -> streamed
     xs = np.linspace(-1, 1, 320, dtype=np.float32)

@@ -500,3 +500,31 @@ def test_streamed_manual_lut():
             volume, tf, cam, cfg, early_eps=0.0, interpret=True,
             block_x=8, manual=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_streamed_manual_alpha0_positive_unclipped():
+    """TF(0).alpha > 0 renders out-of-volume and empty-brick samples, so
+    the manual-stream occupied-extent clip must disable itself."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        render_vrc_pallas_streamed,
+    )
+
+    vol_np = np.zeros((24, 12, 11), np.float32)
+    vol_np[:8] = 50.0
+    volume = make_volume(vol_np)
+    tf = default_transfer_function()
+    # give the fallback interval a visible alpha
+    tf = dataclasses.replace(
+        tf, colors=tf.colors.at[0].set(jnp.asarray([0.1, 0.2, 0.3, 0.15])))
+    cfg = RenderConfig(width=16, height=14, samples_per_ray=30)
+    cam = Camera.initial(position=(0.9, 0.35, 0.45))
+    want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    got = np.asarray(
+        render_vrc_pallas_streamed(
+            volume, tf, cam, cfg, early_eps=0.0, interpret=True,
+            block_x=8, manual=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -175,6 +175,10 @@ def _march_kernel(
     mg_ref = rest.pop(0) if baked_light else None
     sg_ref = rest.pop(0) if baked_light else None
     mc_refs = tuple(rest.pop(0) for _ in range(mc_grids))
+    # per-block occupied-x ray-space extents (manual mode, SMEM [2*nxb]):
+    # geometry ∩ occupancy, alpha0-gated on the host — empty blocks carry
+    # an inverted interval so the whole block march is skipped
+    bext_ref = rest.pop(0) if manual_stream else None
     out_r_ref, out_g_ref, out_b_ref, out_t_ref = rest
     d1, d2, d3 = dims
     lw = width if local_width is None else local_width
@@ -697,11 +701,12 @@ def _march_kernel(
         # conditional march.  Blocks are VISITED in visibility order
         # (sign(front.x)), so the compose is always front-to-back and
         # early ray termination skips every remaining block's march.
-        block_rows = slab_x_rows = bufs_ref.shape[1]
+        block_rows = bufs_ref.shape[1]
         fwd = front[0] >= 0.0
 
         def bk_of(kvis):
-            return jnp.where(fwd, kvis, nxb - 1 - kvis).astype(_i32)
+            bk = jnp.where(fwd, kvis, nxb - 1 - kvis)
+            return jnp.clip(bk, 0, nxb - 1).astype(_i32)
 
         def dma(slot, kvis):
             bk = bk_of(kvis)
@@ -715,10 +720,9 @@ def _march_kernel(
             cr, cg, cb, t = carry
             bk = bk_of(kvis)
             x0b = x0_i + bk * slab_x
-            x0f = x0b.astype(_f32)
-            blk_lo = (hg[0] + x0f) / L - 0.5
-            blk_hi = ((hg[0] + (x0f + np.float32(slab_x))) / L
-                      + 1.0 / n - 0.5)
+            # the host precomputed geometry ∩ occupied-x extent per block
+            blk_lo = bext_ref[2 * bk]
+            blk_hi = bext_ref[2 * bk + 1]
             bl = [jnp.maximum(box_lo[0], blk_lo), box_lo[1], box_lo[2]]
             bh = [jnp.minimum(box_hi[0], blk_hi), box_hi[1], box_hi[2]]
             bcr, bcg, bcb, bt = _compute_ct(
@@ -727,7 +731,9 @@ def _march_kernel(
             return (cr + t * bcr, cg + t * bcg, cb + t * bcb, t * bt)
 
         def maybe_march(slot_ref, kvis, carry):
-            live = (kvis < nxb) & (jnp.max(carry[3]) > eps)
+            bk = bk_of(kvis)
+            nonempty = bext_ref[2 * bk] <= bext_ref[2 * bk + 1]
+            live = (kvis < nxb) & nonempty & (jnp.max(carry[3]) > eps)
             return jax.lax.cond(
                 live, lambda c: march(slot_ref, kvis, c),
                 lambda c: c, carry)
@@ -2050,7 +2056,37 @@ def render_vrc_pallas_streamed(
           *extra_args)
     elif manual:
         # one invocation per tile; the kernel streams blocks itself with
-        # double-buffered DMA (see _march_kernel manual_stream)
+        # double-buffered DMA (see _march_kernel manual_stream).
+        # Per-block ray-space x extents = block geometry ∩ the occupied
+        # brick range (alpha0-gated: when TF(0).alpha > 0 every sample
+        # renders and nothing may be clipped) — sparse scenes skip whole
+        # blocks and shrink the chunk range of the rest.
+        nbx_b = nb[0]
+        bpb = block_x // BRICK
+        occ_any = (occ.reshape(nb).max(axis=(1, 2)) > 0)
+        occ_any = jnp.pad(occ_any, (0, nxb * bpb - nbx_b))
+        rb = occ_any.reshape(nxb, bpb)
+        bidx = jnp.arange(bpb)
+        has = jnp.any(rb, axis=1)
+        first = jnp.min(jnp.where(rb, bidx, bpb), axis=1)
+        last = jnp.max(jnp.where(rb, bidx, -1), axis=1)
+        karr = jnp.arange(nxb, dtype=_f32) * np.float32(block_x)
+        Lf = np.float32(max(volume.dims))
+        nf = np.float32(2.0 ** volume.octree_depth)
+        hg0 = np.float32(Lf / 2) - np.float32(d1 / 2)
+        xlo = karr + first.astype(_f32) * np.float32(BRICK)
+        xhi = karr + (last + 1).astype(_f32) * np.float32(BRICK)
+        geo_lo = (hg0 + karr) / Lf - 0.5
+        geo_hi = (hg0 + karr + np.float32(block_x)) / Lf + 1.0 / nf - 0.5
+        occ_lo = (hg0 + xlo) / Lf - 0.5
+        occ_hi = (hg0 + xhi) / Lf + 1.0 / nf - 0.5
+        unsafe = alpha0 > 0.0
+        lo_r = jnp.where(unsafe, geo_lo,
+                         jnp.where(has, jnp.maximum(occ_lo, geo_lo), 1e9))
+        hi_r = jnp.where(unsafe, geo_hi,
+                         jnp.where(has, jnp.minimum(occ_hi, geo_hi), -1e9))
+        bext = jnp.stack([lo_r, hi_r], axis=-1).reshape(-1)
+
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(ntx, nty),
@@ -2058,7 +2094,8 @@ def render_vrc_pallas_streamed(
                 pl.BlockSpec(memory_space=pl.ANY)]  # volume stays in HBM
             + [pl.BlockSpec((a.shape[0], 128), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
-               for a in extra_args],  # [LUT rows]
+               for a in extra_args]  # [LUT rows]
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],  # block extents
             out_specs=[
                 pl.BlockSpec((1, 1, rt, 128), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -2074,7 +2111,8 @@ def render_vrc_pallas_streamed(
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows, *extra_args)
+        )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows, *extra_args,
+          bext)
     elif block_major:
         # block OUTERMOST: the volume block index changes only when grid
         # dim 0 advances, so Pallas's consecutive-index elision copies
