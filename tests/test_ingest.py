@@ -86,3 +86,31 @@ def test_big_endian_header():
     h = parse_header(bytes(hdr))
     assert h.byteorder == ">"
     assert h.shape == (4, 5, 6)
+
+
+def test_vvi_sidecar_parse():
+    """VolView .vvi sidecars (reference C21 inventory) parse and
+    cross-check the NIfTI header where both exist."""
+    import os
+
+    from volumerenderingproject_tpu.ingest.vvi import load_vvi, parse_vvi
+
+    p = "/root/reference/avg152T1_LR_nifti2.nii.vvi"
+    if not os.path.exists(p):
+        import pytest
+
+        pytest.skip("reference .vvi sidecar not available")
+    props = load_vvi(p)
+    assert props.file_dimensionality == 3
+    # VolView cached its own interpretation of this file: a 3-component
+    # uint8 view over a 91x91x109 extent (a transposed/padded take on the
+    # 91x109x91 NIfTI grid) — the sidecar records the viewer's state, not
+    # the NIfTI truth, which is exactly why it is provenance-only here
+    assert props.num_scalar_components == 3
+    assert props.dtype_name == "uint8"
+    assert props.dims == (91, 91, 109)
+    assert props.spacing == (1.0, 1.0, 1.0)
+    assert not props.big_endian
+
+    with np.testing.assert_raises(ValueError):
+        parse_vvi("<NotAVvi/>")

@@ -105,3 +105,19 @@ def test_sphere_regression():
         )
     )
     _check(img, "sphere_100x100_a1_spr100.png", Algorithm.VRC)
+
+
+def test_scattering_regression(avg152):
+    """Single-scattering mode pinned golden (round-3 feature)."""
+    from volumerenderingproject_tpu.models.raycast import render_vrc
+
+    img = np.asarray(
+        render_vrc(
+            avg152,
+            default_transfer_function(),
+            reset_preset(),
+            CFG.replace(scattering=True, scattering_strength=1.5),
+            mode="fast",
+        )
+    )
+    _check(img, "avg152_100x100_a1_scatter.png", Algorithm.VRC)
