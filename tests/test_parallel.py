@@ -305,3 +305,31 @@ def test_pallas_segments_multichannel_slab(scene):
             render_vrc_sharded(volume, tf, cam, cfg, mesh,
                                use_pallas=True, pallas_interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_segments_a5(scene):
+    """Fused a5 segments under shard_map (rays/samples axes) match the
+    single-device XLA a5 render — plain, lit, and packed (z > 127)."""
+    from volumerenderingproject_tpu.models.raycast import render_test
+    from volumerenderingproject_tpu.utils.config import Algorithm
+
+    volume, tf, cam, cfg = scene
+    for kw in ({}, {"lighting": True}):
+        cfg5 = cfg.replace(algorithm=Algorithm.TEST, **kw)
+        want = np.asarray(render_test(volume, tf, cam, cfg5, mode="fast"))
+        mesh = make_mesh(rays=2, samples=2, volume=1)
+        got = np.asarray(
+            render_vrc_sharded(volume, tf, cam, cfg5, mesh,
+                               use_pallas=True, pallas_interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(kw))
+
+    rng = np.random.default_rng(23)
+    volp = make_volume(
+        rng.uniform(0, 255, size=(8, 10, 150)).astype(np.float32))
+    cfg5 = cfg.replace(algorithm=Algorithm.TEST)
+    want = np.asarray(render_test(volp, tf, cam, cfg5, mode="fast"))
+    mesh = make_mesh(rays=2, samples=2, volume=1)
+    got = np.asarray(
+        render_vrc_sharded(volp, tf, cam, cfg5, mesh,
+                           use_pallas=True, pallas_interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)

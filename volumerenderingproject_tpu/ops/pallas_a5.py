@@ -73,6 +73,7 @@ def _a5_kernel(
     spr: int,
     baked_light: bool = False,
     zpack: Tuple[int, int, int] | None = None,
+    local_width: int | None = None,
 ):
     """``baked_light``: Blinn-Phong on the containing voxel's gradient
     normal (models/raycast._a5_sample_fn lit branch) via per-voxel (M, S)
@@ -110,6 +111,9 @@ def _a5_kernel(
     iv = [[scal_ref[7 + 4 * r + c] for c in range(4)] for r in range(3)]
     m3 = [scal_ref[19 + c] for c in range(3)]  # toVolume translation (baked)
     L = scal_ref[22]
+    x_off_i = scal_ref[24].astype(_i32)  # ray-column offset (segments)
+    s_start_i = scal_ref[25].astype(_i32)  # global index of local sample 0
+    lw = width if local_width is None else local_width
 
     tx = pl.program_id(0)
     ty = pl.program_id(1)
@@ -120,9 +124,10 @@ def _a5_kernel(
     f = e % 256
     u = f // TILE_PY
     v = f % TILE_PY
-    pxi = tx * TILE_PX + u
+    lxp = tx * TILE_PX + u  # local pixel column
+    pxi = lxp + x_off_i  # the a5 grid is indexed by GLOBAL pixel coords
     pyi = ty * TILE_PY + v
-    pix_ok = (pxi < width) & (pyi < height)
+    pix_ok = (lxp < lw) & (pyi < height)
     px = pxi.astype(_f32)
     py = pyi.astype(_f32)
 
@@ -150,7 +155,7 @@ def _a5_kernel(
 
     def chunk_body(carry):
         ci, cr, cg, cb, t = carry
-        i_f = (ci * STEPS + s_idx).astype(_f32)
+        i_f = (s_start_i + ci * STEPS + s_idx).astype(_f32)
         p1z = i_f * s3
         p2 = [(q[c] + p1z * iv[c][2]) + iv[c][3] for c in range(3)]
         p3 = [p2[c] * L + m3[c] for c in range(3)]  # toVolume, baked affine
@@ -482,6 +487,11 @@ def render_test_pallas(
     early_eps: float = 1e-3,
     interpret: bool = False,
     light=None,
+    x_offset=0,
+    local_width: int | None = None,
+    s_start=0,
+    s_count: int | None = None,
+    segment: bool = False,
 ) -> jnp.ndarray:
     """a5/TEST render via the fused Pallas kernel -> [W, H, 4].
 
@@ -534,7 +544,9 @@ def render_test_pallas(
                 "volume; use the XLA path")
 
     w, h = config.width, config.height
-    ntx = -(-w // TILE_PX)
+    w_local = w if local_width is None else local_width
+    s_count = config.samples_per_ray if s_count is None else s_count
+    ntx = -(-w_local // TILE_PX)
     nty = -(-h // TILE_PY)
 
     id0 = jnp.zeros((), _f32)
@@ -590,6 +602,8 @@ def render_test_pallas(
         jnp.asarray(m3, _f32),
         jnp.asarray([L], _f32),
         id0.reshape(1),  # [23] classify-index of vn=0 (packed mode)
+        jnp.asarray(x_offset, _f32).reshape(1),  # [24] ray-column offset
+        jnp.asarray(s_start, _f32).reshape(1),  # [25] first sample index
     ])
 
     kernel = functools.partial(
@@ -598,9 +612,10 @@ def render_test_pallas(
         num_intervals=tf.num_intervals,
         width=w,
         height=h,
-        spr=config.samples_per_ray,
+        spr=s_count,  # the LOCAL sample count; i = s_start + local
         baked_light=baked,
         zpack=zpack,
+        local_width=w_local,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -632,9 +647,14 @@ def render_test_pallas(
     def unpack(a):
         a = a.reshape(ntx, nty, TILE_PX, TILE_PY)
         a = a.transpose(0, 2, 1, 3).reshape(ntx * TILE_PX, nty * TILE_PY)
-        return a[:w, :h]
+        return a[:w_local, :h]
 
-    bg = jnp.asarray(config.background, _f32)
     t2 = unpack(t)
+    if segment:
+        # raw front-to-back (C, T) pair — the associative compositing
+        # unit for shard_map segments (ops/composite.segment_compose)
+        c3 = jnp.stack([unpack(c) for c in (cr, cg, cb)], axis=-1)
+        return c3, t2[..., None]
+    bg = jnp.asarray(config.background, _f32)
     rgb = [unpack(c) + t2 * bg[i] for i, c in enumerate((cr, cg, cb))]
-    return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)
+    return jnp.stack(rgb + [jnp.ones((w_local, h), _f32)], axis=-1)

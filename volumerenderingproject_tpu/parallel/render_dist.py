@@ -83,6 +83,29 @@ def _pallas_segment_eligible(
         if slab_x is not None
         else volume.dims
     )
+    if config.algorithm is Algorithm.TEST:
+        # fused a5 segments: full-volume work units (rays/samples axes);
+        # mirrors models/raycast._pallas_a5_eligible
+        from ..ops.pallas_a5 import (
+            a5_baked_light_feasible,
+            a5_packed_geometry,
+        )
+
+        if volume.channels != 1 or slab_x is not None:
+            return False
+        need_bake = config.lighting or config.scattering
+        fits_f32 = volume.dims[2] <= 127
+        fits = fits_f32 or (
+            not need_bake
+            and a5_packed_geometry(volume.dims, tf.num_intervals)
+            is not None
+        )
+        return (
+            fits
+            and (not need_bake
+                 or (fits_f32 and a5_baked_light_feasible(volume.dims)))
+            and not (config.scattering and config.conic)
+        )
     if volume.channels != 1:
         # fused multichannel work units, full-volume OR x-slab (the
         # mean-id + channel grids stage per slab; NN needs no halo)
@@ -206,7 +229,28 @@ def render_vrc_sharded(
     def tile_fn(vol_data, cal_max, tf_, cam, lgt):
         ri = jax.lax.axis_index("rays")
         si = jax.lax.axis_index("samples")
-        if use_pallas:
+        if use_pallas and config.algorithm is Algorithm.TEST:
+            from ..ops.pallas_a5 import render_test_pallas
+
+            vol_local = Volume(
+                data=vol_data,
+                cal_max=cal_max,
+                cal_min=volume.cal_min,
+                pixdim=volume.pixdim,
+                dims=volume.dims,
+                channels=volume.channels,
+            )
+            seg = render_test_pallas(
+                vol_local, tf_, cam, config,
+                early_eps=config.early_termination,
+                interpret=pallas_interpret,
+                x_offset=ri * w_local,
+                local_width=w_local,
+                s_start=si * s_local,
+                s_count=s_local,
+                segment=True,
+            )
+        elif use_pallas:
             from ..ops.pallas_march import render_vrc_pallas_segment
 
             vi = jax.lax.axis_index("volume") if n_vol > 1 else 0
