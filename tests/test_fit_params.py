@@ -243,3 +243,26 @@ def test_checkpoint_roundtrip_new_fields(tmp_path, scene):
     np.testing.assert_allclose(
         np.asarray(phong.light_to_vec(back.light)),
         np.asarray(phong.light_to_vec(params.light)))
+
+
+def test_a5_fit_routes_to_a5_forward(scene):
+    """A fit with config.algorithm = TEST optimizes the a5 forward model
+    (the round-3 routing fix: fits previously always rendered a1)."""
+    from volumerenderingproject_tpu.models.raycast import render_test
+    from volumerenderingproject_tpu.utils.config import Algorithm
+
+    volume, tf, cam, cfg, _ = scene
+    cfg5 = dataclasses.replace(cfg, algorithm=Algorithm.TEST)
+    # target rendered with perturbed colors; fit must converge toward it
+    tf_true = dataclasses.replace(
+        tf, colors=jnp.clip(tf.colors + 0.12, 0.0, 1.0))
+    target = render_test(volume, tf_true, cam, cfg5, mode="fast")
+    params, losses = fit_transfer_function(
+        volume, cam, target, tf, cfg5, steps=40, learning_rate=2e-2)
+    assert losses[-1] < 0.25 * losses[0], (losses[0], losses[-1])
+    # and the loss is measured against the a5 render, not a1
+    img_fit = render_test(
+        volume, dataclasses.replace(tf, colors=params.tf_colors),
+        cam, cfg5, mode="fast")
+    err_fit = float(jnp.mean((img_fit[..., :3] - target[..., :3]) ** 2))
+    assert abs(err_fit - losses[-1]) < max(5e-3, 0.5 * losses[-1])

@@ -154,3 +154,52 @@ def test_a5_packed_geometry_mni_scale():
     assert (182 + 1) <= zw * 8 and ypack * zw <= 128
     assert a5_packed_geometry((10, 10, 1030), 4) is None  # z over 1023
     assert a5_packed_geometry((10, 10, 150), 20) is None  # ids over a nibble
+
+
+def test_a5_diff_values_and_grads():
+    """Fused differentiable a5 (render_test_pallas_diff): values equal the
+    XLA a5 scan and TF-color gradients match jax.grad — f32 and packed."""
+    import jax
+    import jax.numpy as jnp
+
+    from volumerenderingproject_tpu.ops.pallas_a5 import (
+        render_test_pallas_diff,
+    )
+    from volumerenderingproject_tpu.scene.transfer_function import (
+        TransferFunction,
+    )
+
+    rng = np.random.default_rng(31)
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
+    cfg = RenderConfig(width=18, height=13, samples_per_ray=30)
+    target = jnp.asarray(
+        rng.uniform(0, 1, size=(18, 13, 4)).astype(np.float32))
+
+    for shape in ((9, 11, 10), (9, 11, 150)):
+        volume = make_volume(
+            rng.uniform(0.0, 255.0, size=shape).astype(np.float32))
+        want = np.asarray(render_test(volume, tf, cam, cfg, mode="fast"))
+        got = np.asarray(render_test_pallas_diff(
+            volume, tf, cam, cfg, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(shape))
+
+        def loss(render_fn):
+            def f(colors):
+                tf2 = TransferFunction(lower=tf.lower, upper=tf.upper,
+                                       colors=colors, hg_g=tf.hg_g)
+                img = render_fn(volume, tf2)
+                return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+            return f
+
+        g_p = np.asarray(jax.grad(loss(
+            lambda v, t2: render_test_pallas_diff(
+                v, t2, cam, cfg, interpret=True)))(tf.colors))
+        g_x = np.asarray(jax.grad(loss(
+            lambda v, t2: render_test(v, t2, cam, cfg, mode="fast")))(
+                tf.colors))
+        scale = np.abs(g_x).max() + 1e-12
+        np.testing.assert_allclose(g_p, g_x, rtol=5e-3, atol=scale * 1e-4,
+                                   err_msg=str(shape))
+        assert np.abs(g_x).max() > 0

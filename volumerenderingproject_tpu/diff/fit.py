@@ -127,6 +127,20 @@ def _render_with_density(volume, tf, camera, config, density, light=None):
         colors=tf.colors.at[:, 3].mul(density),
         hg_g=tf.hg_g,
     )
+    from ..utils.config import Algorithm
+
+    if config.algorithm is Algorithm.TEST:
+        # a5 fits optimize the a5 forward model (fused diff kernels when
+        # eligible, the XLA scan otherwise)
+        from ..ops.pallas_a5 import (
+            a5_diff_pallas_eligible,
+            render_test_pallas_diff,
+        )
+
+        if light is None and a5_diff_pallas_eligible(volume, tf2, config):
+            return render_test_pallas_diff(volume, tf2, camera, config)
+        return raycast.render_test(
+            volume, tf2, camera, config, mode="fast", light=light)
     from ..ops.pallas_march_vjp import (
         diff_pallas_eligible,
         diff_pallas_light_eligible,

@@ -658,3 +658,464 @@ def render_test_pallas(
     bg = jnp.asarray(config.background, _f32)
     rgb = [unpack(c) + t2 * bg[i] for i, c in enumerate((cr, cg, cb))]
     return jnp.stack(rgb + [jnp.ones((w_local, h), _f32)], axis=-1)
+
+
+def _a5_bwd_kernel(
+    # SMEM
+    scal_ref,
+    tf_lower_ref,
+    tf_upper_ref,
+    tf_colors_ref,
+    # VMEM
+    vol_ref,
+    g_r_ref, g_g_ref, g_b_ref, g_t_ref,
+    dcol_ref,
+    *,
+    dims: Tuple[int, int, int],
+    num_intervals: int,
+    width: int,
+    height: int,
+    spr: int,
+    zpack: Tuple[int, int, int] | None,
+    krows: int,
+):
+    """Two-pass backward for the a5 pipeline, emitting dL/d(tf colors).
+
+    The a5 sample color is LINEAR in the color table — each corner
+    classifies to one interval and the trilinear mix only weights them —
+    so the a1 backward's prefix/suffix scheme (ops/pallas_march_vjp)
+    transfers: per sample, the interval-k coefficient is
+    sum_corners wtri_c * [id_c == k] (outside samples contribute the
+    TF(0) interval with weight 1), and the alpha-gradient chain is
+    unchanged.  Bounds/volume cotangents are zero a.e. (piecewise-
+    constant classify) and are not emitted."""
+    d1, d2, d3 = dims
+    total = d1 * d2 * d3
+    nchunks = -(-spr // STEPS)
+    df = [np.float32(d) for d in dims]
+    packed = zpack is not None
+    if packed:
+        zw, ypack, nyg = zpack
+
+    s1 = scal_ref[0]
+    s2 = scal_ref[1]
+    s3 = scal_ref[2]
+    o1 = scal_ref[3]
+    o2 = scal_ref[4]
+    cal = scal_ref[5]
+    iv = [[scal_ref[7 + 4 * r + c] for c in range(4)] for r in range(3)]
+    m3 = [scal_ref[19 + c] for c in range(3)]
+    L = scal_ref[22]
+    id0k = scal_ref[23].astype(_i32)
+    x_off_i = scal_ref[24].astype(_i32)
+    s_start_i = scal_ref[25].astype(_i32)
+
+    tx = pl.program_id(0)
+    ty = pl.program_id(1)
+    e = _iota(0) * 128 + _iota(1)
+    s_idx = e // 256
+    f = e % 256
+    u = f // TILE_PY
+    v = f % TILE_PY
+    lxp = tx * TILE_PX + u
+    pxi = lxp + x_off_i
+    pyi = ty * TILE_PY + v
+    pix_ok = (lxp < width) & (pyi < height)
+    px = pxi.astype(_f32)
+    py = pyi.astype(_f32)
+    p1x = px * s1 + o1
+    p1y = py * s2 + o2
+    q = [p1x * iv[c][0] + p1y * iv[c][1] for c in range(3)]
+
+    # TF(0)'s winning interval (f32 mode recomputes the ascending scan)
+    id0_f = jnp.asarray(0, _i32)
+    for k in range(num_intervals):
+        m0 = (tf_lower_ref[k] <= 0.0) & (tf_upper_ref[k] >= 0.0)
+        id0_f = jnp.where(m0, k, id0_f)
+    id0_use = id0k if packed else id0_f
+
+    g_r = g_r_ref[0, 0]
+    g_g = g_g_ref[0, 0]
+    g_b = g_b_ref[0, 0]
+    g_t = g_t_ref[0, 0]
+    gr4 = jnp.concatenate([g_r] * STEPS, axis=0)
+    gg4 = jnp.concatenate([g_g] * STEPS, axis=0)
+    gb4 = jnp.concatenate([g_b] * STEPS, axis=0)
+
+    nrows_grid = vol_ref.shape[0]
+
+    def sample_chunk(ci):
+        """(a, gdotc, coeffs[K], live) for chunk ci — mirrors the forward
+        chunk_body's fetch + classify, reduced to interval coefficients."""
+        i_f = (s_start_i + ci * STEPS + s_idx).astype(_f32)
+        p1z = i_f * s3
+        p2 = [(q[c] + p1z * iv[c][2]) + iv[c][3] for c in range(3)]
+        p3 = [p2[c] * L + m3[c] for c in range(3)]
+        inside = pix_ok
+        for c in range(3):
+            inside &= (p3[c] >= 0.0) & (p3[c] < df[c])
+        ix = jnp.trunc(p3[0]); iy = jnp.trunc(p3[1]); iz = jnp.trunc(p3[2])
+        ix1 = jnp.trunc(p3[0] + 1.0)
+        iy1 = jnp.trunc(p3[1] + 1.0)
+        iz1 = jnp.trunc(p3[2] + 1.0)
+        fx = p3[0] - ix
+        fy = p3[1] - iy
+        fz = p3[2] - iz
+        ixi, iyi, izi = [a.astype(_i32) for a in (ix, iy, iz)]
+        ix1i, iy1i, iz1i = [a.astype(_i32) for a in (ix1, iy1, iz1)]
+        valid = inside
+        neg1 = jnp.full((8, 128), -1, _i32)
+        rid00 = jnp.where(valid, ixi * d2 + iyi, neg1)
+        rid01 = jnp.where(valid, ixi * d2 + iy1i, neg1)
+        rid10 = jnp.where(valid, ix1i * d2 + iyi, neg1)
+        rid11 = jnp.where(valid, ix1i * d2 + iy1i, neg1)
+        rids = (rid00, rid01, rid10, rid11)
+        flats = (
+            rid00 * d3 + izi, rid00 * d3 + iz1i,
+            rid01 * d3 + izi, rid01 * d3 + iz1i,
+            rid10 * d3 + izi, rid10 * d3 + iz1i,
+            rid11 * d3 + izi, rid11 * d3 + iz1i,
+        )
+
+        if not packed:
+            lz = jnp.where(valid, jnp.clip(izi, 0, 127), 0)
+            lz1 = jnp.where(valid, jnp.clip(iz1i, 0, 127), 0)
+            rxmin = jnp.min(jnp.where(valid, ixi, _BIG))
+            rymin = jnp.min(jnp.where(valid, iyi, _BIG))
+            rxmax = jnp.max(jnp.where(valid, ix1i, -1))
+            rymax = jnp.max(jnp.where(valid, iy1i, -1))
+
+            def fx_loop(dxi, accs):
+                cx = rxmin + dxi
+
+                def fy_loop(dyi, acc8):
+                    cy = rymin + dyi
+                    crow = cx * d2 + cy
+                    rowv = vol_ref[pl.ds(crow, 1), :]
+                    bc = jnp.broadcast_to(rowv, (8, 128))
+                    gz = jnp.take_along_axis(bc, lz, axis=1)
+                    gz1 = jnp.take_along_axis(bc, lz1, axis=1)
+                    return (
+                        jnp.where(rid00 == crow, gz, acc8[0]),
+                        jnp.where(rid00 == crow, gz1, acc8[1]),
+                        jnp.where(rid01 == crow, gz, acc8[2]),
+                        jnp.where(rid01 == crow, gz1, acc8[3]),
+                        jnp.where(rid10 == crow, gz, acc8[4]),
+                        jnp.where(rid10 == crow, gz1, acc8[5]),
+                        jnp.where(rid11 == crow, gz, acc8[6]),
+                        jnp.where(rid11 == crow, gz1, acc8[7]),
+                    )
+
+                return jax.lax.fori_loop(0, rymax - rymin + 1, fy_loop, accs)
+
+            zeros8 = tuple(jnp.zeros((8, 128), _f32) for _ in range(8))
+            acc8 = jax.lax.fori_loop(0, rxmax - rxmin + 1, fx_loop, zeros8)
+            inten = [jnp.where(fl < total, a, 0.0)
+                     for a, fl in zip(acc8, flats)]
+            ids8 = []
+            for it in inten:
+                vn = it / cal
+                idc = jnp.zeros((8, 128), _i32)
+                for k in range(num_intervals):
+                    m = (vn >= tf_lower_ref[k]) & (vn <= tf_upper_ref[k])
+                    idc = jnp.where(m, k, idc)
+                ids8.append(idc)
+        else:
+            id0_pk = id0k
+            corners_xy = ((ixi, iyi), (ixi, iy1i), (ix1i, iyi),
+                          (ix1i, iy1i))
+            taps = []
+            for (cxi, cyi), rid in zip(corners_xy, rids):
+                wrapn = (cyi == d2).astype(_i32)
+                rx = cxi + wrapn
+                ry = jnp.where(wrapn == 1, 0, cyi)
+                ry = jnp.where(rid >= 0, ry, 0)
+                g = ry // ypack
+                g = jnp.where(ry >= (g + 1) * ypack, g + 1, g)
+                g = jnp.where(ry < g * ypack, g - 1, g)
+                growid = jnp.where(rid >= 0, rx * nyg + g, -1)
+                base_lane = (ry - g * ypack) * zw
+                for izv in (izi, iz1i):
+                    izc = jnp.where(valid, jnp.clip(izv, 0, d3), 0)
+                    lane = jnp.where(valid, base_lane + (izc >> 3), 0)
+                    shift = (izc & 7) * 4
+                    taps.append((growid, lane, shift, rx, g))
+            rxmin = jnp.min(jnp.where(valid, taps[0][3], _BIG))
+            rxmax = jnp.max(jnp.where(valid, taps[6][3], -1))
+            gmin = jnp.min(jnp.where(
+                valid, jnp.minimum(taps[0][4], taps[2][4]), _BIG))
+            gmax = jnp.max(jnp.where(
+                valid, jnp.maximum(taps[0][4], taps[2][4]), -1))
+
+            def px_loop(dxi, accs):
+                cx = rxmin + dxi
+
+                def pg_loop(dgi, accs):
+                    cg = gmin + dgi
+                    crow = cx * nyg + cg
+                    crowc = jnp.clip(crow, 0, nrows_grid - 1)
+                    rowv = vol_ref[pl.ds(crowc, 1), :]
+                    bc = jnp.broadcast_to(rowv, (8, 128))
+                    out = []
+                    for acc, (growid, lane, shift, _, _) in zip(accs, taps):
+                        wv = jnp.take_along_axis(bc, lane, axis=1)
+                        mid = jax.lax.shift_right_logical(wv, shift) & 15
+                        out.append(jnp.where(growid == crow, mid, acc))
+                    return tuple(out)
+
+                return jax.lax.fori_loop(0, gmax - gmin + 1, pg_loop, accs)
+
+            zeros8i = tuple(jnp.zeros((8, 128), _i32) for _ in range(8))
+            ids8 = list(jax.lax.fori_loop(
+                0, rxmax - rxmin + 1, px_loop, zeros8i))
+            ids8 = [jnp.where(fl < total, m, id0_pk)
+                    for m, fl in zip(ids8, flats)]
+
+        # trilinear weights in corner order (00z,00z1,01z,01z1,10z,...)
+        wts = (
+            (1 - fy) * (1 - fx) * (1 - fz), (1 - fy) * (1 - fx) * fz,
+            fy * (1 - fx) * (1 - fz), fy * (1 - fx) * fz,
+            (1 - fy) * fx * (1 - fz), (1 - fy) * fx * fz,
+            fy * fx * (1 - fz), fy * fx * fz,
+        )
+        live = ((ci * STEPS + s_idx) < spr).astype(_f32)
+        insf = inside.astype(_f32)
+        coeffs = []
+        for k in range(num_intervals):
+            ck = jnp.zeros((8, 128), _f32)
+            for idc, wt in zip(ids8, wts):
+                ck = ck + jnp.where(idc == k, wt, 0.0)
+            ck = ck * insf + (1.0 - insf) * (id0_use == k).astype(_f32)
+            coeffs.append(ck * live)
+        a = jnp.zeros((8, 128), _f32)
+        r = jnp.zeros((8, 128), _f32)
+        gc = jnp.zeros((8, 128), _f32)
+        b = jnp.zeros((8, 128), _f32)
+        for k in range(num_intervals):
+            r = r + coeffs[k] * tf_colors_ref[k, 0]
+            gc = gc + coeffs[k] * tf_colors_ref[k, 1]
+            b = b + coeffs[k] * tf_colors_ref[k, 2]
+            a = a + coeffs[k] * tf_colors_ref[k, 3]
+        gdotc = gr4 * r + gg4 * gc + gb4 * b
+        return a, gdotc, coeffs
+
+    # ---- pass A ---------------------------------------------------------
+    def pass_a(ci, carry):
+        t, tot = carry
+        a_all, gdotc_all, _ = sample_chunk(ci)
+        for s in range(STEPS):
+            sl = slice(2 * s, 2 * s + 2)
+            a = a_all[sl]
+            tot = tot + (t * a) * gdotc_all[sl]
+            t = t * (1.0 - a)
+        return t, tot
+
+    ones = jnp.ones((2, 128), _f32)
+    zeros = jnp.zeros((2, 128), _f32)
+    t_final, totalw = jax.lax.fori_loop(0, nchunks, pass_a, (ones, zeros))
+    bg_term = t_final * g_t
+
+    row_i = _iota(0, krows)
+    col_i = _iota(1, krows)
+
+    # ---- pass B ---------------------------------------------------------
+    def pass_b(ci, carry):
+        t, pfx, dc = carry
+        a_all, gdotc_all, coeffs = sample_chunk(ci)
+        w_list, da_list = [], []
+        for s in range(STEPS):
+            sl = slice(2 * s, 2 * s + 2)
+            a = a_all[sl]
+            gd = gdotc_all[sl]
+            w = t * a
+            pfx = pfx + w * gd
+            suffix = totalw - pfx
+            denom = 1.0 - a
+            num = suffix + bg_term
+            da = t * gd - jnp.where(denom != 0.0, num / denom, 0.0)
+            w_list.append(w)
+            da_list.append(da)
+            t = t * denom
+        w_all = jnp.concatenate(w_list, axis=0)
+        da_all = jnp.concatenate(da_list, axis=0)
+        for k in range(num_intervals):
+            ck = coeffs[k]
+            dr = jnp.sum(ck * w_all * gr4)
+            dg = jnp.sum(ck * w_all * gg4)
+            db = jnp.sum(ck * w_all * gb4)
+            dal = jnp.sum(ck * da_all)
+            upd = jnp.where(
+                col_i == 0, dr,
+                jnp.where(col_i == 1, dg,
+                          jnp.where(col_i == 2, db,
+                                    jnp.where(col_i == 3, dal, 0.0))))
+            dc = dc + jnp.where(row_i == k, upd, 0.0)
+        return t, pfx, dc
+
+    _, _, dc = jax.lax.fori_loop(
+        0, nchunks, pass_b, (ones, zeros, jnp.zeros((krows, 128), _f32)))
+    dcol_ref[0, 0] = dc
+
+
+def a5_diff_pallas_eligible(volume: Volume, tf: TransferFunction,
+                            config: RenderConfig) -> bool:
+    """Static predicate for the fused differentiable a5 path (TF-color
+    gradients; bounds/volume grads are zero a.e. for the piecewise-
+    constant per-corner classify)."""
+    return (
+        jax.default_backend() == "tpu"
+        and volume.channels == 1
+        and not config.lighting
+        and not config.scattering
+        and tf.num_intervals <= 16
+        and (volume.dims[2] <= 127
+             or a5_packed_geometry(volume.dims, tf.num_intervals)
+             is not None)
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_a5_core(dims, num_intervals, width, height, spr, zpack, rows,
+                  interpret):
+    ntx = -(-width // TILE_PX)
+    nty = -(-height // TILE_PY)
+    krows = 8 if num_intervals <= 8 else 16
+
+    fwd_kernel = functools.partial(
+        _a5_kernel, dims=dims, num_intervals=num_intervals, width=width,
+        height=height, spr=spr, baked_light=False, zpack=zpack)
+    bwd_kernel = functools.partial(
+        _a5_bwd_kernel, dims=dims, num_intervals=num_intervals,
+        width=width, height=height, spr=spr, zpack=zpack, krows=krows)
+
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(4)]
+    vol_spec = pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    tile_spec = [pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM) for _ in range(4)]
+    tile_shape = [jax.ShapeDtypeStruct((ntx, nty, 2, 128), _f32)
+                  for _ in range(4)]
+
+    def forward_tiles(colors, lower, upper, scal, vol_rows):
+        return tuple(pl.pallas_call(
+            fwd_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0, grid=(ntx, nty),
+                in_specs=smem + [vol_spec], out_specs=tile_spec),
+            out_shape=tile_shape,
+            interpret=interpret,
+        )(scal, lower, upper, colors, vol_rows))
+
+    @jax.custom_vjp
+    def core(colors, lower, upper, scal, vol_rows):
+        return forward_tiles(colors, lower, upper, scal, vol_rows)
+
+    def core_fwd(colors, lower, upper, scal, vol_rows):
+        return (forward_tiles(colors, lower, upper, scal, vol_rows),
+                (colors, lower, upper, scal, vol_rows))
+
+    def core_bwd(res, g):
+        colors, lower, upper, scal, vol_rows = res
+        dtiles = pl.pallas_call(
+            bwd_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0, grid=(ntx, nty),
+                in_specs=smem + [vol_spec] + [
+                    pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(4)
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, krows, 128), lambda i, j: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM)),
+            out_shape=jax.ShapeDtypeStruct((ntx, nty, krows, 128), _f32),
+            interpret=interpret,
+        )(scal, lower, upper, colors, vol_rows, *g)
+        dcolors = dtiles.sum(axis=(0, 1))[:num_intervals, :4]
+        z = jnp.zeros_like
+        dvol = (np.zeros(vol_rows.shape, jax.dtypes.float0)
+                if jnp.issubdtype(vol_rows.dtype, jnp.integer)
+                else jnp.zeros_like(vol_rows))
+        return (dcolors, z(lower), z(upper), z(scal), dvol)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def render_test_pallas_diff(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """a5/TEST render -> [W, H, 4], differentiable w.r.t. ``tf.colors``
+    through fused Pallas forward AND backward kernels (f32 rows for
+    z <= 127, the packed 4-bit interval-id grid otherwise — the grid
+    depends only on gradient-inert bounds, so color gradients are exact).
+
+    Value-identical to ``render_test_pallas(..., early_eps=0)``; gradients
+    match ``jax.grad`` through the XLA a5 scan (a == 1 caveat as the a1
+    diff kernel).  No lighting/scattering (fit those via the XLA path)."""
+    d1, d2, d3 = volume.dims
+    if volume.channels != 1:
+        raise ValueError("a5 diff path supports single-channel volumes")
+    if config.lighting or config.scattering:
+        raise ValueError("a5 diff path is the plain a5 classify")
+    if tf.num_intervals > 16:
+        raise ValueError("a5 diff path supports at most 16 TF intervals")
+    sg = jax.lax.stop_gradient
+
+    zpack = None
+    id0 = jnp.zeros((), _f32)
+    if d3 > 127:
+        zpack = a5_packed_geometry(volume.dims, tf.num_intervals)
+        if zpack is None:
+            raise ValueError(
+                f"dims {volume.dims} fit neither a5 layout")
+        tf_sg = TransferFunction(lower=sg(tf.lower), upper=sg(tf.upper),
+                                 colors=sg(tf.colors), hg_g=tf.hg_g)
+        vol_rows, id0 = a5_pack_id_grid(volume, tf_sg, zpack)
+    else:
+        vol_rows = _stage_rows_a5(volume)
+    rows = vol_rows.shape[0]
+
+    w, h = config.width, config.height
+    iv = T.inverse(camera.look_at_origin_view())
+    L = float(volume.longest_dimension)
+    m3 = [volume.dims[c] / 2.0 - L / 2.0 + 0.5 * L for c in range(3)]
+    scal = jnp.concatenate([
+        jnp.asarray([
+            config.real_screen_width / config.width,
+            config.real_screen_height / config.height,
+            -config.viewplane_distance / config.samples_per_ray,
+            -config.real_screen_width / 2.0,
+            -config.real_screen_height / 2.0,
+        ], _f32),
+        jnp.asarray(volume.cal_max, _f32).reshape(1),
+        jnp.zeros((1,), _f32),  # early_eps pinned to 0
+        iv[:3, :4].reshape(-1).astype(_f32),
+        jnp.asarray(m3, _f32),
+        jnp.asarray([L], _f32),
+        id0.reshape(1),
+        jnp.zeros((2,), _f32),  # x_offset, s_start
+    ])
+
+    core = _make_a5_core(
+        volume.dims, tf.num_intervals, w, h, config.samples_per_ray,
+        zpack, rows, bool(interpret))
+    cr, cg, cb, t = core(tf.colors, tf.lower, tf.upper, scal, vol_rows)
+
+    ntx = -(-w // TILE_PX)
+    nty = -(-h // TILE_PY)
+
+    def unpack(a):
+        a = a.reshape(ntx, nty, TILE_PX, TILE_PY)
+        a = a.transpose(0, 2, 1, 3).reshape(ntx * TILE_PX, nty * TILE_PY)
+        return a[:w, :h]
+
+    bg = jnp.asarray(config.background, _f32)
+    t2 = unpack(t)
+    rgb = [unpack(c) + t2 * bg[i] for i, c in enumerate((cr, cg, cb))]
+    return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)
