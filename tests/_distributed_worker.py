@@ -78,6 +78,32 @@ def main() -> None:
         checked += 1
     assert checked > 0
 
+    # 4-D multichannel across the process boundary (BASELINE config 5:
+    # "multi-channel ... sharded N>=2 hosts"), rays x volume-slab mesh
+    vol_mc = make_volume(
+        rng.uniform(0, 255, size=(8, 10, 9, 3)).astype(np.float32))
+    mesh2 = make_mesh(rays=4, samples=1, volume=2)
+    repl2 = NamedSharding(mesh2, P())
+    slab = NamedSharding(mesh2, P("volume"))
+    vol_g = type(vol_mc)(
+        data=jax.device_put(vol_mc.data, slab),
+        cal_max=jax.device_put(vol_mc.cal_max, repl2),
+        cal_min=jax.device_put(vol_mc.cal_min, repl2),
+        pixdim=jax.device_put(vol_mc.pixdim, repl2),
+        dims=vol_mc.dims,
+        channels=vol_mc.channels,
+    )
+    tf_g2 = jax.tree.map(lambda x: jax.device_put(x, repl2), tf)
+    cam_g2 = jax.tree.map(lambda x: jax.device_put(x, repl2), cam)
+    out2 = render_vrc_sharded_jit(vol_g, tf_g2, cam_g2, cfg, mesh2)
+    want2 = np.asarray(render_vrc(vol_mc, tf, cam, cfg, mode="fast"))
+    w_local2 = cfg.width // 4
+    for shard in out2.addressable_shards:
+        x0 = shard.index[0].start or 0
+        np.testing.assert_allclose(
+            np.asarray(shard.data), want2[x0 : x0 + w_local2], atol=1e-5
+        )
+
     # BASELINE config 5's combination at test scale: a 4-D multi-channel
     # volume through the full sharded pipeline across the 2 processes
     volume4 = make_volume(
