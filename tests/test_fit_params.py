@@ -225,6 +225,20 @@ def test_sharded_light_grads_match_single_device(scene):
         np.asarray(phong.light_to_vec(g_single.light)),
         rtol=2e-4, atol=1e-6)
 
+    # smooth-mode interval-bound gradients shard identically too
+    cfg_s = dataclasses.replace(cfg2, interp=Interp.TRILINEAR,
+                                tf_sharpness=40.0)
+    params_b = FitParams.init(tf, fit_bounds=True)
+    gb_single = jax.grad(render_loss)(
+        params_b, tf, volume, cam, target2, cfg_s)
+    gb_mesh = jax.grad(render_loss)(
+        params_b, tf, volume, cam, target2, cfg_s, mesh)
+    for name in ("tf_lower", "tf_upper"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(gb_mesh, name)),
+            np.asarray(getattr(gb_single, name)),
+            rtol=2e-4, atol=1e-6, err_msg=name)
+
 
 def test_checkpoint_roundtrip_new_fields(tmp_path, scene):
     """save/load_checkpoint round-trips the new optional fields."""
