@@ -1,0 +1,219 @@
+"""On-chip parity gate: every fused kernel path vs the XLA renderer.
+
+Interpret-mode tests prove nothing about Mosaic lowering (round-4
+lesson: the matmul-precision bug hid behind three rounds of green CPU
+parity).  This script compiles and runs EVERY kernel path on the real
+chip and asserts tight tolerances against the XLA oracle.  Run it after
+any kernel change; it appends a summary to
+benchmarks/onchip_parity.json.
+
+Paths covered (one process, so the relay queue is paid once):
+  a1: f32 rows, packed ids, dense-LUT, in-kernel lit (conic), baked lit,
+      baked lit + LUT, scattering, lit+scattering, multichannel
+  a5: f32 rows, packed ids (z > 127), baked lit, scattering, segment
+      compose, diff forward + TF-color grads
+  streamed: manual (default), tile-major, block-major, LUT, -x order
+  smooth: forward + (colors, bounds, volume) grads vs jax.grad
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "onchip_parity.json")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from volumerenderingproject_tpu import (
+        Camera,
+        RenderConfig,
+        default_transfer_function,
+        make_volume,
+    )
+    from volumerenderingproject_tpu.models.raycast import (
+        render_test,
+        render_vrc,
+    )
+    from volumerenderingproject_tpu.ops import composite as comp
+    from volumerenderingproject_tpu.ops.pallas_a5 import (
+        render_test_pallas,
+        render_test_pallas_diff,
+    )
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        render_vrc_pallas,
+        render_vrc_pallas_streamed,
+    )
+    from volumerenderingproject_tpu.ops.pallas_march_vjp import (
+        render_vrc_pallas_diff,
+    )
+    from volumerenderingproject_tpu.ops.pallas_smooth import (
+        render_vrc_smooth_pallas,
+    )
+    from volumerenderingproject_tpu.utils.config import Interp
+
+    results = {}
+    rng = np.random.default_rng(9)
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
+    cfg = RenderConfig(width=32, height=32, samples_per_ray=24)
+
+    vol_small = make_volume(
+        rng.uniform(-30, 255, (12, 14, 100)).astype(np.float32))
+    vol_deep = make_volume(
+        rng.uniform(-30, 255, (12, 14, 150)).astype(np.float32))
+    vol_mc = make_volume(
+        rng.uniform(0, 255, (12, 14, 10, 3)).astype(np.float32))
+
+    def check(name, got, want, tol):
+        err = float(np.abs(np.asarray(got) - np.asarray(want)).max())
+        results[name] = err
+        status = "OK " if err <= tol else "FAIL"
+        print(f"{status} {name}: max err {err:.2e} (tol {tol:g})",
+              flush=True)
+        assert err <= tol, (name, err)
+
+    # ---- a1 -------------------------------------------------------------
+    for name, v, kw in (
+        ("a1_f32", vol_small, {}),
+        ("a1_packed", vol_deep, {}),
+        ("a1_lut", vol_small, dict(tf_lut=64)),
+        ("a1_lit_conic", vol_small, dict(lighting=True, conic=True)),
+        ("a1_lit_baked", vol_small, dict(lighting=True)),
+        ("a1_lit_lut", vol_small, dict(lighting=True, tf_lut=64)),
+        ("a1_scatter", vol_small, dict(scattering=True)),
+        ("a1_lit_scatter", vol_small, dict(lighting=True, scattering=True)),
+        ("a1_sobel_lit", vol_small,
+         dict(lighting=True, gradient_filter="sobel")),
+        ("a1_multichannel", vol_mc, {}),
+    ):
+        c = cfg.replace(**kw)
+        check(name, render_vrc_pallas(v, tf, cam, c, early_eps=0.0),
+              render_vrc(v, tf, cam, c, mode="fast"), 2e-5)
+
+    # ---- a5 -------------------------------------------------------------
+    for name, v, kw in (
+        ("a5_f32", vol_small, {}),
+        ("a5_packed", vol_deep, {}),
+        ("a5_lit_baked", vol_small, dict(lighting=True)),
+        ("a5_scatter", vol_small, dict(scattering=True)),
+    ):
+        c = cfg.replace(**kw)
+        check(name, render_test_pallas(v, tf, cam, c, early_eps=0.0),
+              render_test(v, tf, cam, c, mode="fast"), 2e-5)
+
+    # a5 segments composed
+    want = render_test(vol_small, tf, cam, cfg, mode="fast")
+    segs = []
+    for ri in range(2):
+        row = [render_test_pallas(
+            vol_small, tf, cam, cfg, early_eps=0.0, x_offset=ri * 16,
+            local_width=16, s_start=si * 12, s_count=12, segment=True)
+            for si in range(2)]
+        seg = comp.segment_compose(row[0], row[1])
+        segs.append(np.asarray(comp.segment_finalize(
+            seg, jnp.asarray(cfg.background, jnp.float32))))
+    check("a5_segments", np.concatenate(segs, axis=0), want, 2e-5)
+
+    # a5 diff forward + grads
+    target = jnp.asarray(rng.uniform(0, 1, (32, 32, 4)).astype(np.float32))
+    check("a5_diff_fwd",
+          render_test_pallas_diff(vol_small, tf, cam, cfg), want, 2e-5)
+
+    def loss(fn):
+        def f(colors):
+            tf2 = dataclasses.replace(tf, colors=colors)
+            img = fn(tf2)
+            return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+        return f
+
+    g_p = jax.jit(jax.grad(loss(
+        lambda t2: render_test_pallas_diff(vol_small, t2, cam, cfg))))(
+            tf.colors)
+    g_x = jax.grad(loss(
+        lambda t2: render_test(vol_small, t2, cam, cfg, mode="fast")))(
+            tf.colors)
+    scale = float(jnp.abs(g_x).max()) + 1e-12
+    check("a5_diff_grads", g_p / scale, g_x / scale, 5e-3)
+
+    # a1 diff grads (fused custom_vjp)
+    wanta1 = render_vrc(vol_small, tf, cam, cfg, mode="fast")
+    check("a1_diff_fwd",
+          render_vrc_pallas_diff(vol_small, tf, cam, cfg), wanta1, 2e-5)
+    g_p = jax.jit(jax.grad(loss(
+        lambda t2: render_vrc_pallas_diff(vol_small, t2, cam, cfg))))(
+            tf.colors)
+    g_x = jax.grad(loss(
+        lambda t2: render_vrc(vol_small, t2, cam, cfg, mode="fast")))(
+            tf.colors)
+    scale = float(jnp.abs(g_x).max()) + 1e-12
+    check("a1_diff_grads", g_p / scale, g_x / scale, 5e-3)
+
+    # ---- streamed -------------------------------------------------------
+    vol_str = make_volume(
+        rng.uniform(0, 255, (24, 12, 11)).astype(np.float32))
+    for pos in ((0.35, 0.45, 0.85), (-0.5, 0.3, -0.8)):
+        camd = Camera.initial(position=pos)
+        wantd = render_vrc(vol_str, tf, camd, cfg, mode="fast")
+        tag = "px" if pos[0] > 0 else "nx"
+        for mode, kw in (("manual", dict(manual=True)),
+                         ("tile", dict(manual=False, block_major=False)),
+                         ("block", dict(manual=False, block_major=True))):
+            check(f"streamed_{mode}_{tag}",
+                  render_vrc_pallas_streamed(
+                      vol_str, tf, camd, cfg, early_eps=0.0, block_x=8,
+                      **kw),
+                  wantd, 2e-5)
+    check("streamed_manual_lut",
+          render_vrc_pallas_streamed(
+              vol_str, tf, cam, cfg.replace(tf_lut=64), early_eps=0.0,
+              block_x=8, manual=True),
+          render_vrc(vol_str, tf, cam, cfg.replace(tf_lut=64),
+                     mode="fast"), 2e-5)
+
+    # ---- smooth ---------------------------------------------------------
+    cfg_s = cfg.replace(interp=Interp.TRILINEAR, tf_sharpness=60.0)
+    want_s = render_vrc(vol_small, tf, cam, cfg_s, mode="fast")
+    check("smooth_fwd",
+          render_vrc_smooth_pallas(vol_small, tf, cam, cfg_s), want_s,
+          2e-5)
+
+    def loss_s(colors, lower, upper, data):
+        tf2 = dataclasses.replace(tf, colors=colors, lower=lower,
+                                  upper=upper)
+        v2 = dataclasses.replace(vol_small, data=data)
+        img = render_vrc_smooth_pallas(v2, tf2, cam, cfg_s)
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    def loss_x(colors, lower, upper, data):
+        tf2 = dataclasses.replace(tf, colors=colors, lower=lower,
+                                  upper=upper)
+        v2 = dataclasses.replace(vol_small, data=data)
+        img = render_vrc(v2, tf2, cam, cfg_s, mode="fast")
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    gp = jax.jit(jax.grad(loss_s, argnums=(0, 1, 2, 3)))(
+        tf.colors, tf.lower, tf.upper, vol_small.data)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(
+        tf.colors, tf.lower, tf.upper, vol_small.data)
+    for nm, a, b in zip(("colors", "lower", "upper", "volume"), gp, gx):
+        scale = float(jnp.abs(b).max()) + 1e-12
+        check(f"smooth_grad_{nm}", a / scale, b / scale, 5e-3)
+
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"ALL {len(results)} paths within tolerance -> {OUT}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

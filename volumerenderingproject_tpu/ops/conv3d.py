@@ -36,6 +36,12 @@ def conv3d(volume: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
         window_strides=(1, 1, 1),
         padding="SAME",
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        # XLA:TPU's default conv precision is bf16 multiplicands — enough
+        # to skew gradient normals by ~5e-3 ON HARDWARE ONLY (the same
+        # class of bug as utils/transforms._HI; caught by
+        # benchmarks/onchip_parity.py a1_lit_conic).  These are tiny
+        # stencils; full f32 is free.
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0, 0]
 
