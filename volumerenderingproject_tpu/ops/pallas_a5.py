@@ -515,10 +515,11 @@ def render_test_pallas(
                 f"a5 pallas path: dims {volume.dims} / {tf.num_intervals} "
                 "intervals fit neither the f32 rows (z <= 127) nor the "
                 "packed id grid; use the XLA renderer")
-        if config.lighting or light is not None:
+        if config.lighting or config.scattering or light is not None:
             raise ValueError(
-                "a5 fused lighting needs the f32 row layout (z <= 127); "
-                "use the XLA renderer for lit oversize volumes")
+                "a5 fused lighting/scattering needs the f32 row layout "
+                "(z <= 127, baked factor grids); use the XLA renderer "
+                "for lit/scattered oversize volumes")
     if volume.channels != 1:
         raise ValueError("a5 pallas path supports single-channel volumes")
     baked = (bool(config.lighting) or bool(config.scattering)
