@@ -37,6 +37,18 @@ The reference publishes no numbers (BASELINE.md: README is build notes
 only), so ``vs_baseline`` is measured against this repo's committed anchor
 (BENCH_ANCHOR.json, recorded on the first benchmarked build) — i.e. the
 round-over-round speedup factor.
+
+GATING (round-4: VERDICT r3 item 6 — "bench.py records but never gates"):
+``FLOORS`` commits a floor per metric (75% of the best recorded headline,
+70% of the best recorded matrix value — under the ±20% cross-program rig
+variance DESIGN §4b documents, a pass below floor is a real regression,
+not noise).  Any metric below floor, any config error, and any on-chip
+parity failure lands in ``"regressed"`` and the process EXITS NONZERO.
+Time-budget skips are reported in ``"skipped"`` (visible, not fatal: the
+relay queue is outside this repo's control).  The on-chip parity gate
+(benchmarks/onchip_parity.py — the suite that caught the two
+hardware-only bf16-MXU precision bugs in round 3) is folded into every
+run so that bug class cannot silently return.
 """
 
 from __future__ import annotations
@@ -55,6 +67,21 @@ REPS = 5
 MATRIX_FRAMES = 8
 MATRIX_REPS = 3
 TIME_BUDGET_S = 2100  # stop starting new configs past this
+
+# Committed regression floors (rays/s): 0.75 x best recorded headline
+# (60.36M r02; exact 43.65M r03), 0.70 x best recorded matrix values
+# (BENCH_r03.json / BENCH_r04+ as they improve).  Update alongside any
+# intentional protocol change; raising a floor requires a recorded run
+# above it.
+FLOORS = {
+    "headline": 45.3e6,
+    "exact": 32.7e6,
+    "lut_phong_300": 2.13e6,
+    "sobel_lit_700": 6.88e6,
+    "a5_500": 1.63e6,
+    "streamed_320": 1.82e6,
+    "multichannel_304": 1.73e6,
+}
 
 
 def main() -> None:
@@ -139,15 +166,24 @@ def main() -> None:
     # ---- BASELINE config matrix (time-gated) ---------------------------
     configs = {}
 
+    regressed = []
+    skipped = []
+
     def matrix(name, vol, cfg):
         if time.time() - t_start > TIME_BUDGET_S:
             configs[name] = None  # skipped: time budget
+            skipped.append(name)
             return
         try:
             configs[name] = round(
                 bench_config(vol, cfg, MATRIX_FRAMES, MATRIX_REPS), 1)
-        except Exception as e:  # record the failure, keep the line valid
+            floor = FLOORS.get(name)
+            if floor is not None and configs[name] < floor:
+                regressed.append(
+                    f"{name}: {configs[name]:.3g} < floor {floor:.3g}")
+        except Exception as e:  # record the failure AND gate on it
             configs[name] = f"error: {type(e).__name__}"
+            regressed.append(f"{name}: {type(e).__name__}: {e}")
 
     matrix(
         "lut_phong_300",
@@ -218,7 +254,41 @@ def main() -> None:
     if rays_per_sec_exact is not None:
         out["value_exact_mode"] = round(rays_per_sec_exact, 1)
     out["configs"] = configs
+
+    # ---- floors + on-chip parity gate ----------------------------------
+    if rays_per_sec < FLOORS["headline"]:
+        regressed.append(
+            f"headline: {rays_per_sec:.3g} < floor {FLOORS['headline']:.3g}")
+    if rays_per_sec_exact is not None and rays_per_sec_exact < FLOORS["exact"]:
+        regressed.append(
+            f"exact: {rays_per_sec_exact:.3g} < floor {FLOORS['exact']:.3g}")
+
+    # re-run the on-chip parity suite every bench (the class of bug it
+    # catches — hardware-only precision drift — is invisible to every
+    # CPU/interpret test); skipped only if the time budget is exhausted
+    if time.time() - t_start < TIME_BUDGET_S + 600:
+        try:
+            import sys as _sys
+
+            _sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+            import onchip_parity
+
+            onchip_parity.main()
+            with open(onchip_parity.OUT) as f:
+                out["parity"] = {"ok": True, "paths": len(json.load(f))}
+        except Exception as e:
+            out["parity"] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            regressed.append(f"onchip_parity: {type(e).__name__}: {e}")
+    else:
+        out["parity"] = None
+        skipped.append("onchip_parity")
+
+    out["regressed"] = regressed
+    out["skipped"] = skipped
     print(json.dumps(out))
+    if regressed:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -116,7 +116,62 @@ def main() -> None:
         np.testing.assert_allclose(
             np.asarray(shard.data), want4[x0 : x0 + w_local], atol=1e-6
         )
-    print(f"process {process_id}: {checked} shards OK", flush=True)
+
+    # ---- TRAINING across the process boundary (VERDICT r3 item 7) -----
+    # the gradient psum over the 2-process mesh (the DCN-like boundary)
+    # was the one untested collective path: run a full fit step
+    # (loss -> grads -> adam update) on a rays x samples mesh spanning
+    # both processes and assert loss AND grads equal the process-local
+    # single-device computation.
+    import jax.numpy as jnp
+    import optax
+
+    from volumerenderingproject_tpu.diff.fit import (
+        FitParams,
+        make_train_step,
+        render_loss,
+    )
+
+    mesh3 = make_mesh(rays=4, samples=2, volume=1)
+    repl3 = NamedSharding(mesh3, P())
+    put3 = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: jax.device_put(x, repl3), t)
+    vol_g3, tf_g3, cam_g3 = put3(volume), put3(tf), put3(cam)
+    target = jnp.zeros((cfg.width, cfg.height, 4), jnp.float32)
+    target_g = jax.device_put(target, repl3)
+    params = put3(FitParams.init(tf))
+
+    g_mesh = jax.jit(
+        lambda p: jax.grad(render_loss)(
+            p, tf_g3, vol_g3, cam_g3, target_g, cfg, mesh3)
+    )(params)
+    # local single-device reference (no mesh, process-local data)
+    g_single = jax.grad(render_loss)(
+        FitParams.init(tf), tf, volume, cam, target, cfg)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(g_mesh.tf_colors)),
+        np.asarray(g_single.tf_colors), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(
+        float(jax.device_get(g_mesh.density_scale)),
+        float(g_single.density_scale), rtol=1e-4)
+
+    # one full optimizer step through make_train_step on the global mesh
+    optimizer = optax.adam(1e-2)
+    opt_state = put3(optimizer.init(FitParams.init(tf)))
+    step = make_train_step(tf_g3, cfg, optimizer, mesh=mesh3)
+    params2, _, loss = step(params, opt_state, vol_g3, cam_g3, target_g)
+    jax.block_until_ready((params2, loss))
+    loss_single = float(render_loss(
+        FitParams.init(tf), tf, volume, cam, target, cfg))
+    np.testing.assert_allclose(
+        float(jax.device_get(loss)), loss_single, rtol=1e-5)
+    # the updated params are replicated and finite on every process
+    p2 = np.asarray(jax.device_get(params2.tf_colors))
+    assert np.isfinite(p2).all()
+    assert np.abs(p2 - np.asarray(tf.colors)).max() > 0.0  # moved
+
+    print(f"process {process_id}: {checked} shards OK + train step OK",
+          flush=True)
 
 
 if __name__ == "__main__":

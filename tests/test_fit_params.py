@@ -280,3 +280,61 @@ def test_a5_fit_routes_to_a5_forward(scene):
         cam, cfg5, mode="fast")
     err_fit = float(jnp.mean((img_fit[..., :3] - target[..., :3]) ** 2))
     assert abs(err_fit - losses[-1]) < max(5e-3, 0.5 * losses[-1])
+
+
+def test_mesh_kernel_fit_grads_match_single(scene):
+    """The mesh x kernel fit path (VERDICT round-3 item 1): the exact
+    loss composition diff/fit.render_loss builds for a mesh — density
+    folded into the TF alpha column, traced colors + density + light —
+    differentiated through the custom_vjp SEGMENT kernels
+    (render_vrc_sharded differentiable=True) matches the single-device
+    gradients.  On TPU, render_loss takes this path automatically
+    (_diff_segment_eligible); here the kernels run in interpret mode."""
+    from jax.sharding import Mesh
+    from volumerenderingproject_tpu.parallel.render_dist import (
+        render_vrc_sharded,
+    )
+    from volumerenderingproject_tpu.scene.transfer_function import (
+        TransferFunction,
+    )
+
+    volume, tf, cam, cfg, target = scene
+    devs = np.array(jax.devices()[:4]).reshape(2, 2, 1)
+    mesh = Mesh(devs, ("rays", "samples", "volume"))
+    cfg2 = dataclasses.replace(cfg, width=16, samples_per_ray=30)
+    target2 = target[:16]
+    lvec0 = phong.light_to_vec(phong.default_light())
+
+    def loss_mesh(colors, density, lvec):
+        tf3 = TransferFunction(
+            lower=tf.lower, upper=tf.upper,
+            colors=colors.at[:, 3].mul(jnp.clip(density, 0.0, None)),
+            hg_g=tf.hg_g)
+        img = render_vrc_sharded(
+            volume, tf3, cam, dataclasses.replace(cfg2, lighting=True),
+            mesh, differentiable=True, use_pallas=True,
+            pallas_interpret=True, light=phong.light_from_vec(lvec))
+        return _loss_of(img, target2)
+
+    def loss_single(colors, density, lvec):
+        tf3 = TransferFunction(
+            lower=tf.lower, upper=tf.upper,
+            colors=colors.at[:, 3].mul(jnp.clip(density, 0.0, None)),
+            hg_g=tf.hg_g)
+        img = render_vrc(
+            volume, tf3, cam, dataclasses.replace(cfg2, lighting=True),
+            mode="fast", light=phong.light_from_vec(lvec))
+        return _loss_of(img, target2)
+
+    args = (tf.colors, jnp.asarray(1.0, jnp.float32), lvec0)
+    gm = jax.grad(loss_mesh, argnums=(0, 1, 2))(*args)
+    gs = jax.grad(loss_single, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(
+        np.asarray(gm[0]), np.asarray(gs[0]), rtol=2e-4, atol=1e-6)
+    assert abs(float(gs[1])) > 0.0
+    np.testing.assert_allclose(float(gm[1]), float(gs[1]), rtol=2e-4)
+    gm2, gs2 = np.asarray(gm[2]), np.asarray(gs[2])
+    keep = [0, 1, 2, 6, 7, 8, 9]  # color grads symmetrize (mean-collapse)
+    np.testing.assert_allclose(gm2[keep], gs2[keep], rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(
+        gm2[3:6].sum(), gs2[3:6].sum(), rtol=2e-3, atol=2e-5)

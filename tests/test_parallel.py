@@ -333,3 +333,107 @@ def test_pallas_segments_a5(scene):
         render_vrc_sharded(volp, tf, cam, cfg5, mesh,
                            use_pallas=True, pallas_interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_diff_segments_grads_match_single(scene):
+    """The custom_vjp segment kernels (differentiable=True) produce the
+    same TF-color gradients as the single-device XLA scan — sharded
+    training at kernel speed (round-3 VERDICT item 1)."""
+    volume, tf, cam, cfg = scene
+    target = jnp.zeros((cfg.width, cfg.height, 4), jnp.float32)
+
+    def loss_single(colors):
+        tf2 = tf.__class__(tf.lower, tf.upper, colors, tf.hg_g)
+        img = render_vrc(volume, tf2, cam, cfg, mode="fast")
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_single)(tf.colors))
+    assert np.abs(g1).sum() > 0
+
+    for axes in ((2, 2, 1), (4, 1, 1), (1, 4, 1)):
+        mesh = make_mesh(rays=axes[0], samples=axes[1], volume=axes[2])
+
+        def loss_sharded(colors):
+            tf2 = tf.__class__(tf.lower, tf.upper, colors, tf.hg_g)
+            img = render_vrc_sharded(
+                volume, tf2, cam, cfg, mesh,
+                differentiable=True, use_pallas=True,
+                pallas_interpret=True)
+            return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+        g2 = np.asarray(jax.grad(loss_sharded)(tf.colors))
+        np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-7)
+
+
+def test_diff_segments_forward_matches_single(scene):
+    """differentiable=True is value-identical to the plain forward."""
+    volume, tf, cam, cfg = scene
+    mesh = make_mesh(rays=2, samples=2, volume=1)
+    got = np.asarray(render_vrc_sharded(
+        volume, tf, cam, cfg, mesh, differentiable=True,
+        use_pallas=True, pallas_interpret=True))
+    np.testing.assert_allclose(got, _single(volume, tf, cam, cfg), atol=1e-5)
+
+
+def test_diff_segments_auto_fallback_volume_axis(scene):
+    """differentiable=True on a volume-sharded mesh auto-falls back to the
+    XLA scan segments (the diff kernels don't slab) — grads still match."""
+    volume, tf, cam, cfg = scene
+    mesh = make_mesh(rays=2, samples=1, volume=4)
+    target = jnp.zeros((cfg.width, cfg.height, 4), jnp.float32)
+
+    def loss_single(colors):
+        tf2 = tf.__class__(tf.lower, tf.upper, colors, tf.hg_g)
+        img = render_vrc(volume, tf2, cam, cfg, mode="fast")
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    def loss_sharded(colors):
+        tf2 = tf.__class__(tf.lower, tf.upper, colors, tf.hg_g)
+        img = render_vrc_sharded(
+            volume, tf2, cam, cfg, mesh, differentiable=True,
+            pallas_interpret=True)
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_single)(tf.colors))
+    g2 = np.asarray(jax.grad(loss_sharded)(tf.colors))
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-7)
+
+
+def test_diff_segments_lit_light_grads(scene):
+    """Baked-lighting diff segments: TF-color AND light-parameter
+    gradients through the lit core match the XLA scan on a mesh."""
+    from volumerenderingproject_tpu.ops import phong
+
+    volume, tf, cam, cfg = scene
+    cfg2 = cfg.replace(lighting=True)
+    mesh = make_mesh(rays=2, samples=2, volume=1)
+    target = jnp.zeros((cfg.width, cfg.height, 4), jnp.float32)
+    light = phong.default_light()
+    lvec = phong.light_to_vec(light)
+
+    def loss(colors, lv, sharded):
+        tf2 = tf.__class__(tf.lower, tf.upper, colors, tf.hg_g)
+        lgt = phong.light_from_vec(lv)
+        if sharded:
+            img = render_vrc_sharded(
+                volume, tf2, cam, cfg2, mesh, differentiable=True,
+                use_pallas=True, pallas_interpret=True, light=lgt)
+        else:
+            img = render_vrc(volume, tf2, cam, cfg2, mode="fast", light=lgt)
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    gc1, gl1 = jax.grad(loss, argnums=(0, 1))(tf.colors, lvec, False)
+    gc2, gl2 = jax.grad(loss, argnums=(0, 1))(tf.colors, lvec, True)
+    assert np.abs(np.asarray(gc1)).sum() > 0
+    np.testing.assert_allclose(np.asarray(gc2), np.asarray(gc1),
+                               rtol=1e-4, atol=1e-7)
+    gl1, gl2 = np.asarray(gl1), np.asarray(gl2)
+    # direction + ambient/diffuse/specular/shininess grads are exact
+    np.testing.assert_allclose(gl2[:3], gl1[:3], rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(gl2[6:], gl1[6:], rtol=2e-3, atol=1e-6)
+    # light-color grads are SYMMETRIZED by the lit core's mean-collapse
+    # (ops/pallas_march_vjp._make_lit_core): each channel gets the mean
+    # of the XLA per-channel grads — the sum (the descent direction along
+    # the uniform-color subspace the bake lives on) is preserved
+    np.testing.assert_allclose(gl2[3:6], np.full(3, gl1[3:6].mean()),
+                               rtol=2e-3, atol=1e-6)

@@ -96,3 +96,20 @@ def test_depth_param(running_server):
     # depth view is grayscale
     assert (arr[..., 0] == arr[..., 1]).all()
     assert (arr[..., 0] == arr[..., 2]).all()
+
+
+def test_viewer_key_map_unique():
+    """Every key handled by the viewer's keydown switch is bound exactly
+    once (a duplicate binding makes the later branch dead code — the
+    round-3 'b' bug), and the toggles named in the docstring key map are
+    all reachable."""
+    import re
+
+    from volumerenderingproject_tpu.harness.viewer import VIEWER_HTML
+
+    keys = re.findall(r'k === "(\w)"', VIEWER_HTML)
+    assert len(keys) == len(set(keys)), f"duplicate key bindings: {keys}"
+    # one key per state toggle (lighting/scattering/conic/depth)
+    for toggle in ("state.lighting = 1", "state.scattering = 1",
+                   "state.conic = 1", "state.depth = 1"):
+        assert toggle in VIEWER_HTML

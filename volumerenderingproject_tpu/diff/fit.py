@@ -108,14 +108,16 @@ def render_loss(
             colors=tf2.colors.at[:, 3].mul(density),
             hg_g=tf2.hg_g,
         )
-        # use_pallas=False: the training path must stay differentiable and
-        # the forward-only segment kernel has no autodiff rule (the fused
-        # diff kernels cover the single-device path; sharded training
-        # differentiates through the XLA scan segments).  Light and bound
-        # gradients all-reduce over the mesh exactly like the colors (XLA
-        # inserts the psum when transposing shard_map).
+        # differentiable=True: per-device work units run the custom_vjp
+        # segment kernels when eligible (plain a1 on rays/samples axes,
+        # optional baked lighting with trainable light params), so the
+        # sharded fit keeps single-chip kernel speed; ineligible configs
+        # (volume slabs, trilinear modes, LUT, scattering) differentiate
+        # through the XLA scan segments.  Light and bound gradients
+        # all-reduce over the mesh exactly like the colors (XLA inserts
+        # the psum when transposing shard_map).
         img = render_vrc_sharded(volume, tf3, camera, config, mesh,
-                                 use_pallas=False, light=params.light)
+                                 differentiable=True, light=params.light)
     return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
 
 
@@ -162,8 +164,11 @@ def _render_with_density(volume, tf, camera, config, density, light=None):
 
     if smooth_pallas_eligible(volume, tf2, config):
         # fused smooth-mode kernels: TF color + bound + volume-field
-        # gradients at kernel speed (ops/pallas_smooth.py)
-        return render_vrc_smooth_pallas(volume, tf2, camera, config)
+        # gradients at kernel speed (ops/pallas_smooth.py); early_eps
+        # pinned to 0 — the smooth backward re-marches all chunks, so a
+        # nonzero forward eps would make gradients eps-inconsistent
+        return render_vrc_smooth_pallas(
+            volume, tf2, camera, config, early_eps=0.0)
     if diff_pallas_eligible(volume, tf2, config):
         # fused Pallas forward+backward (ops/pallas_march_vjp.py); the
         # alpha-column density fold above routes d/d density by chain rule

@@ -22,7 +22,7 @@ Key map (1:1 with processInput):
   L     toggle Phong lighting (new capability)
   B     toggle single-scattering light transport (new capability)
   C     toggle conic projection (new capability)
-  B     toggle the z-buffer depth view (3.3.zbuffershader.fs analog)
+  V     toggle the z-buffer depth view (3.3.zbuffershader.fs analog)
 """
 
 VIEWER_HTML = """<!DOCTYPE html>
@@ -55,7 +55,7 @@ VIEWER_HTML = """<!DOCTYPE html>
     <kbd>P</kbd> print camera &nbsp; <kbd>O</kbd> save PNG &nbsp;
     <kbd>L</kbd> lighting &nbsp; <kbd>B</kbd> scattering &nbsp;
     <kbd>C</kbd> conic &nbsp;
-    <kbd>B</kbd> depth buffer
+    <kbd>V</kbd> depth buffer
   </div>
 </div>
 <script>
@@ -149,7 +149,7 @@ document.addEventListener("keydown", (ev) => {
   else if (k === "l") state.lighting = 1 - state.lighting;
   else if (k === "b") state.scattering = 1 - state.scattering;
   else if (k === "c") state.conic = 1 - state.conic;
-  else if (k === "b") state.depth = 1 - state.depth;
+  else if (k === "v") state.depth = 1 - state.depth;
   else changed = false;
   if (changed) refresh();
 });

@@ -679,6 +679,7 @@ def _a5_bwd_kernel(
     spr: int,
     zpack: Tuple[int, int, int] | None,
     krows: int,
+    local_width: int | None = None,
 ):
     """Two-pass backward for the a5 pipeline, emitting dL/d(tf colors).
 
@@ -718,10 +719,13 @@ def _a5_bwd_kernel(
     f = e % 256
     u = f // TILE_PY
     v = f % TILE_PY
+    lw = width if local_width is None else local_width
     lxp = tx * TILE_PX + u
     pxi = lxp + x_off_i
     pyi = ty * TILE_PY + v
-    pix_ok = (lxp < width) & (pyi < height)
+    # same live-ray mask as the forward _a5_kernel (lxp < lw): segment
+    # work units narrower than the global width agree on the ray set
+    pix_ok = (lxp < lw) & (pyi < height)
     px = pxi.astype(_f32)
     py = pyi.astype(_f32)
     p1x = px * s1 + o1
@@ -977,17 +981,19 @@ def a5_diff_pallas_eligible(volume: Volume, tf: TransferFunction,
 
 @functools.lru_cache(maxsize=32)
 def _make_a5_core(dims, num_intervals, width, height, spr, zpack, rows,
-                  interpret):
-    ntx = -(-width // TILE_PX)
+                  interpret, local_width=None):
+    ntx = -(-(width if local_width is None else local_width) // TILE_PX)
     nty = -(-height // TILE_PY)
     krows = 8 if num_intervals <= 8 else 16
 
     fwd_kernel = functools.partial(
         _a5_kernel, dims=dims, num_intervals=num_intervals, width=width,
-        height=height, spr=spr, baked_light=False, zpack=zpack)
+        height=height, spr=spr, baked_light=False, zpack=zpack,
+        local_width=local_width)
     bwd_kernel = functools.partial(
         _a5_bwd_kernel, dims=dims, num_intervals=num_intervals,
-        width=width, height=height, spr=spr, zpack=zpack, krows=krows)
+        width=width, height=height, spr=spr, zpack=zpack, krows=krows,
+        local_width=local_width)
 
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(4)]
     vol_spec = pl.BlockSpec((rows, 128), lambda i, j: (0, 0),

@@ -104,8 +104,19 @@ def _march_bwd_kernel(
     zpack: Tuple[int, int, int] | None = None,
     krows: int = 8,
     baked_light: bool = False,
+    local_width: int | None = None,
 ):
-    """``baked_light``: the forward shades classified colors with baked
+    """``spr`` is the LOCAL sample count of this segment (the global
+    sample index is ``scal[30] + local``) and ``local_width``/``scal[29]``
+    carry the ray-column tile, exactly as in the forward ``_march_kernel``
+    — full renders pass x_offset = s_start = 0 so the two coincide.  The
+    same prefix/suffix math applies per segment because the custom_vjp
+    core's outputs ARE the (C, T) segment pair: ``g_t`` is the upstream
+    cotangent of the segment-final transmittance, whether that flows from
+    the caller's ``+ T * bg`` (full render) or from transposing
+    ops/composite.segment_compose (sharded segments).
+
+    ``baked_light``: the forward shades classified colors with baked
     per-voxel factors, c' = c * M + S (ops/pallas_march.bake_light_grids).
     M and S are volume-only quantities — constants w.r.t. the TF colors —
     so the chain rule just scales the rgb scatter by the sample's M
@@ -137,6 +148,9 @@ def _march_bwd_kernel(
     tl = [scal_ref[17 + c] for c in range(3)]
     rsw = scal_ref[20]
     rsh = scal_ref[21]
+    x_off_i = scal_ref[29].astype(_i32)  # ray-column offset (segments)
+    s_start_i = scal_ref[30].astype(_i32)  # global index of local sample 0
+    lw = width if local_width is None else local_width
 
     tx = pl.program_id(0)
     ty = pl.program_id(1)
@@ -147,9 +161,10 @@ def _march_bwd_kernel(
     f = e % 256
     u = f // TILE_PY
     v = f % TILE_PY
-    pxi = tx * TILE_PX + u
+    lxp = tx * TILE_PX + u  # local pixel column
+    pxi = lxp + x_off_i  # global pixel column (ray math uses global)
     pyi = ty * TILE_PY + v
-    pix_ok = (pxi < width) & (pyi < height)
+    pix_ok = (lxp < lw) & (pyi < height)
     px = pxi.astype(_f32)
     py = pyi.astype(_f32)
 
@@ -181,7 +196,7 @@ def _march_bwd_kernel(
         zero-T samples carry zero gradient regardless of classification,
         so fetching their true value is equally exact and branch-free.
         """
-        i_f = (ci * STEPS + s_idx).astype(_f32)
+        i_f = (s_start_i + ci * STEPS + s_idx).astype(_f32)
         ti = i_f * ds + clip  # kernel.cu:54,59
         p = [(o[c] + ti * d[c]) + 0.5 for c in range(3)]  # modelAux
         inside = pix_ok
@@ -361,10 +376,16 @@ def _march_bwd_kernel(
 
 @functools.lru_cache(maxsize=32)
 def _make_core(dims, depth, num_intervals, width, height, spr, conic,
-               nb, rows, interpret, zpack=None, baked=False):
+               nb, rows, interpret, zpack=None, baked=False,
+               local_width=None):
     """Build (and cache per static config) the custom_vjp'd tile renderer:
     (colors, lower, upper, scal, vol_rows, occ, mg, sgd)
     -> (cr, cg, cb, t) tiles.
+
+    ``local_width``/``spr`` describe the LOCAL work unit (a ray-column
+    tile x a sample segment) for shard_map use; the traced offsets ride
+    ``scal[29]``/``scal[30]``.  Full renders leave local_width=None and
+    offsets 0.
 
     ``occ``/``scal[4]`` are skip-control inputs (they affect which chunks
     are marched, never the value — all skips are alpha=0-exact), computed
@@ -374,7 +395,7 @@ def _make_core(dims, depth, num_intervals, width, height, spr, conic,
     ``baked``, ``mg``/``sgd`` are the per-voxel Phong factor grids (f32
     rows; volume-only quantities, zero cotangents) and both kernels shade
     c' = c * M + S; otherwise they are ignored dummies."""
-    ntx = -(-width // TILE_PX)
+    ntx = -(-(width if local_width is None else local_width) // TILE_PX)
     nty = -(-height // TILE_PY)
     krows = 8 if num_intervals <= 8 else 16
     mrows = _pad_to(dims[0] * dims[1], 8)
@@ -384,12 +405,14 @@ def _make_core(dims, depth, num_intervals, width, height, spr, conic,
         dims=dims, depth=depth, num_intervals=num_intervals,
         width=width, height=height, spr=spr, conic=conic,
         density_scale=1.0, nbricks=nb, zpack=zpack, baked_light=baked,
+        local_width=local_width,
     )
     bwd_kernel = functools.partial(
         _march_bwd_kernel,
         dims=dims, depth=depth, num_intervals=num_intervals,
         width=width, height=height, spr=spr, conic=conic,
         zpack=zpack, krows=krows, baked_light=baked,
+        local_width=local_width,
     )
 
     baked_specs = [
@@ -488,7 +511,7 @@ def _make_core(dims, depth, num_intervals, width, height, spr, conic,
 @functools.lru_cache(maxsize=32)
 def _make_lit_core(dims, depth, num_intervals, width, height, spr, conic,
                    nb, rows, interpret, zpack, gradient_filter,
-                   presmooth_sigma):
+                   presmooth_sigma, local_width=None):
     """Light-differentiable wrapper over the baked-light core: exposes
     gradients w.r.t. the 10-scalar light parameter vector
     (ops/phong.light_to_vec) in addition to the TF colors.
@@ -522,7 +545,7 @@ def _make_lit_core(dims, depth, num_intervals, width, height, spr, conic,
     import dataclasses as _dc
 
     core = _make_core(dims, depth, num_intervals, width, height, spr,
-                      conic, nb, rows, interpret, zpack, True)
+                      conic, nb, rows, interpret, zpack, True, local_width)
     d1, d2, d3 = dims
     bake_cfg = RenderConfig(
         gradient_filter=gradient_filter, presmooth_sigma=presmooth_sigma)
@@ -637,7 +660,7 @@ def diff_pallas_eligible(volume: Volume, tf: TransferFunction,
     )
 
 
-def render_vrc_pallas_diff(
+def _diff_march_tiles(
     volume: Volume,
     tf: TransferFunction,
     camera: Camera,
@@ -646,15 +669,34 @@ def render_vrc_pallas_diff(
     interpret: bool = False,
     packed: bool | None = None,
     light=None,
-) -> jnp.ndarray:
-    """a1/VRC render -> [W, H, 4], differentiable w.r.t. ``tf.colors``
-    through fused Pallas forward AND backward kernels.
+    x_offset=0,
+    local_width: int | None = None,
+    s_start=0,
+    s_count: int | None = None,
+):
+    """Differentiable fused-march driver -> (cr, cg, cb, t), each
+    [w_local, height] f32 — the (C, T) segment of ray columns
+    [x_offset, x_offset + local_width) x samples [s_start, s_start +
+    s_count), differentiable w.r.t. ``tf.colors`` (and light params when
+    a traced ``light`` is passed) through the custom_vjp cores.  Offsets
+    may be traced (axis_index-derived); shapes are static.  See
+    render_vrc_pallas_diff for semantics and caveats.
 
     ``config.lighting`` (or an explicit uniform-color ``light``) runs
     through the baked per-voxel Phong factors — (M, S) depend only on the
     volume, so the TF-color cotangents stay exact (the backward kernel
     scales the rgb scatter by M and routes alpha grads through the shaded
     colors); trains BASELINE config 2-style shaded fits fused.
+
+    CAVEAT (traced lights): a light with traced leaves (FitParams.light)
+    takes the light-differentiable core, whose bake collapses the light
+    color to its channel mean (``_make_lit_core``).  For a NON-uniform
+    traced color the fused forward therefore renders the mean-gray light,
+    diverging from the XLA renderer (which shades per channel); gradients
+    stay symmetric across channels, so descent from a uniform init
+    preserves uniformity.  Pass a non-uniform color through the XLA path
+    (``raycast.render_vrc(..., light=...)``) when exact per-channel
+    shading matters.
 
     Value-identical to ``render_vrc_pallas(..., early_eps=0)`` ==
     ``render_vrc(..., mode="fast")``; gradients match ``jax.grad`` through
@@ -784,17 +826,22 @@ def render_vrc_pallas_diff(
         jnp.asarray(box_lo, _f32),
         jnp.asarray(box_hi, _f32),
         id0[None],  # [28] classify-index of vn=0 (packed mode)
-        jnp.zeros((3,), _f32),
+        jnp.asarray(x_offset, _f32)[None],  # [29] ray-column offset
+        jnp.asarray(s_start, _f32)[None],  # [30] sample-segment start
+        jnp.zeros((1,), _f32),  # [31] slab x0 (diff path: full volume)
     ])
+
+    w_local = w if local_width is None else local_width
+    s_count = config.samples_per_ray if s_count is None else s_count
 
     if baked and light_traced:
         from . import phong
 
         lit = _make_lit_core(
             volume.dims, volume.octree_depth, tf.num_intervals, w, h,
-            config.samples_per_ray, bool(config.conic), nb, rows,
+            s_count, bool(config.conic), nb, rows,
             bool(interpret), zpack, config.gradient_filter,
-            float(config.presmooth_sigma),
+            float(config.presmooth_sigma), local_width,
         )
         cr, cg, cb, t = lit(
             colors, phong.light_to_vec(lg), -camera.front,
@@ -811,21 +858,83 @@ def render_vrc_pallas_diff(
 
         core = _make_core(
             volume.dims, volume.octree_depth, tf.num_intervals, w, h,
-            config.samples_per_ray, bool(config.conic), nb, rows,
-            bool(interpret), zpack, baked,
+            s_count, bool(config.conic), nb, rows,
+            bool(interpret), zpack, baked, local_width,
         )
         cr, cg, cb, t = core(colors, tf.lower, tf.upper, scal, vol_rows,
                              occ, mg, sgd)
 
-    ntx = -(-w // TILE_PX)
+    ntx = -(-w_local // TILE_PX)
     nty = -(-h // TILE_PY)
 
     def unpack(a):
         a = a.reshape(ntx, nty, TILE_PX, TILE_PY)
         a = a.transpose(0, 2, 1, 3).reshape(ntx * TILE_PX, nty * TILE_PY)
-        return a[:w, :h]
+        return a[:w_local, :h]
 
+    return unpack(cr), unpack(cg), unpack(cb), unpack(t)
+
+
+def render_vrc_pallas_diff(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    interpret: bool = False,
+    packed: bool | None = None,
+    light=None,
+) -> jnp.ndarray:
+    """a1/VRC render -> [W, H, 4], differentiable w.r.t. ``tf.colors``
+    through fused Pallas forward AND backward kernels.  See
+    _diff_march_tiles (the shared driver) for the full mode docs; the
+    docstring below is the public contract."""
+    cr, cg, cb, t = _diff_march_tiles(
+        volume, tf, camera, config,
+        interpret=interpret, packed=packed, light=light,
+    )
+    w, h = config.width, config.height
     bg = jnp.asarray(config.background, _f32)
-    t2 = unpack(t)
-    rgb = [unpack(c) + t2 * bg[i] for i, c in enumerate((cr, cg, cb))]
+    rgb = [c + t * bg[i] for i, c in enumerate((cr, cg, cb))]
     return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)
+
+
+def render_vrc_pallas_diff_segment(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    x_offset=0,
+    local_width: int | None = None,
+    s_start=0,
+    s_count: int | None = None,
+    interpret: bool = False,
+    packed: bool | None = None,
+    light=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shard_map-friendly DIFFERENTIABLE fused work unit -> (C, T) segment.
+
+    The training-path twin of ops/pallas_march.render_vrc_pallas_segment:
+    marches ray columns [x_offset, x_offset + local_width) x samples
+    [s_start, s_start + s_count) through the custom_vjp cores, so
+    ``jax.grad`` of a sharded loss (parallel/render_dist.py with
+    ``differentiable=True``) runs fused forward AND backward kernels on
+    every device instead of the XLA scan — the round-3 `use_pallas=False`
+    training cliff (diff/fit.py) closed.  Gradients flow to ``tf.colors``
+    (+ density by the external alpha fold, + light params for a traced
+    ``light``); the (C, T) composition across mesh axes is plain XLA
+    (ops/composite.segment_compose), so its transpose is exact and the
+    rays-axis psum is inserted by shard_map's transposition as usual.
+    Volume slabs are NOT supported here (the backward's footprint runs on
+    the full grid); render_dist keeps volume-sharded training on the XLA
+    scan segments.  Matches the reference 3-kernel pipeline
+    kernel.cu:40-70,194-225 under shard_map transposition.
+    """
+    cr, cg, cb, t = _diff_march_tiles(
+        volume, tf, camera, config,
+        interpret=interpret, packed=packed, light=light,
+        x_offset=x_offset, local_width=local_width,
+        s_start=s_start, s_count=s_count,
+    )
+    return jnp.stack([cr, cg, cb], axis=-1), t[..., None]

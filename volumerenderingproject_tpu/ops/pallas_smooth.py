@@ -603,6 +603,7 @@ def render_vrc_smooth_pallas(
     *,
     interpret: bool = False,
     tile: Tuple[int, int, int] | None = None,
+    early_eps: float | None = None,
 ) -> jnp.ndarray:
     """Smooth-mode a1 render -> [W, H, 4], differentiable w.r.t. the TF
     colors AND interval bounds AND the volume data through fused Pallas
@@ -612,7 +613,15 @@ def render_vrc_smooth_pallas(
     Value-identical (<= ~1e-5) to ``render_vrc(..., mode="fast")`` with
     ``config.interp = TRILINEAR``; gradients match ``jax.grad`` through
     the XLA scan.  A static ``config.density_scale`` is not supported —
-    fold density into the alpha column externally (diff/fit.py does)."""
+    fold density into the alpha column externally (diff/fit.py does).
+
+    ``early_eps`` overrides ``config.early_termination`` for the forward
+    march.  NOTE: the forward's early termination is value-exact to
+    within eps, but the backward passes re-march all chunks
+    unconditionally, so with eps > 0 the gradients correspond to the
+    un-terminated render (mismatch bounded by eps).  Training callers
+    should pass ``early_eps=0.0`` for exact forward/backward agreement
+    (diff/fit.py does)."""
     d1, d2, d3 = volume.dims
     if volume.channels != 1:
         raise ValueError("smooth pallas path supports single-channel volumes")
@@ -652,7 +661,8 @@ def render_vrc_smooth_pallas(
     scal = jnp.concatenate([
         jnp.asarray([config.sample_distance, config.front_clip], _f32),
         jnp.asarray(volume.cal_max, _f32).reshape(1),
-        jnp.asarray([config.early_termination, config.tf_sharpness], _f32),
+        jnp.asarray([config.early_termination if early_eps is None
+                     else early_eps, config.tf_sharpness], _f32),
         camera.position.astype(_f32),
         camera.front.astype(_f32),
         camera.right.astype(_f32),

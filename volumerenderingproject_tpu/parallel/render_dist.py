@@ -158,6 +158,50 @@ def _pallas_segment_eligible(
     )
 
 
+def _diff_segment_eligible(
+    volume: Volume,
+    tf: TransferFunction,
+    config: RenderConfig,
+    slab_x: int | None,
+    light,
+    pallas_interpret: bool,
+) -> bool:
+    """True when the DIFFERENTIABLE fused segment kernel
+    (ops/pallas_march_vjp.render_vrc_pallas_diff_segment) implements the
+    per-device work unit exactly: plain a1 classify on the full volume
+    (rays/samples axes only — the backward's footprint needs the whole
+    grid), f32 rows or the packed id grid, optional baked lighting
+    (traced light OK: the lit core differentiates the 10 light params)."""
+    from ..ops.pallas_march import baked_light_feasible, packed_geometry
+
+    if slab_x is not None or volume.channels != 1:
+        return False
+    if not (jax.default_backend() == "tpu" or pallas_interpret):
+        return False
+    fits = (
+        volume.dims[2] <= 128
+        or packed_geometry(volume.dims, tf.num_intervals) is not None
+    )
+    baked = bool(config.lighting) or light is not None
+    if baked:
+        from ..ops.pallas_march import _uniform_light_color
+
+        light_ok = light is None or _uniform_light_color(light) or any(
+            isinstance(leaf, jax.core.Tracer)
+            for leaf in jax.tree.leaves(light))
+        if (config.conic or not light_ok or not baked_light_feasible(
+                volume.dims, tf.num_intervals, config)):
+            return False
+    return (
+        config.algorithm is Algorithm.VRC
+        and fits
+        and config.interp is Interp.NEAREST
+        and not config.tf_lut
+        and tf.num_intervals <= 16
+        and not config.scattering
+    )
+
+
 def render_vrc_sharded(
     volume: Volume,
     tf: TransferFunction,
@@ -169,6 +213,7 @@ def render_vrc_sharded(
     use_pallas: bool | None = None,
     pallas_interpret: bool = False,
     light=None,
+    differentiable: bool = False,
 ) -> jnp.ndarray:
     """Distributed a1/VRC render over a ("rays", "samples", "volume") mesh.
 
@@ -184,6 +229,16 @@ def render_vrc_sharded(
     trilinear modes, multi-channel, oversize slabs) fall back to the XLA
     scan segments.  ``use_pallas=None`` auto-detects (TPU backend or
     ``pallas_interpret``); True forces, False disables.
+
+    ``differentiable=True`` selects the custom_vjp segment kernels
+    (ops/pallas_march_vjp.render_vrc_pallas_diff_segment) so that
+    ``jax.grad`` of a loss over this render runs fused forward AND
+    backward kernels per device — sharded training at kernel speed
+    (diff/fit.py's mesh path).  Eligibility (_diff_segment_eligible) is
+    narrower than the forward-only kernels: rays/samples axes only,
+    plain a1 classify, optional baked lighting (a traced ``light``
+    trains its 10 parameters through the lit core); ineligible configs
+    fall back to the differentiable XLA scan segments.
     """
     n_rays = mesh.shape["rays"]
     n_samp = mesh.shape["samples"]
@@ -219,17 +274,43 @@ def render_vrc_sharded(
     slab_x = volume.dims[0] // n_vol if n_vol > 1 else None
 
     if use_pallas is None:
-        # an explicit light is threaded through the XLA segment paths only
-        # (the fused segment kernel shades with the default light)
-        use_pallas = (
-            jax.default_backend() == "tpu" or pallas_interpret
-        ) and light is None and _pallas_segment_eligible(
-            volume, tf, config, slab_x)
+        if differentiable:
+            use_pallas = _diff_segment_eligible(
+                volume, tf, config, slab_x, light, pallas_interpret)
+        else:
+            # an explicit light is threaded through the XLA segment paths
+            # only (the fused segment kernel shades with the default light)
+            use_pallas = (
+                jax.default_backend() == "tpu" or pallas_interpret
+            ) and light is None and _pallas_segment_eligible(
+                volume, tf, config, slab_x)
 
     def tile_fn(vol_data, cal_max, tf_, cam, lgt):
         ri = jax.lax.axis_index("rays")
         si = jax.lax.axis_index("samples")
-        if use_pallas and config.algorithm is Algorithm.TEST:
+        if use_pallas and differentiable:
+            from ..ops.pallas_march_vjp import (
+                render_vrc_pallas_diff_segment,
+            )
+
+            vol_local = Volume(
+                data=vol_data,
+                cal_max=cal_max,
+                cal_min=volume.cal_min,
+                pixdim=volume.pixdim,
+                dims=volume.dims,
+                channels=volume.channels,
+            )
+            seg = render_vrc_pallas_diff_segment(
+                vol_local, tf_, cam, config,
+                x_offset=ri * w_local,
+                local_width=w_local,
+                s_start=si * s_local,
+                s_count=s_local,
+                interpret=pallas_interpret,
+                light=lgt,
+            )
+        elif use_pallas and config.algorithm is Algorithm.TEST:
             from ..ops.pallas_a5 import render_test_pallas
 
             vol_local = Volume(
@@ -571,7 +652,7 @@ class _VolDims:
 @functools.partial(
     jax.jit,
     static_argnames=("config", "mesh", "remat", "use_pallas",
-                     "pallas_interpret"),
+                     "pallas_interpret", "differentiable"),
 )
 def render_vrc_sharded_jit(
     volume: Volume,
@@ -583,9 +664,10 @@ def render_vrc_sharded_jit(
     use_pallas: bool | None = None,
     pallas_interpret: bool = False,
     light=None,
+    differentiable: bool = False,
 ) -> jnp.ndarray:
     return render_vrc_sharded(
         volume, tf, camera, config, mesh, remat=remat,
         use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-        light=light,
+        light=light, differentiable=differentiable,
     )
