@@ -219,6 +219,14 @@ def main() -> None:
         RenderConfig(width=304, height=304, samples_per_ray=300,
                      early_termination=1e-3),
     )
+    # round-4: streamed baked lighting (BASELINE config 4 at large-volume
+    # scale — the u8-quantized (M, S) pack streamed with the id blocks)
+    matrix(
+        "streamed_lit_320",
+        dense,
+        RenderConfig(width=304, height=304, samples_per_ray=300,
+                     lighting=True, early_termination=1e-3),
+    )
 
     # 3-channel avg152-scale synthetic (the RGB16_4D-class workload)
     xs = np.linspace(-1, 1, 91, dtype=np.float32)

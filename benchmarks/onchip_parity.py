@@ -173,6 +173,35 @@ def main():
                       vol_str, tf, camd, cfg, early_eps=0.0, block_x=8,
                       **kw),
                   wantd, 2e-5)
+    # streamed lighting/scattering (u8-quantized (M, S) pack): tolerance
+    # is the documented quantization bound, not kernel drift — the flat-
+    # light case below pins the plumbing itself at bit-exact
+    for name, kw in (("streamed_lit", dict(lighting=True)),
+                     ("streamed_scatter", dict(scattering=True)),
+                     ("streamed_lit_scatter",
+                      dict(lighting=True, scattering=True))):
+        c = cfg.replace(**kw)
+        check(name,
+              render_vrc_pallas_streamed(
+                  vol_str, tf, cam, c, early_eps=0.0, block_x=8,
+                  manual=True),
+              render_vrc(vol_str, tf, cam, c, mode="fast"), 6e-3)
+    import dataclasses as _dc
+
+    from volumerenderingproject_tpu.ops import phong as _phong
+
+    _flat = _dc.replace(
+        _phong.default_light(),
+        ambient=jnp.asarray(1.0, jnp.float32),
+        diffuse=jnp.asarray(0.0, jnp.float32),
+        specular=jnp.asarray(0.0, jnp.float32))
+    check("streamed_lit_flat_exact",
+          render_vrc_pallas_streamed(
+              vol_str, tf, cam, cfg.replace(lighting=True), early_eps=0.0,
+              block_x=8, manual=True, light=_flat),
+          render_vrc_pallas_streamed(
+              vol_str, tf, cam, cfg, early_eps=0.0, block_x=8,
+              manual=True), 0.0)
     check("streamed_manual_lut",
           render_vrc_pallas_streamed(
               vol_str, tf, cam, cfg.replace(tf_lut=64), early_eps=0.0,

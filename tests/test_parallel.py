@@ -437,3 +437,59 @@ def test_diff_segments_lit_light_grads(scene):
     # the uniform-color subspace the bake lives on) is preserved
     np.testing.assert_allclose(gl2[3:6], np.full(3, gl1[3:6].mean()),
                                rtol=2e-3, atol=1e-6)
+
+
+def test_volume_sharded_scattering_matches_single(scene):
+    """Scattering on a volume-slab mesh (VERDICT r3 item 5): the sharded
+    light-transmittance sweep (phong.light_transmittance_grid_slab)
+    stitches per-slab partials with ppermute — parity vs the replicated
+    render across all three sweep branches (dominant axis x / y / z,
+    both signs, nonzero x-shear)."""
+    import dataclasses
+
+    from volumerenderingproject_tpu.ops import phong
+
+    volume, tf, cam, cfg = scene
+    cfg_s = cfg.replace(scattering=True)
+    mesh = make_mesh(rays=1, samples=1, volume=4)
+    for ldir in ((0.5, 1.0, 0.75),    # y-dominant, x-shear (default)
+                 (1.0, 0.3, -0.2),    # x-dominant, +x
+                 (-1.0, 0.1, 0.4),    # x-dominant, -x
+                 (0.4, -0.3, -1.0),   # z-dominant, -z, x-shear
+                 (0.0, 1.0, 0.2)):    # y-dominant, zero x-shear
+        light = dataclasses.replace(
+            phong.default_light(),
+            direction=jnp.asarray(ldir, jnp.float32))
+        want = np.asarray(render_vrc(
+            volume, tf, cam, cfg_s, mode="fast", light=light))
+        got = np.asarray(render_vrc_sharded(
+            volume, tf, cam, cfg_s, mesh, light=light))
+        np.testing.assert_allclose(got, want, atol=2e-5, err_msg=str(ldir))
+
+
+def test_sharded_sweep_matches_replicated_grid():
+    """light_transmittance_grid_slab == light_transmittance_grid on the
+    slab, directly (the op-level parity behind the render test)."""
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    from volumerenderingproject_tpu.ops import phong
+
+    rng = np.random.default_rng(5)
+    alpha = jnp.asarray(
+        rng.uniform(0, 0.9, size=(16, 10, 9)).astype(np.float32))
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("volume",))
+    for ldir in ((1.0, 0.4, 0.1), (-0.2, -1.0, 0.3), (0.3, 0.2, 1.0)):
+        d = jnp.asarray(ldir, jnp.float32)
+        want = np.asarray(phong.light_transmittance_grid(alpha, d))
+
+        fn = shard_map(
+            partial(phong.light_transmittance_grid_slab,
+                    light_dir=np.asarray(ldir, np.float32)),
+            mesh=mesh, in_specs=P("volume"), out_specs=P("volume"),
+            check_vma=False)
+        got = np.asarray(fn(alpha))
+        np.testing.assert_allclose(got, want, atol=2e-6, err_msg=str(ldir))

@@ -690,7 +690,9 @@ def _pallas_streamed_eligible(volume: Volume, tf, config: RenderConfig,
     """True when the HBM-streamed fused kernel
     (ops/pallas_march.render_vrc_pallas_streamed) implements this render:
     volumes beyond the resident kernel's VMEM budget, ortho camera (one
-    global block visit order), plain a1 classify."""
+    global block visit order), a1 classify — plain, LUT, or (round-4)
+    lit/scattered through the streamed u8-quantized (M, S) factor grids
+    (pack_ms_grid; ~2e-3 quantization bound, below the 8-bit floor)."""
     import jax as _jax
 
     from ..ops.pallas_march import streamed_geometry
@@ -703,11 +705,9 @@ def _pallas_streamed_eligible(volume: Volume, tf, config: RenderConfig,
         and streamed_geometry(
             volume.dims, tf.num_intervals,
             lut_n=int(config.tf_lut)) is not None
-        and not config.lighting
         and config.interp is Interp.NEAREST
         and (not config.tf_lut or config.tf_lut <= 1024)
         and config.empty_space_skipping
-        and not config.scattering
     )
 
 

@@ -134,6 +134,9 @@ def _march_kernel(
     block_major: bool = False,
     manual_stream: bool = False,
     nxb: int = 0,
+    ms_stream: bool = False,
+    ms_nzr: int = 1,
+    ms_brm: int = 0,
 ):
     """``spr`` is the LOCAL sample count of this segment; the global sample
     index is ``scal[30] + local`` (full renders pass s_start=0 so the two
@@ -165,9 +168,22 @@ def _march_kernel(
     rgb * M + S, exact because ortho view direction is ray-independent)
     and fetched from two extra f32 row grids (2 row reads + 2 lane-gathers
     per footprint cell instead of in-kernel gradients' 5 reads + 7
-    gathers), composing with any main-grid layout including packed ids."""
+    gathers), composing with any main-grid layout including packed ids.
+
+    ``ms_stream`` (manual_stream only): the baked (M, S) factors are
+    STREAMED from HBM block-by-block alongside the volume blocks —
+    affine-quantized to u8 each and packed two voxels per i32 word
+    (pack_ms_grid), so a 512^3-class lit/scattered render stays fused
+    (VERDICT r3 item 3; the bake runs on the FULL volume in XLA before
+    packing, so shading normals need no halo exchange).  Dequantization
+    ranges ride scal[32..35]; per-voxel error <= range/510 per factor —
+    below the 8-bit output floor for reference-scale lights.  ``ms_nzr``
+    = z-rows per (x, y) column (ceil(d3/256)); ``ms_brm`` = ms rows per
+    block."""
     rest = list(rest)
     state_ref = rest.pop() if block_major else None  # trailing scratch
+    ms_sem_ref = rest.pop() if ms_stream else None
+    ms_bufs_ref = rest.pop() if ms_stream else None
     dma_sem_ref = rest.pop() if manual_stream else None
     bufs_ref = rest.pop() if manual_stream else None
     light_ref = rest.pop(0) if lighting else None
@@ -175,6 +191,7 @@ def _march_kernel(
     mg_ref = rest.pop(0) if baked_light else None
     sg_ref = rest.pop(0) if baked_light else None
     mc_refs = tuple(rest.pop(0) for _ in range(mc_grids))
+    ms_hbm_ref = rest.pop(0) if ms_stream else None
     # per-block occupied-x ray-space extents (manual mode, SMEM [2*nxb]):
     # geometry ∩ occupancy, alpha0-gated on the host — empty blocks carry
     # an inverted interval so the whole block march is skipped
@@ -248,7 +265,7 @@ def _march_kernel(
     ones = jnp.ones((RT, 128), _f32)
 
     def _compute_ct(vol_ref=vol_ref, x0_i=x0_i, box_lo=box_lo,
-                    box_hi=box_hi):
+                    box_hi=box_hi, ms_ref=None):
         """Slot decode, ray setup, box clip and the chunk march — the
         per-invocation heavy work, deferred so hbm_mode can gate it
         behind the (tile, block) visibility bit.  The default arguments
@@ -651,6 +668,59 @@ def _march_kernel(
                     sr = sr * mval + sval
                     sg = sg * mval + sval
                     sb = sb * mval + sval
+                if ms_stream:
+                    # streamed u8-quantized baked factors: one i32 word
+                    # holds (M|S<<8) for voxels z and z+1 (pack_ms_grid);
+                    # one row read + one gather per footprint cell x z-row
+                    izf = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
+                    rowid_ms = jnp.where(
+                        valid, (lxv * d2 + ijk[1]) * ms_nzr + (izf >> 8),
+                        -1)
+                    lane_ms = jnp.where(valid, (izf >> 1) & 127, 0)
+                    shift_ms = (izf & 1) * 16
+
+                    rfxmin = jnp.min(jnp.where(valid, lxv, _BIG))
+                    rfymin = jnp.min(jnp.where(valid, ijk[1], _BIG))
+                    rfxmax = jnp.max(jnp.where(valid, lxv, -1))
+                    rfymax = jnp.max(jnp.where(valid, ijk[1], -1))
+                    ms_rows_n = ms_brm if ms_brm else 1
+
+                    def msx(dxi, acc):
+                        cx = rfxmin + dxi
+
+                        def msy(dyi, acc):
+                            cy = rfymin + dyi
+
+                            def msz(zr, acc):
+                                crow = (cx * d2 + cy) * ms_nzr + zr
+                                crowc = jnp.clip(crow, 0, ms_rows_n - 1)
+                                bm = jnp.broadcast_to(
+                                    ms_ref[pl.ds(crowc, 1), :], (E, 128))
+                                w16 = jax.lax.shift_right_logical(
+                                    jnp.take_along_axis(
+                                        bm, lane_ms, axis=1),
+                                    shift_ms) & 0xFFFF
+                                return jnp.where(rowid_ms == crow, w16,
+                                                 acc)
+
+                            return jax.lax.fori_loop(0, ms_nzr, msz, acc)
+
+                        return jax.lax.fori_loop(
+                            0, rfymax - rfymin + 1, msy, acc)
+
+                    w16 = jax.lax.fori_loop(
+                        0, rfxmax - rfxmin + 1, msx,
+                        jnp.zeros((E, 128), _i32))
+                    mval = (w16 & 255).astype(_f32) * scal_ref[33] \
+                        + scal_ref[32]
+                    sval = (jax.lax.shift_right_logical(w16, 8)
+                            & 255).astype(_f32) * scal_ref[35] \
+                        + scal_ref[34]
+                    mval = jnp.where(valid, mval, 1.0)
+                    sval = jnp.where(valid, sval, 0.0)
+                    sr = sr * mval + sval
+                    sg = sg * mval + sval
+                    sb = sb * mval + sval
                 if density_scale != 1.0:
                     sa = jnp.clip(sa * np.float32(density_scale), 0.0, 1.0)
                 if slab:
@@ -716,7 +786,25 @@ def _march_kernel(
                 dma_sem_ref.at[slot],
             )
 
-        def march(slot_ref, kvis, carry):
+        def ms_dma(slot, kvis):
+            bk = bk_of(kvis)
+            return pltpu.make_async_copy(
+                ms_hbm_ref.at[pl.ds(bk * ms_brm, ms_brm), :],
+                ms_bufs_ref.at[slot],
+                ms_sem_ref.at[slot],
+            )
+
+        def start(slot, kvis):
+            dma(slot, kvis).start()
+            if ms_stream:
+                ms_dma(slot, kvis).start()
+
+        def wait(slot, kvis):
+            dma(slot, kvis).wait()
+            if ms_stream:
+                ms_dma(slot, kvis).wait()
+
+        def march(slot, kvis, carry):
             cr, cg, cb, t = carry
             bk = bk_of(kvis)
             x0b = x0_i + bk * slab_x
@@ -726,19 +814,20 @@ def _march_kernel(
             bl = [jnp.maximum(box_lo[0], blk_lo), box_lo[1], box_lo[2]]
             bh = [jnp.minimum(box_hi[0], blk_hi), box_hi[1], box_hi[2]]
             bcr, bcg, bcb, bt = _compute_ct(
-                vol_ref=slot_ref, x0_i=x0b, box_lo=bl, box_hi=bh)
+                vol_ref=bufs_ref.at[slot], x0_i=x0b, box_lo=bl, box_hi=bh,
+                ms_ref=ms_bufs_ref.at[slot] if ms_stream else None)
             # visit order == visibility order: accumulator is in front
             return (cr + t * bcr, cg + t * bcg, cb + t * bcb, t * bt)
 
-        def maybe_march(slot_ref, kvis, carry):
+        def maybe_march(slot, kvis, carry):
             bk = bk_of(kvis)
             nonempty = bext_ref[2 * bk] <= bext_ref[2 * bk + 1]
             live = (kvis < nxb) & nonempty & (jnp.max(carry[3]) > eps)
             return jax.lax.cond(
-                live, lambda c: march(slot_ref, kvis, c),
+                live, lambda c: march(slot, kvis, c),
                 lambda c: c, carry)
 
-        dma(0, 0).start()
+        start(0, 0)
 
         def body(it, carry):
             k0 = it * 2
@@ -746,20 +835,20 @@ def _march_kernel(
 
             @pl.when(k1 < nxb)
             def _():
-                dma(1, k1).start()
+                start(1, k1)
 
-            dma(0, k0).wait()
-            carry = maybe_march(bufs_ref.at[0], k0, carry)
+            wait(0, k0)
+            carry = maybe_march(0, k0, carry)
 
             @pl.when(k1 + 1 < nxb)
             def _():
-                dma(0, k1 + 1).start()
+                start(0, k1 + 1)
 
             @pl.when(k1 < nxb)
             def _():
-                dma(1, k1).wait()
+                wait(1, k1)
 
-            return maybe_march(bufs_ref.at[1], k1, carry)
+            return maybe_march(1, k1, carry)
 
         npairs = -(-nxb // 2)
         cr, cg, cb, t = jax.lax.fori_loop(
@@ -1066,6 +1155,45 @@ def bake_scatter_grid(
     ph = phong.henyey_greenstein(cos_t, gk)
     return (jnp.asarray(config.scattering_strength, _f32)
             * ph * tgrid * light.color[0])
+
+
+def pack_ms_grid(
+    mgrid: jnp.ndarray,
+    sgrid: jnp.ndarray,
+    d1p: int,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...], int]:
+    """Quantize + pack the baked (M, S) factor grids for HBM streaming.
+
+    Returns (rows [d1p * d2 * nzr, 128] i32, (m_min, m_step, s_min,
+    s_step), nzr).  Each u8-affine-quantized voxel pair (Mq | Sq << 8)
+    packs two consecutive-z voxels per i32 word: lane = (z >> 1) & 127,
+    z-row = z >> 8, shift = (z & 1) * 16 — 2 bytes/voxel, so a
+    512^3-class factor volume streams in ~256 KB blocks/plane instead of
+    the 2 x f32 grids that can never fit VMEM (ops/pallas_march
+    ms_stream).  Per-factor error <= (max - min) / 510; for
+    reference-scale lights (M in ~[0.1, 1.1], S in ~[0, 0.5]) that is
+    ~2e-3 — below the 1/255 8-bit output floor.  The bake itself runs on
+    the FULL volume in XLA first, so gradient normals see no block
+    boundaries."""
+    d1, d2, d3 = mgrid.shape
+    nzr = -(-d3 // 256)
+
+    def quant(g):
+        lo = jnp.min(g)
+        rng = jnp.max(g) - lo
+        step = jnp.where(rng > 0, rng / 255.0, 1.0)
+        q = jnp.round((g - lo) / step).astype(_i32)
+        return jnp.clip(q, 0, 255), lo, step
+
+    mq, m_min, m_step = quant(mgrid)
+    sq, s_min, s_step = quant(sgrid)
+    both = mq | (sq << 8)  # [d1, d2, d3] u16 in i32
+    both = jnp.pad(
+        both, ((0, d1p - d1), (0, 0), (0, nzr * 256 - d3)))
+    pairs = both.reshape(d1p, d2, nzr, 128, 2)
+    words = (pairs[..., 0] | (pairs[..., 1] << 16)).astype(_i32)
+    rows = words.reshape(d1p * d2 * nzr, 128)
+    return rows, (m_min, m_step, s_min, s_step), nzr
 
 
 _BAKED_BUDGET = 13 * 2**20  # main grid + two f32 factor grids (VMEM ~16 MB)
@@ -1832,8 +1960,19 @@ def render_vrc_pallas_streamed(
     remap_dma: bool = False,
     block_major: bool = False,
     manual: bool = True,
+    light=None,
 ) -> jnp.ndarray:
     """a1/VRC render with the volume streamed from HBM -> [W, H, 4].
+
+    ``config.lighting`` / ``config.scattering`` (manual mode only,
+    VERDICT r3 item 3): the baked per-voxel (M, S) shading factors are
+    u8-quantized, packed two voxels per word (pack_ms_grid), and
+    STREAMED from HBM block-by-block in lockstep with the volume blocks
+    — BASELINE config 4 at 512^3-class scale runs fused instead of
+    falling to the XLA scan.  Accuracy: the quantization bounds the
+    per-channel output error by ~(M range + S range)/510 (~2e-3 for
+    reference lights, below the 8-bit floor); everything else matches
+    render_vrc(..., mode="fast", lighting) exactly.
 
     For volumes whose (packed) row grid exceeds the resident kernel's VMEM
     budget (f32 >= ~256^3, MNI-1mm multi-channel, 512^3-class data —
@@ -1874,7 +2013,7 @@ def render_vrc_pallas_streamed(
         raise ValueError(
             "streamed pallas path needs one global block visit order; "
             "conic rays can disagree on sign(dir.x)")
-    if config.lighting or config.interp is not Interp.NEAREST:
+    if config.interp is not Interp.NEAREST:
         raise ValueError(
             "streamed pallas path is a1 classify (plain or LUT) only")
     if config.tf_lut and not 0 < config.tf_lut <= 1024:
@@ -1885,6 +2024,16 @@ def render_vrc_pallas_streamed(
         manual = False
     if use_vis:
         block_major = False  # the bitmap indexes the tile-major grid
+    lit = bool(config.lighting) or bool(config.scattering)
+    if lit and not manual:
+        raise ValueError(
+            "streamed lighting/scattering runs in the manual-DMA mode "
+            "(the default); the grid-streamed A/B variants are unlit")
+    if lit and not _uniform_light_color(light):
+        raise ValueError(
+            "streamed lighting needs a statically-uniform light color "
+            "(the quantized M grid folds it in); pass light=None for "
+            "the default light")
 
     w, h = config.width, config.height
     if tile is None:
@@ -1915,6 +2064,13 @@ def render_vrc_pallas_streamed(
     if geo is None:
         raise ValueError(f"volume dims {volume.dims} not streamable")
     bx_auto, zpack = geo
+    nzr_ms = -(-d3 // 256)
+    if lit:
+        # the (M, S) blocks share the VMEM budget with the volume blocks
+        vol_pp = (zpack[2] if zpack is not None else d2) * 512
+        ms_pp = d2 * nzr_ms * 512
+        bx_auto = min(bx_auto, max(
+            BRICK, (bb // (vol_pp + ms_pp)) // BRICK * BRICK))
     if block_x is None:
         block_x = bx_auto
     if block_x % BRICK:
@@ -1945,6 +2101,28 @@ def render_vrc_pallas_streamed(
         vol_rows.shape, nxb, block_rows)
 
     occ, nb = brick_occupancy(data, tf, cal_max_trunc, lut=lut)
+
+    ms_rows = None
+    ms_brm = 0
+    ms_q = None
+    if lit:
+        from . import phong
+
+        lg = light if light is not None else phong.default_light()
+        if config.lighting:
+            mgrid, sgrid = bake_light_grids(data, config, lg,
+                                            -camera.front)
+        else:
+            mgrid = jnp.ones(volume.dims, _f32)
+            sgrid = jnp.zeros(volume.dims, _f32)
+        if config.scattering:
+            sgrid = sgrid + bake_scatter_grid(
+                data, tf, config, lg, camera.front,
+                cal_max_trunc, cal_max_trunc)
+        ms_rows, ms_q, nzr_ms = pack_ms_grid(mgrid, sgrid, d1p)
+        ms_brm = block_x * d2 * nzr_ms
+        assert ms_rows.shape[0] == nxb * ms_brm, (
+            ms_rows.shape, nxb, ms_brm)
 
     if lut is not None:
         alpha0 = lut[0, 3]  # idx(vn=0) = 0
@@ -1980,6 +2158,10 @@ def render_vrc_pallas_streamed(
               for dim in volume.dims]
     scal = _scal_vector(camera, config, cal_max_trunc, early_eps, alpha0,
                         box_lo, box_hi, id0, 0, 0, 0)
+    if lit:
+        # [32..35]: (M, S) dequantization affine (pack_ms_grid)
+        scal = jnp.concatenate(
+            [scal] + [jnp.asarray(v, _f32).reshape(1) for v in ms_q])
 
     base_kernel = functools.partial(
         _march_kernel,
@@ -1999,6 +2181,9 @@ def render_vrc_pallas_streamed(
         lut_n=lut_n,
         pack_bits=16 if (packed and lut_n) else 4,
         lut_packed=bool(packed and lut_n),
+        ms_stream=lit,
+        ms_nzr=nzr_ms,
+        ms_brm=ms_brm,
     )
 
     base_in_specs = [
@@ -2087,6 +2272,12 @@ def render_vrc_pallas_streamed(
                          jnp.where(has, jnp.minimum(occ_hi, geo_hi), -1e9))
         bext = jnp.stack([lo_r, hi_r], axis=-1).reshape(-1)
 
+        ms_in = ([pl.BlockSpec(memory_space=pl.ANY)] if lit else [])
+        ms_scratch = ([
+            pltpu.VMEM((2, ms_brm, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if lit else [])
+        ms_args = ([ms_rows] if lit else [])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(ntx, nty),
@@ -2095,6 +2286,7 @@ def render_vrc_pallas_streamed(
             + [pl.BlockSpec((a.shape[0], 128), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
                for a in extra_args]  # [LUT rows]
+            + ms_in  # [(M, S) rows stay in HBM too]
             + [pl.BlockSpec(memory_space=pltpu.SMEM)],  # block extents
             out_specs=[
                 pl.BlockSpec((1, 1, rt, 128), lambda i, j: (i, j, 0, 0),
@@ -2104,7 +2296,7 @@ def render_vrc_pallas_streamed(
             scratch_shapes=[
                 pltpu.VMEM((2, block_rows, 128), vol_rows.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
-            ],
+            ] + ms_scratch,
         )
         cr, cg, cb, t = pl.pallas_call(
             functools.partial(base_kernel, manual_stream=True, nxb=nxb),
@@ -2112,7 +2304,7 @@ def render_vrc_pallas_streamed(
             out_shape=out_shape,
             interpret=interpret,
         )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows, *extra_args,
-          bext)
+          *ms_args, bext)
     elif block_major:
         # block OUTERMOST: the volume block index changes only when grid
         # dim 0 advances, so Pallas's consecutive-index elision copies

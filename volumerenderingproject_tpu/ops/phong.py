@@ -111,6 +111,188 @@ def henyey_greenstein(cos_theta: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     return (1.0 - g * g) / (4.0 * jnp.pi * jnp.maximum(denom, 1e-8) ** 1.5)
 
 
+def light_transmittance_grid_slab(
+    alpha_slab: jnp.ndarray,
+    light_dir,
+    *,
+    axis_name: str = "volume",
+) -> jnp.ndarray:
+    """Volume-sharded :func:`light_transmittance_grid`: ``alpha_slab`` is
+    this device's x-slab [m, Y, Z] of an x-block-sharded alpha grid (one
+    slab per device on the shard_map axis ``axis_name``); returns the
+    slab's portion of the full-volume transmittance grid, numerically
+    identical to the replicated sweep (the same per-plane operations in
+    the same order, stitched across devices with ``lax.ppermute``).
+
+    Two communication patterns, chosen by the light's dominant axis
+    (VERDICT r3 item 5 — the sweep is a prefix along the light axis):
+
+      * dominant axis == x (the sharded axis): the sweep is a sequential
+        pipeline across slabs — each stage every device runs its local
+        m-plane scan and forwards its boundary carry [Y, Z] to the next
+        slab in visit order (n_vol ppermutes total; compute cost n_vol x
+        the local scan, i.e. one full-volume sweep per device).
+      * dominant axis == y/z: planes span [X(sharded), .]; the shear's
+        x-component couples adjacent x rows, so each scan step exchanges
+        ONE boundary row [1, C] with each x-neighbor (2 ppermutes/plane)
+        and resamples from the halo-extended carry.
+
+    ``light_dir`` must be CONCRETE (not a tracer): the branch is chosen
+    in Python because the two patterns have different collective
+    structures.  Traced directions (light-direction fits on a volume
+    mesh) fall back to the rays/samples axes — diff/fit.py never routes
+    scattering through slabs."""
+    import numpy as _np
+
+    if isinstance(light_dir, jax.core.Tracer):
+        raise NotImplementedError(
+            "volume-sharded scattering needs a concrete light direction; "
+            "use rays/samples axes to fit light params under scattering")
+    u = _np.asarray(jax.device_get(light_dir), _np.float32)
+    u = u / max(float(_np.linalg.norm(u)), 1e-8)
+    axis = int(_np.argmax(_np.abs(u)))
+    sign = 1.0 if u[axis] >= 0 else -1.0
+    n = jax.lax.axis_size(axis_name)
+    vi = jax.lax.axis_index(axis_name)
+    m = alpha_slab.shape[0]
+
+    uj = jnp.asarray(u, _f32)
+
+    def att_of(a, dl):
+        return jnp.power(jnp.maximum(1.0 - a, 1e-9), dl)
+
+    # all shear constants stay float32 — the replicated sweep computes
+    # them in f32 from the traced direction, so f64 here would break the
+    # numerically-identical claim
+    inv32 = _np.float32(1.0) / _np.maximum(
+        _np.abs(u[axis]), _np.float32(1e-6))
+
+    if axis == 0:
+        # ---- x-dominant: sequential slab pipeline ----------------------
+        a = alpha_slab  # [m, Y, Z]
+        inv = inv32
+        db = u[1] * inv
+        dc = u[2] * inv
+        nb, nc = a.shape[1], a.shape[2]
+        att = att_of(a, jnp.asarray(inv, _f32))
+
+        ib = _np.floor(db + _np.arange(nb, dtype=_np.float32))
+        ic = _np.floor(dc + _np.arange(nc, dtype=_np.float32))
+        fb = jnp.asarray((db + _np.arange(nb, dtype=_np.float32)) - ib)
+        fc = jnp.asarray((dc + _np.arange(nc, dtype=_np.float32)) - ic)
+        ib = jnp.asarray(ib.astype(_np.int32))
+        ic = jnp.asarray(ic.astype(_np.int32))
+
+        def resample(g):
+            def tap(iy, iz):
+                ok = ((iy >= 0) & (iy < nb))[:, None] & (
+                    (iz >= 0) & (iz < nc))[None, :]
+                v = g[jnp.clip(iy, 0, nb - 1)][:, jnp.clip(iz, 0, nc - 1)]
+                return jnp.where(ok, v, 1.0)
+
+            w00 = (1 - fb)[:, None] * (1 - fc)[None, :]
+            w01 = (1 - fb)[:, None] * fc[None, :]
+            w10 = fb[:, None] * (1 - fc)[None, :]
+            w11 = fb[:, None] * fc[None, :]
+            return (w00 * tap(ib, ic) + w01 * tap(ib, ic + 1)
+                    + w10 * tap(ib + 1, ic) + w11 * tap(ib + 1, ic + 1))
+
+        def local_sweep(g_in):
+            def step(g_prev, k):
+                idx = jnp.where(sign > 0, m - 1 - k, k)
+                t_k = resample(g_prev)
+                g_k = t_k * jax.lax.dynamic_index_in_dim(
+                    att, idx, 0, keepdims=False)
+                return g_k, t_k
+
+            g_out, t_planes = jax.lax.scan(
+                step, g_in, jnp.arange(m, dtype=jnp.int32))
+            t = jnp.where(sign > 0, t_planes[::-1], t_planes)
+            return t, g_out
+
+        # visit order: sign>0 sweeps from high x down => slab n-1 first,
+        # carry flows to lower slabs; sign<0 the reverse
+        if sign > 0:
+            pairs = [(i, i - 1) for i in range(1, n)]
+            my_stage = (n - 1) - vi
+        else:
+            pairs = [(i, i + 1) for i in range(n - 1)]
+            my_stage = vi
+
+        def stage(s, carry):
+            # invariant: entering stage s, the device with my_stage == s
+            # holds the TRUE incoming carry (stage 0: the init ones;
+            # stage s: received from its upstream slab at stage s-1).
+            # Other devices sweep garbage harmlessly — their t is either
+            # already kept or will be overwritten on their turn.
+            g, t_acc = carry
+            t_planes, g_out = local_sweep(g)
+            t_acc = jnp.where(my_stage == s, t_planes, t_acc)
+            g = jax.lax.ppermute(g_out, axis_name, pairs)
+            return g, t_acc
+
+        ones_bc = jnp.ones(a.shape[1:], _f32)
+        _, t = jax.lax.fori_loop(
+            0, n, stage, (ones_bc, jnp.ones_like(a)))
+        return t
+
+    # ---- y/z-dominant: halo-exchange scan ------------------------------
+    perm = (1, 0, 2) if axis == 1 else (2, 0, 1)
+    a = jnp.transpose(alpha_slab, perm)  # [A, m, C]; B = x is sharded
+    na, _, nc = a.shape
+    inv = inv32
+    db = u[perm[1]] * inv  # x-shear: couples adjacent slabs
+    dc = u[perm[2]] * inv
+    att = att_of(a, jnp.asarray(inv, _f32))
+
+    x0 = vi * m
+    jloc = _np.arange(m, dtype=_np.float32)
+    lb = _np.floor(db + jloc)  # local tap row (may be -1 / m: the halo)
+    fb = jnp.asarray((db + jloc) - lb)
+    lb = jnp.asarray(lb.astype(_np.int32))
+    ic = _np.floor(dc + _np.arange(nc, dtype=_np.float32))
+    fc = jnp.asarray((dc + _np.arange(nc, dtype=_np.float32)) - ic)
+    ic = jnp.asarray(ic.astype(_np.int32))
+    nb_global = n * m
+    left_pairs = [(i, i + 1) for i in range(n - 1)]
+    right_pairs = [(i, i - 1) for i in range(1, n)]
+
+    def resample_halo(g):
+        # halo rows: global x0-1 (left) and x0+m (right) of the carry
+        left = jax.lax.ppermute(g[-1:], axis_name, left_pairs)
+        right = jax.lax.ppermute(g[:1], axis_name, right_pairs)
+        ext = jnp.concatenate([left, g, right], axis=0)  # [m+2, C]
+
+        def tap(row_l, iz):
+            gy = x0 + row_l  # global x row of the tap
+            ok = ((gy >= 0) & (gy < nb_global))[:, None] & (
+                (iz >= 0) & (iz < nc))[None, :]
+            v = ext[jnp.clip(row_l + 1, 0, m + 1)][
+                :, jnp.clip(iz, 0, nc - 1)]
+            return jnp.where(ok, v, 1.0)
+
+        w00 = (1 - fb)[:, None] * (1 - fc)[None, :]
+        w01 = (1 - fb)[:, None] * fc[None, :]
+        w10 = fb[:, None] * (1 - fc)[None, :]
+        w11 = fb[:, None] * fc[None, :]
+        return (w00 * tap(lb, ic) + w01 * tap(lb, ic + 1)
+                + w10 * tap(lb + 1, ic) + w11 * tap(lb + 1, ic + 1))
+
+    def step(g_prev, k):
+        idx = jnp.where(sign > 0, na - 1 - k, k)
+        t_k = resample_halo(g_prev)
+        g_k = t_k * jax.lax.dynamic_index_in_dim(
+            att, idx, 0, keepdims=False)
+        return g_k, t_k
+
+    ones = jnp.ones((m, nc), _f32)
+    _, t_planes = jax.lax.scan(
+        step, ones, jnp.arange(na, dtype=jnp.int32))
+    t = jnp.where(sign > 0, t_planes[::-1], t_planes)
+    inv_perm = _np.argsort(perm)
+    return jnp.transpose(t, inv_perm)
+
+
 def light_transmittance_grid(
     alpha: jnp.ndarray, light_dir: jnp.ndarray
 ) -> jnp.ndarray:

@@ -264,10 +264,13 @@ def render_vrc_sharded(
             "volume-axis sharding requires a consistent slab visit order; "
             "conic rays can disagree on sign(dir.x) — use rays/samples axes"
         )
-    if n_vol > 1 and config.scattering:
+    if n_vol > 1 and config.scattering and (
+        config.interp is not Interp.NEAREST or volume.channels != 1
+    ):
         raise NotImplementedError(
-            "config.scattering needs the full volume for the light-"
-            "transmittance sweep; use rays/samples axes"
+            "volume-sharded scattering is the single-channel a1 NN path "
+            "(the sharded light-transmittance sweep, ops/phong."
+            "light_transmittance_grid_slab); use rays/samples axes"
         )
     w_local = config.width // n_rays
     s_local = config.samples_per_ray // n_samp
@@ -401,6 +404,7 @@ def render_vrc_sharded(
                 depth=volume.octree_depth,
                 remat=remat,
                 light=lgt,
+                light_host=light,
             )
         if n_vol > 1:
             # compose slabs in visibility order: front.x >= 0 means rays
@@ -477,6 +481,7 @@ def _render_segment_volume_slab(
     depth: int,
     remat: bool,
     light=None,
+    light_host=None,
 ):
     """March a ray/sample tile against one x-slab of the volume.
 
@@ -504,7 +509,7 @@ def _render_segment_volume_slab(
     ext_flat = ext.reshape(-1) if need_halo else None
 
     shading = None
-    if config.lighting or light is not None:
+    if config.lighting or (light is not None and not config.scattering):
         from ..ops import conv3d, phong
 
         # gradient on the extended slab: owned voxels see the same
@@ -518,6 +523,36 @@ def _render_segment_volume_slab(
             ext, config.gradient_filter, 0.0).reshape(-1, 3)
         shading = (grad_ext,
                    light if light is not None else phong.default_light())
+
+    scatter = None
+    if config.scattering:
+        # single-scattering on a volume slab (VERDICT r3 item 5): the
+        # light-transmittance sweep runs SHARDED — per-slab partials
+        # stitched with ppermute (ops/phong.light_transmittance_grid_slab
+        # — a prefix along the light axis, the renderer's (C, T) trick
+        # applied to the light rays); shading then reads the slab-local
+        # grid exactly like the replicated path reads the full one.
+        from ..ops import phong
+
+        if config.interp is not Interp.NEAREST or vol_slab.ndim == 4:
+            raise NotImplementedError(
+                "volume-sharded scattering is the single-channel a1 NN "
+                "path; use rays/samples axes otherwise")
+        lg = light if light is not None else phong.default_light()
+        # the sweep's collective pattern is chosen by the light's
+        # dominant axis, which must be known at trace time; ``light``
+        # arrives traced through shard_map, so the CONCRETE direction is
+        # threaded via the closure (``light_host`` — equal by
+        # construction; None means the default light)
+        dir_host = (light_host.direction if light_host is not None
+                    else phong.default_light().direction)
+        alpha_g = tf.classify(
+            jnp.maximum(slab3d, 0.0) / jnp.trunc(cal_max))[..., 3]
+        alpha_g = jnp.clip(
+            alpha_g * jnp.asarray(config.density_scale, _f32), 0.0, 1.0)
+        tgrid = phong.light_transmittance_grid_slab(
+            alpha_g, dir_host, axis_name="volume")
+        scatter = (tgrid.reshape(-1), lg)
 
     origins = raycast.ray_origins(camera, config, x_offset, local_width)
     dirs = raycast.primary_ray_dirs(camera, config, x_offset, local_width)
@@ -616,6 +651,26 @@ def _render_segment_volume_slab(
                 flat, valid = sampling.octree_nn_index(dims, depth, p)
             if shading is not None:
                 rgba = _shade(rgba, flat, valid & owned, -dirs)
+            if scatter is not None:
+                # mirror raycast._apply_scattering (classify -> shade ->
+                # scatter -> density order), with the slab-local T grid
+                from ..ops import phong as _ph
+
+                tl_flat, lg2 = scatter
+                lflat_s, valid_s, owned_s = sampling.octree_nn_index_slab(
+                    dims, depth, p, x0, slab_x)
+                tl = jnp.where(valid_s & owned_s,
+                               jnp.take(tl_flat, lflat_s, axis=0), 0.0)
+                vn_s = v / jnp.trunc(cal_max)
+                gk = jnp.take(tf.hg_g, tf.classify_index(vn_s), axis=0)
+                ldir = lg2.direction / jnp.maximum(
+                    jnp.linalg.norm(lg2.direction), 1e-8)
+                cos_t = jnp.sum(dirs * ldir, axis=-1)
+                ph = _ph.henyey_greenstein(cos_t, gk)
+                add = (jnp.asarray(config.scattering_strength, _f32)
+                       * (ph * tl)[..., None] * lg2.color)
+                rgba = jnp.concatenate(
+                    [rgba[..., :3] + add, rgba[..., 3:4]], axis=-1)
             if config.density_scale != 1.0:
                 a = jnp.clip(
                     rgba[..., 3:4] * jnp.asarray(config.density_scale, _f32),
