@@ -80,6 +80,10 @@ FLOORS = {
     "sobel_lit_700": 6.88e6,
     "a5_500": 1.63e6,
     "streamed_320": 1.82e6,
+    # first recorded round 4 (direct-call 159 ms/frame incl ~33 ms host
+    # link => >= 0.58M rays/s; the in-jit orbit protocol reads higher).
+    # Conservative floor until BENCH_r04 records the protocol number.
+    "streamed_lit_320": 0.4e6,
     "multichannel_304": 1.73e6,
 }
 

@@ -110,6 +110,14 @@ def main():
         check(name, render_test_pallas(v, tf, cam, c, early_eps=0.0),
               render_test(v, tf, cam, c, mode="fast"), 2e-5)
 
+    # lit/scattered PACKED a5 (z > 127): the u8-quantized (M, S) pack
+    # streamed per x-block (ms_stream) — quantization-bound tolerance
+    for name, kw in (("a5_lit_packed_ms", dict(lighting=True)),
+                     ("a5_scatter_packed_ms", dict(scattering=True))):
+        c = cfg.replace(**kw)
+        check(name, render_test_pallas(vol_deep, tf, cam, c, early_eps=0.0),
+              render_test(vol_deep, tf, cam, c, mode="fast"), 6e-3)
+
     # a5 segments composed
     want = render_test(vol_small, tf, cam, cfg, mode="fast")
     segs = []
@@ -208,6 +216,12 @@ def main():
               block_x=8, manual=True),
           render_vrc(vol_str, tf, cam, cfg.replace(tf_lut=64),
                      mode="fast"), 2e-5)
+
+    # 10-bit packed smooth mode (z > 128): quantization-bound tolerance
+    cfg_sp = cfg.replace(interp=Interp.TRILINEAR, tf_sharpness=60.0)
+    check("smooth_packed_fwd",
+          render_vrc_smooth_pallas(vol_deep, tf, cam, cfg_sp),
+          render_vrc(vol_deep, tf, cam, cfg_sp, mode="fast"), 2e-2)
 
     # ---- smooth ---------------------------------------------------------
     cfg_s = cfg.replace(interp=Interp.TRILINEAR, tf_sharpness=60.0)

@@ -203,3 +203,76 @@ def test_a5_diff_values_and_grads():
         np.testing.assert_allclose(g_p, g_x, rtol=5e-3, atol=scale * 1e-4,
                                    err_msg=str(shape))
         assert np.abs(g_x).max() > 0
+
+
+def test_a5_lit_packed_streamed_ms(scene):
+    """Lit/scattered PACKED a5 (z > 127, VERDICT r3 item 2): the
+    u8-quantized (M, S) pack streams per x-block with manual DMA while
+    the 4-bit id grid stays resident — parity vs the XLA a5 renderer
+    within the quantization bound."""
+    import numpy as np
+
+    from volumerenderingproject_tpu import (
+        Camera,
+        RenderConfig,
+        default_transfer_function,
+        make_volume,
+    )
+    from volumerenderingproject_tpu.models.raycast import render_test
+    from volumerenderingproject_tpu.ops.pallas_a5 import render_test_pallas
+
+    rng = np.random.default_rng(41)
+    volume = make_volume(
+        rng.uniform(0, 255, (18, 12, 140)).astype(np.float32))
+    tf = default_transfer_function()
+    for kw in (dict(lighting=True), dict(scattering=True),
+               dict(lighting=True, scattering=True)):
+        cfg = RenderConfig(width=16, height=12, samples_per_ray=24, **kw)
+        for pos in ((0.35, 0.45, 0.85), (-0.5, 0.3, -0.8)):
+            cam = Camera.initial(position=pos)
+            want = np.asarray(render_test(volume, tf, cam, cfg,
+                                          mode="fast"))
+            got = np.asarray(render_test_pallas(
+                volume, tf, cam, cfg, early_eps=0.0, interpret=True))
+            np.testing.assert_allclose(
+                got, want, atol=6e-3, err_msg=f"{kw} {pos}")
+
+
+def test_a5_lit_packed_flat_light_exact(scene):
+    """Flat light (ambient=1, diffuse=specular=0): quantization is exact,
+    so the ms-streamed lit render equals the unlit packed render
+    bit-for-bit — isolates block/ownership/DMA plumbing."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from volumerenderingproject_tpu import (
+        Camera,
+        RenderConfig,
+        default_transfer_function,
+        make_volume,
+    )
+    from volumerenderingproject_tpu.ops import phong
+    from volumerenderingproject_tpu.ops.pallas_a5 import render_test_pallas
+
+    rng = np.random.default_rng(43)
+    volume = make_volume(
+        rng.uniform(0, 255, (18, 12, 140)).astype(np.float32))
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
+    flat = dataclasses.replace(
+        phong.default_light(),
+        ambient=jnp.asarray(1.0, jnp.float32),
+        diffuse=jnp.asarray(0.0, jnp.float32),
+        specular=jnp.asarray(0.0, jnp.float32),
+    )
+    cfg_lit = RenderConfig(width=16, height=12, samples_per_ray=24,
+                           lighting=True)
+    cfg_plain = RenderConfig(width=16, height=12, samples_per_ray=24)
+    got = np.asarray(render_test_pallas(
+        volume, tf, cam, cfg_lit, early_eps=0.0, interpret=True,
+        light=flat))
+    want = np.asarray(render_test_pallas(
+        volume, tf, cam, cfg_plain, early_eps=0.0, interpret=True))
+    np.testing.assert_array_equal(got, want)

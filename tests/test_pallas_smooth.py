@@ -145,3 +145,73 @@ def test_smooth_fit_routes_through_kernel(scene, monkeypatch):
         vol, tf, cfg.replace(interp=Interp.NEAREST))
     assert not pallas_smooth.smooth_pallas_eligible(
         vol, tf, cfg.replace(lighting=True))
+
+
+def test_smooth_packed10_forward_and_grads():
+    """The 10-bit packed smooth mode (z > 128, VERDICT r3 item 4):
+    forward within the quantization bound of the XLA trilinear render,
+    and colors/bounds/volume gradients consistent with jax.grad through
+    an identically-quantized XLA forward (the fused kernels optimize the
+    quantized forward model exactly)."""
+    import dataclasses
+
+    from volumerenderingproject_tpu.models.raycast import render_vrc
+    from volumerenderingproject_tpu.ops.pallas_smooth import (
+        render_vrc_smooth_pallas,
+        smooth_packed_geometry,
+    )
+    from volumerenderingproject_tpu.utils.config import Interp
+
+    rng = np.random.default_rng(47)
+    volume = make_volume(
+        rng.uniform(0.0, 255.0, size=(10, 8, 140)).astype(np.float32))
+    assert smooth_packed_geometry(volume.dims) is not None
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
+    cfg = RenderConfig(width=16, height=12, samples_per_ray=24,
+                       interp=Interp.TRILINEAR, tf_sharpness=40.0)
+    target = jnp.asarray(
+        rng.uniform(0, 1, size=(16, 12, 4)).astype(np.float32))
+
+    want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    got = np.asarray(render_vrc_smooth_pallas(
+        volume, tf, cam, cfg, interpret=True))
+    # 10-bit quantization of the intensities: vn error <= ~5e-4, then
+    # through sharpness-40 sigmoids -> per-channel output bound ~2e-2
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+    # gradients: compare against an XLA forward over the SAME quantized
+    # volume (the model the kernels optimize); tolerances are then pure
+    # float-reassociation scale
+    q_min = float(volume.data.min())
+    step = (float(volume.data.max()) - q_min) / 1023.0
+    dq = np.clip(np.round(
+        (np.asarray(volume.data) - q_min) / step), 0, 1023) * step + q_min
+    vol_q = dataclasses.replace(
+        volume, data=jnp.asarray(dq.astype(np.float32)))
+
+    def loss_p(colors, lower, upper, data):
+        tf2 = dataclasses.replace(tf, colors=colors, lower=lower,
+                                  upper=upper)
+        v2 = dataclasses.replace(volume, data=data)
+        img = render_vrc_smooth_pallas(v2, tf2, cam, cfg, interpret=True,
+                                       early_eps=0.0)
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    def loss_x(colors, lower, upper, data):
+        tf2 = dataclasses.replace(tf, colors=colors, lower=lower,
+                                  upper=upper)
+        v2 = dataclasses.replace(vol_q, data=data)
+        img = render_vrc(v2, tf2, cam, cfg, mode="fast")
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(
+        tf.colors, tf.lower, tf.upper, volume.data)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(
+        tf.colors, tf.lower, tf.upper, vol_q.data)
+    for nm, a, b in zip(("colors", "lower", "upper", "volume"), gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=6e-3,
+                                   err_msg=nm)
+    assert float(np.abs(np.asarray(gx[3])).max()) > 0.0

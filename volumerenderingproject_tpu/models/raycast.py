@@ -716,27 +716,30 @@ def _pallas_a5_eligible(volume: Volume, tf, config: RenderConfig,
     """True when the fused a5 Pallas kernel (ops/pallas_a5.py) implements
     this exact render: fast mode, single channel, and either z <= 127 f32
     lanes (z + the flat-wrap slot) or the packed 4-bit interval-id grid
-    (z <= 1023, MNI-1mm-class, unlit); lighting runs through baked
-    per-voxel Phong factor grids when they fit VMEM (the a5 view direction
-    is camera.front for every ray, so the bake is camera-exact — no ortho
-    restriction)."""
+    (z <= 1023, MNI-1mm-class); lighting/scattering run through baked
+    per-voxel Phong factor grids — VMEM-resident f32 when they fit
+    (z <= 127), else (round-4) the u8-quantized (M, S) pack streamed
+    from HBM per x-block (the lit MNI-1mm default dataset runs fused;
+    quantization bound ~2e-3, below the 8-bit floor).  The a5 view
+    direction is camera.front for every ray, so the bake is camera-exact
+    — no ortho restriction."""
     import jax as _jax
 
     from ..ops.pallas_a5 import a5_baked_light_feasible, a5_packed_geometry
 
     fits_f32 = volume.dims[2] <= 127
     need_bake = config.lighting or config.scattering
-    fits = fits_f32 or (
-        not need_bake
-        and a5_packed_geometry(volume.dims, tf.num_intervals) is not None
+    packed_ok = (a5_packed_geometry(volume.dims, tf.num_intervals)
+                 is not None)
+    bake_ok = not need_bake or (
+        a5_baked_light_feasible(volume.dims) if fits_f32 else packed_ok
     )
     return (
         _jax.default_backend() == "tpu"
         and mode == "fast"
         and volume.channels == 1
-        and fits
-        and (not need_bake
-             or (fits_f32 and a5_baked_light_feasible(volume.dims)))
+        and (fits_f32 or packed_ok)
+        and bake_ok
         and not (config.scattering and config.conic)
     )
 

@@ -67,14 +67,35 @@ def gaussian_kernel1d(sigma: float, radius: int | None = None) -> jnp.ndarray:
     return jnp.asarray((k / k.sum()).astype(np.float32))
 
 
+def _correlate1d(volume: jnp.ndarray, k: jnp.ndarray,
+                 axis: int) -> jnp.ndarray:
+    """Zero-padded SAME 1-D cross-correlation along ``axis`` via
+    shift-and-add — identical math to ``conv3d`` with a 1-D stencil but
+    purely elementwise.  XLA:TPU lowers ``conv_general_dilated`` with
+    lane-padded channel dims, materializing a ~128x volume temporary —
+    17.6 GB HBM at 320^3 (the round-4 streamed-lit bake OOM); a k-tap
+    shift-and-add is k fused adds at HBM speed instead."""
+    n = int(k.shape[0])
+    r = n // 2
+    v = volume.astype(_f32)
+    length = v.shape[axis]
+    out = jnp.zeros_like(v)
+    for j in range(n):
+        off = j - r  # out[i] += k[j] * v[i + off], zero outside
+        sl = [slice(None)] * 3
+        sl[axis] = slice(max(0, off), length + min(0, off))
+        pad = [(0, 0)] * 3
+        pad[axis] = (max(0, -off), max(0, off))
+        out = out + k[j] * jnp.pad(v[tuple(sl)], pad)
+    return out
+
+
 def gaussian_smooth(volume: jnp.ndarray, sigma: float = 1.0) -> jnp.ndarray:
     """Separable Gaussian smoothing (three 1-D passes — O(3k) not O(k^3))."""
     k = gaussian_kernel1d(sigma)
     out = volume.astype(_f32)
     for axis in range(3):
-        shape = [1, 1, 1]
-        shape[axis] = k.shape[0]
-        out = conv3d(out, k.reshape(shape))
+        out = _correlate1d(out, k, axis)
     return out
 
 
@@ -86,13 +107,9 @@ def central_difference_gradient(volume: jnp.ndarray) -> jnp.ndarray:
     LightInteraction stub (C16, LightInteraction.cpp:5-80).
     Boundaries use one-sided differences via zero padding.
     """
-    # XLA conv is cross-correlation (no kernel flip): out = 0.5*(x[i+1]-x[i-1])
+    # cross-correlation (no kernel flip): out = 0.5*(x[i+1]-x[i-1])
     k = jnp.asarray([-0.5, 0.0, 0.5], _f32)
-    grads = []
-    for axis in range(3):
-        shape = [1, 1, 1]
-        shape[axis] = 3
-        grads.append(conv3d(volume, k.reshape(shape)))
+    grads = [_correlate1d(volume, k, axis) for axis in range(3)]
     return jnp.stack(grads, axis=-1)
 
 
@@ -105,10 +122,7 @@ def sobel_gradient(volume: jnp.ndarray) -> jnp.ndarray:
     for axis in range(3):
         out = volume.astype(_f32)
         for ax2 in range(3):
-            shape = [1, 1, 1]
-            k = d if ax2 == axis else s
-            shape[ax2] = 3
-            out = conv3d(out, k.reshape(shape))
+            out = _correlate1d(out, d if ax2 == axis else s, ax2)
         grads.append(out)
     return jnp.stack(grads, axis=-1)
 

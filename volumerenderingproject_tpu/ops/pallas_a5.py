@@ -74,6 +74,11 @@ def _a5_kernel(
     baked_light: bool = False,
     zpack: Tuple[int, int, int] | None = None,
     local_width: int | None = None,
+    ms_stream: bool = False,
+    ms_nzr: int = 1,
+    ms_brm: int = 0,
+    nxb: int = 0,
+    block_x: int = 0,
 ):
     """``baked_light``: Blinn-Phong on the containing voxel's gradient
     normal (models/raycast._a5_sample_fn lit branch) via per-voxel (M, S)
@@ -88,10 +93,27 @@ def _a5_kernel(
     exact because the a5 classify is per-CORNER, so corner ids + the color
     table reproduce corner colors bit-for-bit, including the flat-index
     wraps (a y-wrap normalizes through rid // d2 before the group
-    decomposition; the z-wrap reads the packed slot at z == d3)."""
+    decomposition; the z-wrap reads the packed slot at z == d3).
+
+    ``ms_stream`` (packed mode): LIT/SCATTERED packed a5 (VERDICT r3
+    item 2, the MNI-1mm-class default dataset).  The u8-quantized (M, S)
+    factor pack (ops/pallas_march.pack_ms_grid) cannot fit VMEM at
+    182x218x182 (2 B/voxel = 14.4 MB + the 4.1 MB id grid), so it stays
+    in HBM and streams per x-block with double-buffered manual DMA —
+    legal because a5's sample x is AFFINE in the sample index with a
+    shared per-frame slope (x = A_ray + B*i, B = iv[0][2]*s3*L for every
+    ray), so each ray's samples cross blocks monotonically and per-block
+    (C, T) segments compose in one global visibility order, exactly like
+    the a1 manual stream.  Each block marches only the chunk range its
+    x-interval maps to (the inverse affine), shades owned samples from
+    the block's (M, S) slot, and masks non-owned samples to the over
+    identity."""
     rest = list(rest)
+    ms_sem_ref = rest.pop() if ms_stream else None
+    ms_bufs_ref = rest.pop() if ms_stream else None
     mg_ref = rest.pop(0) if baked_light else None
     sg_ref = rest.pop(0) if baked_light else None
+    ms_hbm_ref = rest.pop(0) if ms_stream else None
     out_r_ref, out_g_ref, out_b_ref, out_t_ref = rest
     d1, d2, d3 = dims
     total = d1 * d2 * d3
@@ -152,6 +174,11 @@ def _a5_kernel(
             for c in range(4):
                 out[c] = jnp.where(m, tf_colors_ref[k, c], out[c])
         return out
+
+    # ms_stream: per-block march context, set by march_range before each
+    # while_loop trace (chunk_body is re-traced per call, so the cell's
+    # current values bind into that trace — no carry-threading needed)
+    ms_cell = [None, None]  # [ms slot ref, block x0]
 
     def chunk_body(carry):
         ci, cr, cg, cb, t = carry
@@ -354,6 +381,65 @@ def _a5_kernel(
             sr = sr * mval + sval
             sg = sg * mval + sval
             sb = sb * mval + sval
+        if ms_stream:
+            ms_ref, bx0 = ms_cell
+            # every sample is owned by exactly ONE block: the block of
+            # its containing voxel's x (outside samples by the clipped x,
+            # so they render once with TF(0)'s color when its alpha > 0)
+            oxi = jnp.clip(ixi, 0, d1 - 1)
+            owned = (oxi >= bx0) & (oxi < bx0 + block_x)
+            shade_ok = inside & owned
+            # (M, S) tap at the containing voxel from the block slot:
+            # u8 pair per voxel, 2 voxels per word (pack_ms_grid layout)
+            izc = jnp.where(inside, jnp.clip(izi, 0, d3 - 1), 0)
+            lxb = jnp.where(shade_ok, ixi - bx0, 0)
+            iyc = jnp.where(shade_ok, iyi, 0)
+            rowid_ms = jnp.where(
+                shade_ok, (lxb * d2 + iyc) * ms_nzr + (izc >> 8), -1)
+            lane_ms = jnp.where(inside, (izc >> 1) & 127, 0)
+            shift_ms = (izc & 1) * 16
+            rmsxmin = jnp.min(jnp.where(shade_ok, lxb, _BIG))
+            rmsymin = jnp.min(jnp.where(shade_ok, iyc, _BIG))
+            rmsxmax = jnp.max(jnp.where(shade_ok, lxb, -1))
+            rmsymax = jnp.max(jnp.where(shade_ok, iyc, -1))
+
+            def msx(dxi, acc):
+                cx = rmsxmin + dxi
+
+                def msy(dyi, acc):
+                    cy = rmsymin + dyi
+
+                    def msz(zr, acc):
+                        crow = (cx * d2 + cy) * ms_nzr + zr
+                        crowc = jnp.clip(crow, 0, ms_brm - 1)
+                        bm = jnp.broadcast_to(
+                            ms_ref[pl.ds(crowc, 1), :], (8, 128))
+                        w16 = jax.lax.shift_right_logical(
+                            jnp.take_along_axis(bm, lane_ms, axis=1),
+                            shift_ms) & 0xFFFF
+                        return jnp.where(rowid_ms == crow, w16, acc)
+
+                    return jax.lax.fori_loop(0, ms_nzr, msz, acc)
+
+                return jax.lax.fori_loop(
+                    0, rmsymax - rmsymin + 1, msy, acc)
+
+            w16 = jax.lax.fori_loop(
+                0, rmsxmax - rmsxmin + 1, msx, jnp.zeros((8, 128), _i32))
+            mval = jnp.where(
+                shade_ok,
+                (w16 & 255).astype(_f32) * scal_ref[27] + scal_ref[26],
+                1.0)
+            sval = jnp.where(
+                shade_ok,
+                (jax.lax.shift_right_logical(w16, 8) & 255).astype(_f32)
+                * scal_ref[29] + scal_ref[28],
+                0.0)
+            sr = sr * mval + sval
+            sg = sg * mval + sval
+            sb = sb * mval + sval
+            # non-owned samples are the over identity for this block
+            sa = sa * owned.astype(_f32)
 
         # ---- blend the 4 steps in order (front-to-back (C, T)) ----------
         for s in range(STEPS):
@@ -369,15 +455,140 @@ def _a5_kernel(
             t = t * (1.0 - a_s)
         return ci + 1, cr, cg, cb, t
 
-    def chunk_cond(carry):
-        ci, _, _, _, t = carry
-        return (ci < nchunks) & (jnp.max(t) > eps)
-
     zeros = jnp.zeros((2, 128), _f32)
     ones = jnp.ones((2, 128), _f32)
-    _, cr, cg, cb, t = jax.lax.while_loop(
-        chunk_cond, chunk_body, (jnp.asarray(0, _i32), zeros, zeros, zeros,
-                                 ones))
+
+    def march_range(c_lo, c_hi, ms_ref=None, bx0=None):
+        ms_cell[0] = ms_ref
+        ms_cell[1] = bx0
+
+        def cond(carry):
+            ci, _, _, _, t = carry
+            return (ci < c_hi) & (jnp.max(t) > eps)
+
+        def body(carry):
+            # fresh function object per march_range call: lax.while_loop
+            # caches traced bodies by function identity, and chunk_body's
+            # trace depends on the ms_cell contents
+            return chunk_body(carry)
+
+        _, cr, cg, cb, t = jax.lax.while_loop(
+            cond, body, (c_lo, zeros, zeros, zeros, ones))
+        return cr, cg, cb, t
+
+    if not ms_stream:
+        cr, cg, cb, t = march_range(jnp.asarray(0, _i32), nchunks)
+        out_r_ref[0, 0] = cr
+        out_g_ref[0, 0] = cg
+        out_b_ref[0, 0] = cb
+        out_t_ref[0, 0] = t
+        return
+
+    # ---- ms_stream block loop: visibility-ordered x-blocks with manual
+    # double-buffered (M, S) DMA, mirroring _march_kernel manual_stream.
+    # Along any a5 ray, x = A_ray + B*i with the SAME B for every ray
+    # (the sample lattice is a sheared affine grid), so blocks are
+    # visited front-to-back in sign(B) order and each block's chunk
+    # range is the inverse affine image of its x-interval.
+    Bstep = iv[0][2] * s3 * L  # x advance per sample index (scalar)
+    fwdb = Bstep >= 0.0
+    big = jnp.asarray(3.4e38, _f32)
+    A = (q[0] + iv[0][3]) * L + m3[0]  # per-ray x at sample i = 0
+    Amin = jnp.min(jnp.where(pix_ok, A, big))
+    Amax = jnp.max(jnp.where(pix_ok, A, -big))
+    alpha0_pos = c0[3] > 0.0
+
+    def bk_of(kvis):
+        return jnp.clip(jnp.where(fwdb, kvis, nxb - 1 - kvis),
+                        0, nxb - 1).astype(_i32)
+
+    def dma(slot, kvis):
+        bk = bk_of(kvis)
+        return pltpu.make_async_copy(
+            ms_hbm_ref.at[pl.ds(bk * ms_brm, ms_brm), :],
+            ms_bufs_ref.at[slot],
+            ms_sem_ref.at[slot],
+        )
+
+    def crange(bk):
+        """This block's chunk interval [c_lo, c_hi) — the inverse affine
+        of its owned-x interval, +-1-chunk margin for float slop; the
+        x-edge blocks extend to the clipped outside owners when
+        TF(0).alpha > 0 (outside samples render and are owned by them)."""
+        bx0f = bk.astype(_f32) * np.float32(block_x)
+        xlo = bx0f - 1.0
+        xhi = bx0f + np.float32(block_x) + 1.0
+        xlo = jnp.where(alpha0_pos & (bk == 0), -big, xlo)
+        xhi = jnp.where(alpha0_pos & (bk == nxb - 1), big, xhi)
+        safe = jnp.abs(Bstep) > 1e-9
+        bdiv = jnp.where(safe, Bstep, 1.0)
+        cands = [(xlo - Amin) / bdiv, (xlo - Amax) / bdiv,
+                 (xhi - Amin) / bdiv, (xhi - Amax) / bdiv]
+        i_lo = jnp.minimum(jnp.minimum(cands[0], cands[1]),
+                           jnp.minimum(cands[2], cands[3]))
+        i_hi = jnp.maximum(jnp.maximum(cands[0], cands[1]),
+                           jnp.maximum(cands[2], cands[3]))
+        # |B| ~ 0: every sample sits at x ~ A — full range if the block
+        # intersects [Amin, Amax] (+- the trunc margin), else empty
+        isect = (Amax >= xlo) & (Amin <= xhi)
+        # clamp to an i32-safe range before the int cast; |B| ~ 0 takes
+        # the full local range when the block intersects [Amin, Amax]
+        lim = np.float32(1e7)
+        i_lo = jnp.clip(jnp.where(safe, i_lo - 1.0,
+                                  jnp.where(isect, -lim, lim)), -lim, lim)
+        i_hi = jnp.clip(jnp.where(safe, i_hi + 1.0,
+                                  jnp.where(isect, lim, -lim)), -lim, lim)
+        # global sample index -> local chunk (i_local = i - s_start)
+        c_lo = jnp.clip(
+            (jnp.floor(i_lo).astype(_i32) - s_start_i) // STEPS - 1,
+            0, nchunks)
+        c_hi = jnp.clip(
+            (jnp.ceil(i_hi).astype(_i32) - s_start_i) // STEPS + 2,
+            0, nchunks)
+        return c_lo, c_hi
+
+    def march_blk(slot, kvis, carry):
+        cr, cg, cb, t = carry
+        bk = bk_of(kvis)
+        c_lo, c_hi = crange(bk)
+        bcr, bcg, bcb, bt = march_range(
+            c_lo, c_hi, ms_ref=ms_bufs_ref.at[slot], bx0=bk * block_x)
+        # visit order == visibility order: the accumulator is in front
+        return (cr + t * bcr, cg + t * bcg, cb + t * bcb, t * bt)
+
+    def maybe_march(slot, kvis, carry):
+        bk = bk_of(kvis)
+        c_lo, c_hi = crange(bk)
+        live = (kvis < nxb) & (c_lo < c_hi) & (jnp.max(carry[3]) > eps)
+        return jax.lax.cond(
+            live, lambda c: march_blk(slot, kvis, c), lambda c: c, carry)
+
+    dma(0, 0).start()
+
+    def body(it, carry):
+        k0 = it * 2
+        k1 = it * 2 + 1
+
+        @pl.when(k1 < nxb)
+        def _():
+            dma(1, k1).start()
+
+        dma(0, k0).wait()
+        carry = maybe_march(0, k0, carry)
+
+        @pl.when(k1 + 1 < nxb)
+        def _():
+            dma(0, k1 + 1).start()
+
+        @pl.when(k1 < nxb)
+        def _():
+            dma(1, k1).wait()
+
+        return maybe_march(1, k1, carry)
+
+    npairs = -(-nxb // 2)
+    cr, cg, cb, t = jax.lax.fori_loop(
+        0, npairs, body, (zeros, zeros, zeros, ones))
     out_r_ref[0, 0] = cr
     out_g_ref[0, 0] = cg
     out_b_ref[0, 0] = cb
@@ -515,15 +726,13 @@ def render_test_pallas(
                 f"a5 pallas path: dims {volume.dims} / {tf.num_intervals} "
                 "intervals fit neither the f32 rows (z <= 127) nor the "
                 "packed id grid; use the XLA renderer")
-        if config.lighting or config.scattering or light is not None:
-            raise ValueError(
-                "a5 fused lighting/scattering needs the f32 row layout "
-                "(z <= 127, baked factor grids); use the XLA renderer "
-                "for lit/scattered oversize volumes")
     if volume.channels != 1:
         raise ValueError("a5 pallas path supports single-channel volumes")
     baked = (bool(config.lighting) or bool(config.scattering)
              or light is not None)
+    # lit/scattered packed a5 (z > 127, MNI-1mm-class): the (M, S) grids
+    # stream from HBM per x-block instead of residing in VMEM
+    ms_mode = baked and zpack is not None
     if baked:
         from . import phong
         from .pallas_march import (
@@ -531,6 +740,7 @@ def render_test_pallas(
             _uniform_light_color,
             bake_light_grids,
             bake_scatter_grid,
+            pack_ms_grid,
         )
 
         lg = light if light is not None else phong.default_light()
@@ -539,7 +749,7 @@ def render_test_pallas(
                 "a5 fused lighting needs a statically-uniform light color "
                 "(the per-voxel M grid folds it in) — pass light=None for "
                 "the default light, or use the XLA path")
-        if not a5_baked_light_feasible(volume.dims):
+        if not ms_mode and not a5_baked_light_feasible(volume.dims):
             raise ValueError(
                 "a5 fused lighting exceeds the VMEM budget for this "
                 "volume; use the XLA path")
@@ -559,6 +769,9 @@ def render_test_pallas(
 
     extra_args = []
     extra_specs = []
+    ms_q = None
+    ms_brm = nxb = bx = 0
+    nzr = 1
     if baked:
         data3d = volume.data.reshape(volume.dims)
         if config.lighting or (light is not None and not config.scattering):
@@ -575,12 +788,25 @@ def render_test_pallas(
                 data3d, tf, config, lg, camera.front,
                 jnp.asarray(volume.cal_max, _f32),
                 jnp.trunc(jnp.asarray(volume.cal_max, _f32)))
-        for g in (mgrid, sgrid):
-            grows = _stage_f32_rows(g, d1, d2, d3)
-            extra_args.append(grows)
-            extra_specs.append(
-                pl.BlockSpec((grows.shape[0], 128), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM))
+        if ms_mode:
+            # u8-quantized (M, S) pack streamed per x-block (~2 MB/slot)
+            nzr = -(-d3 // 256)
+            ms_pp = d2 * nzr * 512  # bytes per x plane
+            bx = max(8, min(((2 * 2**20) // ms_pp) // 8 * 8, 64))
+            d1p = _pad_to(d1, bx)
+            nxb = d1p // bx
+            ms_rows, ms_q, nzr = pack_ms_grid(mgrid, sgrid, d1p)
+            ms_brm = bx * d2 * nzr
+            extra_args.append(ms_rows)
+            extra_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        else:
+            for g in (mgrid, sgrid):
+                grows = _stage_f32_rows(g, d1, d2, d3)
+                extra_args.append(grows)
+                extra_specs.append(
+                    pl.BlockSpec((grows.shape[0], 128),
+                                 lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM))
 
     # stage matrices exactly as models/raycast._a5_positions builds them
     iv = T.inverse(camera.look_at_origin_view())  # kernel.cu:1197-1198
@@ -606,6 +832,10 @@ def render_test_pallas(
         jnp.asarray(x_offset, _f32).reshape(1),  # [24] ray-column offset
         jnp.asarray(s_start, _f32).reshape(1),  # [25] first sample index
     ])
+    if ms_mode:
+        # [26..29]: (M, S) dequantization affine (pack_ms_grid)
+        scal = jnp.concatenate(
+            [scal] + [jnp.asarray(v, _f32).reshape(1) for v in ms_q])
 
     kernel = functools.partial(
         _a5_kernel,
@@ -614,9 +844,14 @@ def render_test_pallas(
         width=w,
         height=h,
         spr=s_count,  # the LOCAL sample count; i = s_start + local
-        baked_light=baked,
+        baked_light=baked and not ms_mode,
         zpack=zpack,
         local_width=w_local,
+        ms_stream=ms_mode,
+        ms_nzr=nzr,
+        ms_brm=ms_brm,
+        nxb=nxb,
+        block_x=bx,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -629,12 +864,16 @@ def render_test_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tf colors
             pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),  # volume
-        ] + extra_specs,  # [M rows, S rows (baked_light)]
+        ] + extra_specs,  # [M, S rows (baked)] | [(M, S) pack (ms HBM)]
         out_specs=[
             pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ],
+        scratch_shapes=([
+            pltpu.VMEM((2, ms_brm, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if ms_mode else []),
     )
     out_shape = [jax.ShapeDtypeStruct((ntx, nty, 2, 128), _f32)
                  for _ in range(4)]

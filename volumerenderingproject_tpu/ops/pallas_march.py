@@ -137,6 +137,7 @@ def _march_kernel(
     ms_stream: bool = False,
     ms_nzr: int = 1,
     ms_brm: int = 0,
+    brick: Tuple[int, int, int] = (BRICK, BRICK, BRICK),
 ):
     """``spr`` is the LOCAL sample count of this segment; the global sample
     index is ``scal[30] + local`` (full renders pass s_start=0 so the two
@@ -411,15 +412,15 @@ def _march_kernel(
                     box_ok &= ihi >= 0
                     box_ok &= ilo < slab_x
                 ext = dx_local if c == 0 else dims[c]
-                blo.append(jnp.clip(ilo, 0, ext - 1) // BRICK)
-                bhi.append(jnp.clip(ihi, 0, ext - 1) // BRICK)
+                blo.append(jnp.clip(ilo, 0, ext - 1) // brick[c])
+                bhi.append(jnp.clip(ihi, 0, ext - 1) // brick[c])
 
             # ---- brick occupancy: any alpha>0 voxel in the box? ------------
             zero_i = jnp.asarray(0, _i32)
             # hbm_mode streams blocks against the GLOBAL brick map (block_x is
-            # a multiple of BRICK, so local brick x + x0/BRICK is exact); the
+            # a multiple of brick, so local brick x + x0/brick is exact); the
             # sharded slab path passes slab-local bricks (no offset)
-            bx_off = (x0_i // BRICK) if hbm_mode else jnp.asarray(0, _i32)
+            bx_off = (x0_i // brick[0]) if hbm_mode else jnp.asarray(0, _i32)
 
             def occ_x(bx, acc):
                 def occ_y(by, acc):
@@ -952,9 +953,15 @@ def brick_occupancy(
     tf: TransferFunction,
     cal_max_trunc: jnp.ndarray,
     lut: jnp.ndarray | None = None,
+    brick: Tuple[int, int, int] = (BRICK, BRICK, BRICK),
 ) -> Tuple[jnp.ndarray, Tuple[int, int, int]]:
-    """[nbx*nby*nbz] i32: 1 where any voxel in the 8^3 brick classifies to
-    alpha > 0 (a1 value semantics: negatives clamped, /trunc(cal_max)).
+    """[nbx*nby*nbz] i32: 1 where any voxel in the brick-shaped cell
+    classifies to alpha > 0 (a1 value semantics: negatives clamped,
+    /trunc(cal_max)).  ``brick`` is per-axis; the streamed driver
+    coarsens the y/z bricks for volumes whose 8^3 map would overflow the
+    1 MB SMEM budget (512^3: 64^3 ints = 1.05 MB — the round-4 SMEM
+    OOM), keeping the x bricks at 8 so block alignment and the bext
+    extents are unchanged.
 
     ``data`` is a [X, Y, Z] array (possibly an x-slab of a sharded volume)
     or a Volume.  With ``lut`` ([N, 4], config.tf_lut), bricks are judged
@@ -972,10 +979,10 @@ def brick_occupancy(
     else:
         alpha = tf.classify(vn)[..., 3]
     occ = (alpha > 0.0).astype(_f32)
-    pd = [_pad_to(x, BRICK) for x in (d1, d2, d3)]
+    pd = [_pad_to(x, b) for x, b in zip((d1, d2, d3), brick)]
     occ = jnp.pad(occ, [(0, pd[c] - (d1, d2, d3)[c]) for c in range(3)])
-    nb = tuple(p // BRICK for p in pd)
-    occ = occ.reshape(nb[0], BRICK, nb[1], BRICK, nb[2], BRICK)
+    nb = tuple(p // b for p, b in zip(pd, brick))
+    occ = occ.reshape(nb[0], brick[0], nb[1], brick[1], nb[2], brick[2])
     occ = occ.max(axis=(1, 3, 5))
     return occ.reshape(-1).astype(_i32), nb
 
@@ -2073,6 +2080,22 @@ def render_vrc_pallas_streamed(
             BRICK, (bb // (vol_pp + ms_pp)) // BRICK * BRICK))
     if block_x is None:
         block_x = bx_auto
+    # coarsen the y/z occupancy bricks until the map fits the 1 MB SMEM
+    # budget (512^3 at 8^3 bricks = 64^3 ints = 1.05 MB: the round-4
+    # SMEM OOM); the x bricks stay 8 so block alignment and the bext
+    # extents are untouched
+    brick = [BRICK, BRICK, BRICK]
+    def _occ_ints(b):
+        return (_pad_to(d1, b[0]) // b[0]) * (_pad_to(d2, b[1]) // b[1]) \
+            * (_pad_to(d3, b[2]) // b[2])
+    while _occ_ints(brick) * 4 > 512 * 1024:
+        brick[1] *= 2
+        brick[2] *= 2
+    brick = tuple(brick)
+    if brick != (BRICK, BRICK, BRICK) and use_vis:
+        raise ValueError(
+            "use_vis (A/B instrumentation) assumes 8^3 bricks; this "
+            "volume needs coarser bricks — use the default modes")
     if block_x % BRICK:
         raise ValueError(f"block_x {block_x} must be a multiple of {BRICK}")
     d1p = _pad_to(d1, block_x)
@@ -2100,7 +2123,8 @@ def render_vrc_pallas_streamed(
     assert vol_rows.shape[0] == nxb * block_rows, (
         vol_rows.shape, nxb, block_rows)
 
-    occ, nb = brick_occupancy(data, tf, cal_max_trunc, lut=lut)
+    occ, nb = brick_occupancy(data, tf, cal_max_trunc, lut=lut,
+                              brick=brick)
 
     ms_rows = None
     ms_brm = 0
@@ -2184,6 +2208,7 @@ def render_vrc_pallas_streamed(
         ms_stream=lit,
         ms_nzr=nzr_ms,
         ms_brm=ms_brm,
+        brick=brick,
     )
 
     base_in_specs = [

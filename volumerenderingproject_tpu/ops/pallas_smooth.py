@@ -101,9 +101,21 @@ def _ray_setup(scal_ref, conic, width, height, tile):
 
 
 def _sample_smooth(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
-                   o, d, s_idx, pix_ok, ci, dims, num_intervals, tile):
+                   o, d, s_idx, pix_ok, ci, dims, num_intervals, tile,
+                   zpack=None):
     """One chunk's smooth sample: returns (rgb[3], a, vn, sig1[K-1],
-    sig2[K-1], w[K-1]) as [E,128] registers."""
+    sig2[K-1], w[K-1]) as [E,128] registers.
+
+    ``zpack`` (zw, ypack, nyg): ``vol_ref`` holds 10-bit affine-quantized
+    intensities, three z-values per i32 word, ``ypack`` y-columns per
+    128-lane row (smooth_packed_geometry) — lifts the z <= 128 / 12 MB
+    f32-row limits so MNI-1mm-class (182x218x182) smooth-mode fits run
+    fused (VERDICT r3 item 4).  Dequantization affine rides
+    scal[26]/[27]; the forward (and hence the custom backward, which
+    re-marches the same grid) optimizes the quantized forward model —
+    self-consistent gradients, model error <= (data range)/1023/2 per
+    tap (~5e-4 of cal_max: below the smooth classify's resolution for
+    reference sharpness values)."""
     d1, d2, d3 = dims
     tpx, tpy, steps = tile
     E = tpx * tpy * steps // 128
@@ -158,32 +170,89 @@ def _sample_smooth(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
     rymax = jnp.maximum(rymax, jnp.max(jnp.where(ok00 | ok10, iy, -1)))
     del anyok
 
-    def fx_loop(dxi, accs):
-        cx = rxmin + dxi
+    if zpack is None:
+        def fx_loop(dxi, accs):
+            cx = rxmin + dxi
 
-        def fy_loop(dyi, acc8):
-            cy = rymin + dyi
-            crow = cx * d2 + cy
-            rowv = vol_ref[pl.ds(crow, 1), :]
-            bc = jnp.broadcast_to(rowv, (E, 128))
-            gz = jnp.take_along_axis(bc, lz, axis=1)
-            gz1 = jnp.take_along_axis(bc, lz1, axis=1)
-            return (
-                jnp.where(row00 == crow, gz, acc8[0]),
-                jnp.where(row00 == crow, gz1, acc8[1]),
-                jnp.where(row01 == crow, gz, acc8[2]),
-                jnp.where(row01 == crow, gz1, acc8[3]),
-                jnp.where(row10 == crow, gz, acc8[4]),
-                jnp.where(row10 == crow, gz1, acc8[5]),
-                jnp.where(row11 == crow, gz, acc8[6]),
-                jnp.where(row11 == crow, gz1, acc8[7]),
-            )
+            def fy_loop(dyi, acc8):
+                cy = rymin + dyi
+                crow = cx * d2 + cy
+                rowv = vol_ref[pl.ds(crow, 1), :]
+                bc = jnp.broadcast_to(rowv, (E, 128))
+                gz = jnp.take_along_axis(bc, lz, axis=1)
+                gz1 = jnp.take_along_axis(bc, lz1, axis=1)
+                return (
+                    jnp.where(row00 == crow, gz, acc8[0]),
+                    jnp.where(row00 == crow, gz1, acc8[1]),
+                    jnp.where(row01 == crow, gz, acc8[2]),
+                    jnp.where(row01 == crow, gz1, acc8[3]),
+                    jnp.where(row10 == crow, gz, acc8[4]),
+                    jnp.where(row10 == crow, gz1, acc8[5]),
+                    jnp.where(row11 == crow, gz, acc8[6]),
+                    jnp.where(row11 == crow, gz1, acc8[7]),
+                )
 
-        return jax.lax.fori_loop(0, rymax - rymin + 1, fy_loop, accs)
+            return jax.lax.fori_loop(0, rymax - rymin + 1, fy_loop, accs)
 
-    zeros8 = tuple(jnp.zeros((E, 128), _f32) for _ in range(8))
-    c = jax.lax.fori_loop(0, jnp.maximum(rxmax - rxmin + 1, 0),
-                          fx_loop, zeros8)
+        zeros8 = tuple(jnp.zeros((E, 128), _f32) for _ in range(8))
+        c = jax.lax.fori_loop(0, jnp.maximum(rxmax - rxmin + 1, 0),
+                              fx_loop, zeros8)
+    else:
+        # ---- 10-bit packed fetch: row per (x, y-group), three z per
+        # word.  Small // divisions take the +-1 floor correction (Mosaic
+        # lowers vector i32 division through f32 reciprocals).
+        zw, ypack, nyg = zpack
+        q_min = scal_ref[26]
+        q_step = scal_ref[27]
+        corners = ((0, row00, ok00), (1, row01, ok01),
+                   (0, row10, ok10), (1, row11, ok11))
+        taps = []
+        for ci_idx, (oy, rowf, ok) in enumerate(corners):
+            cxv = ix + (0 if ci_idx < 2 else 1)
+            cyv = jnp.where(ok, iy + oy, 0)
+            g = cyv // ypack
+            g = jnp.where(cyv >= (g + 1) * ypack, g + 1, g)
+            g = jnp.where(cyv < g * ypack, g - 1, g)
+            base_lane = (cyv - g * ypack) * zw
+            growid = jnp.where(ok, cxv * nyg + g, -1)
+            for lzv in (lz, lz1):
+                zi = lzv // 3
+                zi = jnp.where(lzv >= (zi + 1) * 3, zi + 1, zi)
+                zi = jnp.where(lzv < zi * 3, zi - 1, zi)
+                lane = jnp.where(ok, base_lane + zi, 0)
+                shift = (lzv - zi * 3) * 10
+                taps.append((growid, lane, shift, g))
+
+        gmin = jnp.min(jnp.where(ok00 | ok10, taps[0][3], _BIG))
+        gmin = jnp.minimum(gmin, jnp.min(
+            jnp.where(ok01 | ok11, taps[2][3], _BIG)))
+        gmax = jnp.max(jnp.where(ok01 | ok11, taps[2][3], -1))
+        gmax = jnp.maximum(gmax, jnp.max(
+            jnp.where(ok00 | ok10, taps[0][3], -1)))
+        nrows_grid = vol_ref.shape[0]
+
+        def px_loop(dxi, accs):
+            cx = rxmin + dxi
+
+            def pg_loop(dgi, accs):
+                cg = gmin + dgi
+                crow = cx * nyg + cg
+                crowc = jnp.clip(crow, 0, nrows_grid - 1)
+                rowv = vol_ref[pl.ds(crowc, 1), :]
+                bc = jnp.broadcast_to(rowv, (E, 128))
+                out = []
+                for acc, (growid, lane, shift, _) in zip(accs, taps):
+                    wrd = jnp.take_along_axis(bc, lane, axis=1)
+                    q = jax.lax.shift_right_logical(wrd, shift) & 1023
+                    out.append(jnp.where(growid == crow, q, acc))
+                return tuple(out)
+
+            return jax.lax.fori_loop(0, gmax - gmin + 1, pg_loop, accs)
+
+        zeros8i = tuple(jnp.zeros((E, 128), _i32) for _ in range(8))
+        qs = jax.lax.fori_loop(0, jnp.maximum(rxmax - rxmin + 1, 0),
+                               px_loop, zeros8i)
+        c = tuple(q.astype(_f32) * q_step + q_min for q in qs)
 
     okzf = okz.astype(_f32)
     okz1f = okz1.astype(_f32)
@@ -222,7 +291,7 @@ def _sample_smooth(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
 def _smooth_fwd_kernel(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
                        out_r_ref, out_g_ref, out_b_ref, out_t_ref,
                        *, dims, num_intervals, width, height, spr, conic,
-                       tile):
+                       tile, zpack=None):
     tpx, tpy, steps = tile
     RT = (tpx * tpy) // 128
     nchunks = -(-spr // steps)
@@ -233,7 +302,7 @@ def _smooth_fwd_kernel(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
         ci, cr, cg, cb, t = carry
         rgba, _, _, _, _ = _sample_smooth(
             scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
-            o, d, s_idx, pix_ok, ci, dims, num_intervals, tile)
+            o, d, s_idx, pix_ok, ci, dims, num_intervals, tile, zpack)
         sr, sg, sb, sa = rgba
         for s in range(steps):
             lo = RT * s
@@ -267,7 +336,7 @@ def _smooth_bwd_kernel(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
                        g_r_ref, g_g_ref, g_b_ref, g_t_ref,
                        dcol_ref, dvn_ref,
                        *, dims, num_intervals, width, height, spr, conic,
-                       krows, tile):
+                       krows, tile, zpack=None):
     """Two-pass backward: per-tile [krows, 128] gradient rows (columns
     0-3 = dL/dcolors, 4 = dL/dlower, 5 = dL/dupper) + the per-sample
     dL/dvn field [nchunks*E, 128] for the XLA trilinear-adjoint splat."""
@@ -289,7 +358,7 @@ def _smooth_bwd_kernel(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
     def sample(ci):
         rgba, vn, sig1, sig2, w = _sample_smooth(
             scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
-            o, d, s_idx, pix_ok, ci, dims, num_intervals, tile)
+            o, d, s_idx, pix_ok, ci, dims, num_intervals, tile, zpack)
         sr, sg, sb, sa = rgba
         live = ((ci * steps + s_idx) < spr).astype(_f32)
         sa = sa * live
@@ -494,7 +563,7 @@ def _splat_volume_grad(dvn_tiles, tile, camera, config, volume_dims,
 
 @functools.lru_cache(maxsize=32)
 def _make_smooth_core(dims, num_intervals, width, height, spr, conic,
-                      rows, interpret, tile):
+                      rows, interpret, tile, zpack=None):
     tpx, tpy, steps = tile
     RT = (tpx * tpy) // 128
     E = RT * steps
@@ -505,11 +574,12 @@ def _make_smooth_core(dims, num_intervals, width, height, spr, conic,
 
     fwd_kernel = functools.partial(
         _smooth_fwd_kernel, dims=dims, num_intervals=num_intervals,
-        width=width, height=height, spr=spr, conic=conic, tile=tile)
+        width=width, height=height, spr=spr, conic=conic, tile=tile,
+        zpack=zpack)
     bwd_kernel = functools.partial(
         _smooth_bwd_kernel, dims=dims, num_intervals=num_intervals,
         width=width, height=height, spr=spr, conic=conic, krows=krows,
-        tile=tile)
+        tile=tile, zpack=zpack)
 
     fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -577,15 +647,57 @@ def _make_smooth_core(dims, num_intervals, width, height, spr, conic,
     return forward_tiles, backward_tiles, krows
 
 
+def smooth_f32_feasible(dims) -> bool:
+    """f32-row layout: z <= 128 and the rows within the 12 MB budget."""
+    return (dims[2] <= 128
+            and _pad_to(dims[0] * dims[1], 8) * 128 * 4 <= 12 * 2**20)
+
+
+def smooth_packed_geometry(dims) -> Tuple[int, int, int] | None:
+    """(zw, ypack, nyg) for the 10-bit quantized intensity grid (three
+    z-values per i32 word, ``ypack`` y-columns per row), or None when it
+    cannot apply (z > 384 or rows beyond the 12 MB budget).  MNI-1mm
+    182x218x182: (61, 2, 109) -> 10.2 MB (vs 20.3 MB f32 — VERDICT r3
+    item 4's smooth-mode scale cliff)."""
+    d1, d2, d3 = dims
+    zw = -(-d3 // 3)
+    if zw > 128:
+        return None
+    ypack = min(128 // zw, d2)
+    nyg = -(-d2 // ypack)
+    if _pad_to(d1 * nyg, 8) * 128 * 4 > 12 * 2**20:
+        return None
+    return zw, ypack, nyg
+
+
+def pack_smooth10(data3d: jnp.ndarray, zp: Tuple[int, int, int],
+                  q_min: jnp.ndarray, q_step: jnp.ndarray) -> jnp.ndarray:
+    """Quantize intensities to 10 bits (affine [q_min, q_min + 1023 *
+    q_step]) and pack three z-values per i32 word in the (zw, ypack,
+    nyg) row layout (see _sample_smooth's zpack fetch)."""
+    zw, ypack, nyg = zp
+    d1, d2, d3 = data3d.shape
+    q = jnp.clip(jnp.round((data3d - q_min) / q_step), 0, 1023).astype(_i32)
+    q = jnp.pad(q, ((0, 0), (0, nyg * ypack - d2), (0, zw * 3 - d3)))
+    shifts = jnp.arange(3, dtype=_i32) * 10
+    words = jnp.sum(
+        jnp.left_shift(q.reshape(d1, nyg, ypack, zw, 3), shifts), axis=-1
+    ).astype(_i32)
+    rows = _pad_to(d1 * nyg, 8)
+    grid = jnp.zeros((rows, 128), _i32)
+    return grid.at[: d1 * nyg, : ypack * zw].set(
+        words.reshape(d1 * nyg, ypack * zw))
+
+
 def smooth_pallas_eligible(volume: Volume, tf: TransferFunction,
                            config: RenderConfig) -> bool:
-    """Static predicate for the fused smooth-mode diff kernels."""
+    """Static predicate for the fused smooth-mode diff kernels: f32 rows
+    (z <= 128, 12 MB) or the 10-bit packed grid (z <= 384, MNI-1mm)."""
     return (
         jax.default_backend() == "tpu"
         and volume.channels == 1
-        and volume.dims[2] <= 128
-        and _pad_to(volume.dims[0] * volume.dims[1], 8) * 128 * 4
-        <= 12 * 2**20
+        and (smooth_f32_feasible(volume.dims)
+             or smooth_packed_geometry(volume.dims) is not None)
         and config.interp is Interp.TRILINEAR
         and tf.num_intervals <= 16
         and config.density_scale == 1.0  # fold density externally
@@ -627,8 +739,15 @@ def render_vrc_smooth_pallas(
         raise ValueError("smooth pallas path supports single-channel volumes")
     if config.interp is not Interp.TRILINEAR:
         raise ValueError("smooth pallas path is Interp.TRILINEAR only")
-    if d3 > 128:
-        raise ValueError(f"smooth pallas path needs z <= 128 (got {d3})")
+    # f32 rows when they fit; the 10-bit packed grid otherwise (z <= 384)
+    zpack = None
+    if not smooth_f32_feasible(volume.dims):
+        zpack = smooth_packed_geometry(volume.dims)
+        if zpack is None:
+            raise ValueError(
+                f"smooth pallas path: dims {volume.dims} fit neither the "
+                "f32 rows (z <= 128, 12 MB) nor the 10-bit packed grid "
+                "(z <= 384); use the XLA renderer")
     if tf.num_intervals > 16:
         raise ValueError("smooth pallas path supports at most 16 intervals")
     if config.density_scale != 1.0:
@@ -641,7 +760,7 @@ def render_vrc_smooth_pallas(
             "lighting/scattering/LUT); use the XLA renderer")
 
     w, h = config.width, config.height
-    rows = _pad_to(d1 * d2, 8)
+    rows = _pad_to(d1 * (d2 if zpack is None else zpack[2]), 8)
     if tile is None:
         # on-chip sweep (tpu_round4_results r4f_*): 16x16 rays x 16 steps
         # beats the legacy (16, 16, 4) 1.7x on forward, 1.35x on the
@@ -677,13 +796,27 @@ def render_vrc_smooth_pallas(
 
     forward_tiles, backward_tiles, krows = _make_smooth_core(
         volume.dims, tf.num_intervals, w, h, config.samples_per_ray,
-        bool(config.conic), rows, bool(interpret), tile)
+        bool(config.conic), rows, bool(interpret), tile, zpack)
+
+    def _stage(scal_, data3d):
+        """(vol_rows, scal + quant affine).  The packed grid quantizes to
+        the CURRENT data range — recomputed per step in volume-field
+        fits, so forward and backward always share one grid."""
+        if zpack is None:
+            vol_rows = jnp.zeros((rows, 128), _f32).at[
+                : d1 * d2, :d3].set(data3d.reshape(d1 * d2, d3))
+            return vol_rows, scal_
+        q_min = jnp.min(data3d)
+        rng_ = jnp.max(data3d) - q_min
+        q_step = jnp.where(rng_ > 0, rng_ / 1023.0, 1.0)
+        vol_rows = pack_smooth10(data3d, zpack, q_min, q_step)
+        return vol_rows, jnp.concatenate(
+            [scal_, q_min[None], q_step[None]])
 
     @jax.custom_vjp
     def core(colors, lower, upper, scal_, data3d):
-        vol_rows = jnp.zeros((rows, 128), _f32).at[: d1 * d2, :d3].set(
-            data3d.reshape(d1 * d2, d3))
-        return forward_tiles(colors, lower, upper, scal_, vol_rows)
+        vol_rows, scal2 = _stage(scal_, data3d)
+        return forward_tiles(colors, lower, upper, scal2, vol_rows)
 
     def core_fwd(colors, lower, upper, scal_, data3d):
         return (core(colors, lower, upper, scal_, data3d),
@@ -691,10 +824,9 @@ def render_vrc_smooth_pallas(
 
     def core_bwd(res, g):
         colors, lower, upper, scal_, data3d = res
-        vol_rows = jnp.zeros((rows, 128), _f32).at[: d1 * d2, :d3].set(
-            data3d.reshape(d1 * d2, d3))
+        vol_rows, scal2 = _stage(scal_, data3d)
         dcol_tiles, dvn_tiles = backward_tiles(
-            colors, lower, upper, scal_, vol_rows, g)
+            colors, lower, upper, scal2, vol_rows, g)
         summed = dcol_tiles.sum(axis=(0, 1))
         k = tf.num_intervals
         dcolors = summed[:k, :4]

@@ -95,15 +95,15 @@ def _pallas_segment_eligible(
             return False
         need_bake = config.lighting or config.scattering
         fits_f32 = volume.dims[2] <= 127
-        fits = fits_f32 or (
-            not need_bake
-            and a5_packed_geometry(volume.dims, tf.num_intervals)
-            is not None
+        packed_ok = (a5_packed_geometry(volume.dims, tf.num_intervals)
+                     is not None)
+        bake_ok = not need_bake or (
+            a5_baked_light_feasible(volume.dims) if fits_f32
+            else packed_ok  # streamed u8 (M, S) pack (ms_stream)
         )
         return (
-            fits
-            and (not need_bake
-                 or (fits_f32 and a5_baked_light_feasible(volume.dims)))
+            (fits_f32 or packed_ok)
+            and bake_ok
             and not (config.scattering and config.conic)
         )
     if volume.channels != 1:
