@@ -493,3 +493,29 @@ def test_sharded_sweep_matches_replicated_grid():
             check_vma=False)
         got = np.asarray(fn(alpha))
         np.testing.assert_allclose(got, want, atol=2e-6, err_msg=str(ldir))
+
+
+def test_streamed_segments_lit_rays_samples(scene):
+    """Beyond-resident configs on rays/samples meshes route to the
+    manual-DMA STREAMED kernel as the per-device work unit (round-4:
+    large-volume lit renders shard at kernel speed instead of the XLA
+    scan) — parity vs the single-device XLA render within the u8 (M, S)
+    quantization bound."""
+    from volumerenderingproject_tpu.parallel.render_dist import (
+        _pallas_segment_eligible,
+        _streamed_segment_eligible,
+    )
+
+    _, tf, cam, cfg = scene
+    rng = np.random.default_rng(51)
+    vol = make_volume(rng.uniform(0, 255, (18, 12, 140)).astype(np.float32))
+    cfg2 = cfg.replace(lighting=True)
+    # resident segment kernel refuses lit z > 128; streamed tier takes it
+    assert not _pallas_segment_eligible(vol, tf, cfg2, None)
+    assert _streamed_segment_eligible(vol, tf, cfg2)
+
+    want = np.asarray(render_vrc(vol, tf, cam, cfg2, mode="fast"))
+    mesh = make_mesh(rays=2, samples=2, volume=1)
+    got = np.asarray(render_vrc_sharded(
+        vol, tf, cam, cfg2, mesh, pallas_interpret=True))
+    np.testing.assert_allclose(got, want, atol=6e-3)

@@ -1968,8 +1968,22 @@ def render_vrc_pallas_streamed(
     block_major: bool = False,
     manual: bool = True,
     light=None,
+    x_offset=0,
+    local_width: int | None = None,
+    s_start=0,
+    s_count: int | None = None,
+    segment: bool = False,
 ) -> jnp.ndarray:
     """a1/VRC render with the volume streamed from HBM -> [W, H, 4].
+
+    ``segment=True`` (manual mode): shard_map-friendly work unit — march
+    ray columns [x_offset, x_offset + local_width) x samples [s_start,
+    s_start + s_count) and return the (C [w, h, 3], T [w, h, 1]) pair of
+    ops/composite.segment_compose, so rays/samples-sharded rendering of
+    beyond-VMEM volumes (incl. streamed lighting/scattering) keeps
+    fused-kernel throughput per device (parallel/render_dist.py).  The
+    volume-axis is NOT supported here (each device already streams the
+    full volume from its own HBM copy).
 
     ``config.lighting`` / ``config.scattering`` (manual mode only,
     VERDICT r3 item 3): the baked per-voxel (M, S) shading factors are
@@ -2031,6 +2045,8 @@ def render_vrc_pallas_streamed(
         manual = False
     if use_vis:
         block_major = False  # the bitmap indexes the tile-major grid
+    if segment and not manual:
+        raise ValueError("streamed segments run in the manual-DMA mode")
     lit = bool(config.lighting) or bool(config.scattering)
     if lit and not manual:
         raise ValueError(
@@ -2043,6 +2059,8 @@ def render_vrc_pallas_streamed(
             "the default light")
 
     w, h = config.width, config.height
+    w_local = w if local_width is None else local_width
+    s_count = config.samples_per_ray if s_count is None else s_count
     if tile is None:
         # streamed sweep (benchmarks/tpu_round3_results.json r3d_streamed):
         # larger VMEM blocks (fewer k steps) + 16x16 ray tiles (tighter
@@ -2053,7 +2071,7 @@ def render_vrc_pallas_streamed(
     if (tpx * tpy) % 128 or (tpx * tpy * steps) % 1024:
         raise ValueError(f"tile {tile}: rays must fill 128-lane rows and "
                          "rays*steps must fill [8,128] registers")
-    ntx = -(-w // tpx)
+    ntx = -(-w_local // tpx)
     nty = -(-h // tpy)
     rt = (tpx * tpy) // 128
 
@@ -2181,7 +2199,7 @@ def render_vrc_pallas_streamed(
     box_hi = [min(1.0, (L / 2 + dim / 2) / L + 1.0 / n) - 0.5
               for dim in volume.dims]
     scal = _scal_vector(camera, config, cal_max_trunc, early_eps, alpha0,
-                        box_lo, box_hi, id0, 0, 0, 0)
+                        box_lo, box_hi, id0, x_offset, s_start, 0)
     if lit:
         # [32..35]: (M, S) dequantization affine (pack_ms_grid)
         scal = jnp.concatenate(
@@ -2194,12 +2212,13 @@ def render_vrc_pallas_streamed(
         num_intervals=tf.num_intervals,
         width=w,
         height=h,
-        spr=config.samples_per_ray,
+        spr=s_count,
         conic=False,
         density_scale=float(config.density_scale),
         nbricks=nb,
         zpack=zpack,
         tile=tile,
+        local_width=w_local,
         slab_x=block_x,
         hbm_mode=True,
         lut_n=lut_n,
@@ -2382,9 +2401,12 @@ def render_vrc_pallas_streamed(
     def unpack(a):
         a = a.reshape(ntx, nty, tpx, tpy)
         a = a.transpose(0, 2, 1, 3).reshape(ntx * tpx, nty * tpy)
-        return a[:w, :h]
+        return a[:w_local, :h]
 
-    bg = jnp.asarray(config.background, _f32)
     t2 = unpack(t)
+    if segment:
+        c3 = jnp.stack([unpack(c) for c in (cr, cg, cb)], axis=-1)
+        return c3, t2[..., None]
+    bg = jnp.asarray(config.background, _f32)
     rgb = [unpack(c) + t2 * bg[i] for i, c in enumerate((cr, cg, cb))]
-    return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)
+    return jnp.stack(rgb + [jnp.ones((w_local, h), _f32)], axis=-1)

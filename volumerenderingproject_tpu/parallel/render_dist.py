@@ -158,6 +158,31 @@ def _pallas_segment_eligible(
     )
 
 
+def _streamed_segment_eligible(
+    volume: Volume,
+    tf: TransferFunction,
+    config: RenderConfig,
+) -> bool:
+    """True when the manual-DMA STREAMED kernel implements a full-volume
+    rays/samples work unit (beyond-VMEM volumes, incl. streamed
+    lighting/scattering) — the fallback tier between the resident
+    segment kernel and the XLA scan (mirrors
+    models/raycast._pallas_streamed_eligible minus backend/mode)."""
+    from ..ops.pallas_march import streamed_geometry
+
+    return (
+        volume.channels == 1
+        and not config.conic
+        and config.algorithm is Algorithm.VRC
+        and streamed_geometry(
+            volume.dims, tf.num_intervals,
+            lut_n=int(config.tf_lut)) is not None
+        and config.interp is Interp.NEAREST
+        and (not config.tf_lut or config.tf_lut <= 1024)
+        and config.empty_space_skipping
+    )
+
+
 def _diff_segment_eligible(
     volume: Volume,
     tf: TransferFunction,
@@ -276,6 +301,7 @@ def render_vrc_sharded(
     s_local = config.samples_per_ray // n_samp
     slab_x = volume.dims[0] // n_vol if n_vol > 1 else None
 
+    use_streamed_seg = False
     if use_pallas is None:
         if differentiable:
             use_pallas = _diff_segment_eligible(
@@ -283,10 +309,17 @@ def render_vrc_sharded(
         else:
             # an explicit light is threaded through the XLA segment paths
             # only (the fused segment kernel shades with the default light)
-            use_pallas = (
-                jax.default_backend() == "tpu" or pallas_interpret
-            ) and light is None and _pallas_segment_eligible(
-                volume, tf, config, slab_x)
+            backend_ok = jax.default_backend() == "tpu" or pallas_interpret
+            use_pallas = backend_ok and light is None and \
+                _pallas_segment_eligible(volume, tf, config, slab_x)
+            # beyond-VMEM volumes on rays/samples axes: the manual-DMA
+            # streamed kernel as the per-device work unit (each device
+            # streams the full volume from its own HBM copy; incl.
+            # streamed lighting/scattering)
+            if (not use_pallas and backend_ok and light is None
+                    and slab_x is None):
+                use_streamed_seg = _streamed_segment_eligible(
+                    volume, tf, config)
 
     def tile_fn(vol_data, cal_max, tf_, cam, lgt):
         ri = jax.lax.axis_index("rays")
@@ -362,6 +395,27 @@ def render_vrc_sharded(
                 early_eps=config.early_termination,
                 interpret=pallas_interpret,
                 channels=volume.channels,
+            )
+        elif use_streamed_seg:
+            from ..ops.pallas_march import render_vrc_pallas_streamed
+
+            vol_local = Volume(
+                data=vol_data,
+                cal_max=cal_max,
+                cal_min=volume.cal_min,
+                pixdim=volume.pixdim,
+                dims=volume.dims,
+                channels=volume.channels,
+            )
+            seg = render_vrc_pallas_streamed(
+                vol_local, tf_, cam, config,
+                early_eps=config.early_termination,
+                interpret=pallas_interpret,
+                x_offset=ri * w_local,
+                local_width=w_local,
+                s_start=si * s_local,
+                s_count=s_local,
+                segment=True,
             )
         elif n_vol == 1:
             vol_local = Volume(
