@@ -113,11 +113,26 @@ def test_a5_sharded_matches_single(scene):
     np.testing.assert_allclose(sharded, single, atol=1e-5)
 
 
-def test_conic_volume_sharding_rejected(scene):
-    volume, tf, cam, cfg = scene
+def test_conic_volume_sharding_matches_single(scene):
+    """Round-4: conic + volume axis supported — the slab fold runs in
+    both orders and selects per ray by sign(dir.x) (rays on either side
+    of the camera axis disagree on the slab visit order)."""
+    volume, tf, _, cfg = scene
     mesh = make_mesh(rays=1, samples=1, volume=8)
-    with pytest.raises(NotImplementedError):
-        render_vrc_sharded(volume, tf, cam, cfg.replace(conic=True), mesh)
+    cfg_c = cfg.replace(conic=True)
+    # near-perpendicular cameras: the conic fan straddles sign(dir.x)
+    for pos in ((0.05, 0.3, 1.2), (0.3, 0.2, 1.1)):
+        cam = Camera.initial(position=pos)
+        want = _single(volume, tf, cam, cfg_c)
+        got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg_c, mesh))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(pos))
+        # the fan genuinely disagrees on sign(dir.x) in the first case
+    from volumerenderingproject_tpu.models.raycast import primary_ray_dirs
+
+    dirs = primary_ray_dirs(Camera.initial(position=(0.05, 0.3, 1.2)),
+                            cfg_c)
+    signs = np.sign(np.asarray(dirs[..., 0]))
+    assert (signs > 0).any() and (signs < 0).any()
 
 
 def test_config_validation():
@@ -519,3 +534,16 @@ def test_streamed_segments_lit_rays_samples(scene):
     got = np.asarray(render_vrc_sharded(
         vol, tf, cam, cfg2, mesh, pallas_interpret=True))
     np.testing.assert_allclose(got, want, atol=6e-3)
+
+
+def test_volume_axis_presmooth_lighting(scene):
+    """Round-4: presmoothed gradient shading on a volume-slab mesh — the
+    x-halo widens to the Gaussian radius + 1 so smoothed normals match
+    the replicated render exactly."""
+    volume, tf, cam, cfg = scene
+    cfg_p = cfg.replace(lighting=True, presmooth_sigma=1.2,
+                        gradient_filter="sobel")
+    mesh = make_mesh(rays=1, samples=1, volume=4)
+    want = _single(volume, tf, cam, cfg_p)
+    got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg_p, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -284,11 +284,10 @@ def render_vrc_sharded(
             "volume-axis sharding of multi-channel volumes supports the "
             "nearest-neighbor a1 path (the only multi-channel sampler)"
         )
-    if n_vol > 1 and config.conic:
-        raise NotImplementedError(
-            "volume-axis sharding requires a consistent slab visit order; "
-            "conic rays can disagree on sign(dir.x) — use rays/samples axes"
-        )
+    # conic + volume axis: rays can disagree on sign(dir.x), so the slab
+    # fold is evaluated in BOTH orders and selected per ray (see
+    # tile_fn's compose block) — x(t) is monotone per ray, so per-slab
+    # sample runs stay contiguous and the per-ray order is exact.
     if n_vol > 1 and config.scattering and (
         config.interp is not Interp.NEAREST or volume.channels != 1
     ):
@@ -465,9 +464,25 @@ def render_vrc_sharded(
             # move toward +x, so slab 0 is nearest the camera.
             segs_c = jax.lax.all_gather(seg[0], "volume")
             segs_t = jax.lax.all_gather(seg[1], "volume")
-            seg = _fold_segments_front_to_back(
-                segs_c, segs_t, reverse_pred=cam.front[0] < 0
-            )
+            if config.conic:
+                # conic rays can disagree on sign(dir.x): fold both
+                # orders (K compose steps each — cheap) and select per
+                # ray.  dir.x == 0 rays live in one slab, so either
+                # order is exact for them.
+                ri2 = jax.lax.axis_index("rays")
+                dirs = raycast.primary_ray_dirs(
+                    cam, config, ri2 * w_local, w_local)
+                asc = _fold_segments_front_to_back(
+                    segs_c, segs_t, jnp.asarray(False))
+                desc = _fold_segments_front_to_back(
+                    segs_c, segs_t, jnp.asarray(True))
+                neg = (dirs[..., 0] < 0.0)[..., None]
+                seg = (jnp.where(neg, desc[0], asc[0]),
+                       jnp.where(neg, desc[1], asc[1]))
+            else:
+                seg = _fold_segments_front_to_back(
+                    segs_c, segs_t, reverse_pred=cam.front[0] < 0
+                )
 
         # compose sample segments front-to-back (device si=0 is nearest)
         segs_c = jax.lax.all_gather(seg[0], "samples")
@@ -551,30 +566,48 @@ def _render_segment_volume_slab(
     d1, d2, d3 = dims
 
     a5 = config.algorithm is Algorithm.TEST
+    shade_on = config.lighting or (light is not None
+                                   and not config.scattering)
     need_halo = (
-        a5 or config.lighting or light is not None
-        or config.interp is not Interp.NEAREST
+        a5 or shade_on or config.interp is not Interp.NEAREST
     )
-    # hw=2: the a5/trilinear-color corner fetch guards only flat < totaldim
-    # (kernel.cu:130), so a y-wrap AND z-wrap can compound into the row two
-    # x planes ahead of the sample's voxel; gradients need just +-1.
+    # hw=2 baseline: the a5/trilinear-color corner fetch guards only
+    # flat < totaldim (kernel.cu:130), so a y-wrap AND z-wrap can
+    # compound into the row two x planes ahead of the sample's voxel;
+    # gradients need just +-1.  Presmoothed shading widens the halo to
+    # the Gaussian radius + 1 so owned voxels' smoothed gradients see
+    # the same neighborhood as the replicated volume (round 4: the
+    # presmooth-on-volume-axis exclusion lifted).
     hw = 2
+    if shade_on and config.presmooth_sigma > 0.0:
+        hw = max(hw, 1 + max(1, int(3.0 * config.presmooth_sigma + 0.5)))
     ext = _with_x_halo(slab3d, hw) if need_halo else None
     ext_flat = ext.reshape(-1) if need_halo else None
 
     shading = None
-    if config.lighting or (light is not None and not config.scattering):
+    if shade_on:
         from ..ops import conv3d, phong
 
         # gradient on the extended slab: owned voxels see the same
         # neighborhood as the replicated volume (zero halos at the edges
-        # match conv3d's zero padding)
+        # match conv3d's zero padding).  With presmoothing the stages
+        # run separately: the replicated path's gradient pass reads the
+        # smoothed field ZERO-padded at the volume boundary, so the
+        # smoothed ext must be zero-masked outside [0, d1) before the
+        # gradient pass (smoothing leaks nonzero values into the halo).
         if config.presmooth_sigma > 0.0:
-            raise NotImplementedError(
-                "presmooth_sigma on the volume axis needs a halo wider "
-                "than 2 voxels; use rays/samples axes")
-        grad_ext = conv3d.gradient_field(
-            ext, config.gradient_filter, 0.0).reshape(-1, 3)
+            sm = conv3d.gaussian_smooth(ext, config.presmooth_sigma)
+            gx = jnp.arange(-hw, slab_x + hw) + x0
+            sm = jnp.where(
+                ((gx >= 0) & (gx < d1))[:, None, None], sm, 0.0)
+            if config.gradient_filter == "sobel":
+                grad_ext = conv3d.sobel_gradient(sm).reshape(-1, 3)
+            else:
+                grad_ext = conv3d.central_difference_gradient(
+                    sm).reshape(-1, 3)
+        else:
+            grad_ext = conv3d.gradient_field(
+                ext, config.gradient_filter, 0.0).reshape(-1, 3)
         shading = (grad_ext,
                    light if light is not None else phong.default_light())
 
