@@ -221,21 +221,32 @@ def test_a5_lit_packed_streamed_ms(scene):
     from volumerenderingproject_tpu.models.raycast import render_test
     from volumerenderingproject_tpu.ops.pallas_a5 import render_test_pallas
 
+    import volumerenderingproject_tpu.ops.pallas_a5 as a5mod
+
     rng = np.random.default_rng(41)
     volume = make_volume(
         rng.uniform(0, 255, (18, 12, 140)).astype(np.float32))
     tf = default_transfer_function()
-    for kw in (dict(lighting=True), dict(scattering=True),
-               dict(lighting=True, scattering=True)):
-        cfg = RenderConfig(width=16, height=12, samples_per_ray=24, **kw)
-        for pos in ((0.35, 0.45, 0.85), (-0.5, 0.3, -0.8)):
-            cam = Camera.initial(position=pos)
-            want = np.asarray(render_test(volume, tf, cam, cfg,
-                                          mode="fast"))
-            got = np.asarray(render_test_pallas(
-                volume, tf, cam, cfg, early_eps=0.0, interpret=True))
-            np.testing.assert_allclose(
-                got, want, atol=6e-3, err_msg=f"{kw} {pos}")
+    # force a small (M, S) slot so the tiny test volume spans MULTIPLE
+    # blocks (the default 3.5 MB budget would make it one block and the
+    # block-boundary/ownership/DMA machinery would go untested)
+    saved = a5mod._A5_MS_SLOT_BUDGET
+    a5mod._A5_MS_SLOT_BUDGET = 8 * 12 * 512  # 8-plane blocks -> 3 blocks
+    try:
+        for kw in (dict(lighting=True), dict(scattering=True),
+                   dict(lighting=True, scattering=True)):
+            cfg = RenderConfig(width=16, height=12, samples_per_ray=24,
+                               **kw)
+            for pos in ((0.35, 0.45, 0.85), (-0.5, 0.3, -0.8)):
+                cam = Camera.initial(position=pos)
+                want = np.asarray(render_test(volume, tf, cam, cfg,
+                                              mode="fast"))
+                got = np.asarray(render_test_pallas(
+                    volume, tf, cam, cfg, early_eps=0.0, interpret=True))
+                np.testing.assert_allclose(
+                    got, want, atol=6e-3, err_msg=f"{kw} {pos}")
+    finally:
+        a5mod._A5_MS_SLOT_BUDGET = saved
 
 
 def test_a5_lit_packed_flat_light_exact(scene):

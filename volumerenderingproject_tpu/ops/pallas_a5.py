@@ -687,6 +687,12 @@ def a5_baked_light_feasible(dims: Tuple[int, int, int]) -> bool:
 
 
 _A5_BAKED_BUDGET = 15 * 2**20 + 2**19  # ~15.5 MB of the ~16 MB VMEM
+# ms_stream (M, S) slot budget: larger blocks mean fewer boundary chunks
+# re-marched (each block re-marches its x-interval's chunk range) and
+# fewer DMA waits, at 2 slots x budget of VMEM alongside the id grid.
+# On-chip MNI-1mm lit sweep: 2 MB -> 331.9 ms, 3.5 MB -> 260.9 ms,
+# 5 MB -> 260.6 (saturated); 3.5 MB keeps ~3 MB VMEM headroom.
+_A5_MS_SLOT_BUDGET = int(3.5 * 2**20)
 
 
 def render_test_pallas(
@@ -792,7 +798,7 @@ def render_test_pallas(
             # u8-quantized (M, S) pack streamed per x-block (~2 MB/slot)
             nzr = -(-d3 // 256)
             ms_pp = d2 * nzr * 512  # bytes per x plane
-            bx = max(8, min(((2 * 2**20) // ms_pp) // 8 * 8, 64))
+            bx = max(8, min((_A5_MS_SLOT_BUDGET // ms_pp) // 8 * 8, 64))
             d1p = _pad_to(d1, bx)
             nxb = d1p // bx
             ms_rows, ms_q, nzr = pack_ms_grid(mgrid, sgrid, d1p)
