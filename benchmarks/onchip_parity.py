@@ -117,6 +117,20 @@ def main():
         c = cfg.replace(**kw)
         check(name, render_test_pallas(vol_deep, tf, cam, c, early_eps=0.0),
               render_test(vol_deep, tf, cam, c, mode="fast"), 6e-3)
+    # force MULTI-block ms streaming at this scale (the default 3.5 MB
+    # slot makes the small test volume one block, which would leave the
+    # on-chip block-boundary/ownership/DMA machinery ungated)
+    import volumerenderingproject_tpu.ops.pallas_a5 as _a5mod
+
+    _saved_budget = _a5mod._A5_MS_SLOT_BUDGET
+    _a5mod._A5_MS_SLOT_BUDGET = 8 * vol_deep.dims[1] * 512
+    try:
+        c = cfg.replace(lighting=True)
+        check("a5_lit_packed_ms_multiblock",
+              render_test_pallas(vol_deep, tf, cam, c, early_eps=0.0),
+              render_test(vol_deep, tf, cam, c, mode="fast"), 6e-3)
+    finally:
+        _a5mod._A5_MS_SLOT_BUDGET = _saved_budget
 
     # a5 segments composed
     want = render_test(vol_small, tf, cam, cfg, mode="fast")
