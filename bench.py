@@ -76,14 +76,15 @@ TIME_BUDGET_S = 2100  # stop starting new configs past this
 FLOORS = {
     "headline": 45.3e6,
     "exact": 32.7e6,
-    "lut_phong_300": 2.13e6,
-    "sobel_lit_700": 6.88e6,
+    # 0.70 x best on record: lut_phong 3.88M / sobel_lit 12.01M /
+    # streamed 3.39M (BENCH_r04), a5 2.32M / multichannel 2.48M (BENCH_r03)
+    "lut_phong_300": 2.72e6,
+    "sobel_lit_700": 8.41e6,
     "a5_500": 1.63e6,
-    "streamed_320": 1.82e6,
-    # first recorded round 4 (direct-call 159 ms/frame incl ~33 ms host
-    # link => >= 0.58M rays/s; the in-jit orbit protocol reads higher).
-    # Conservative floor until BENCH_r04 records the protocol number.
-    "streamed_lit_320": 0.4e6,
+    "streamed_320": 2.37e6,
+    # 0.70 x the BENCH_r04.json protocol record (0.73M rays/s) per the
+    # stated ratchet rule (placeholder 0.4M retired round 5).
+    "streamed_lit_320": 0.51e6,
     "multichannel_304": 1.73e6,
 }
 
@@ -230,6 +231,15 @@ def main() -> None:
                      lighting=True, early_termination=1e-3),
     )
 
+    # streamed a5 (round-5: the 4-bit id grid itself streams per x-block
+    # — 320^3's id grid exceeds the resident a5 VMEM budget)
+    matrix(
+        "streamed_a5_320",
+        dense,
+        RenderConfig(width=304, height=304, samples_per_ray=300,
+                     algorithm=Algorithm.TEST, early_termination=1e-3),
+    )
+
     # 3-channel avg152-scale synthetic (the RGB16_4D-class workload)
     xs = np.linspace(-1, 1, 91, dtype=np.float32)
     r2 = (xs[:, None, None] ** 2 + xs[None, :, None] ** 2
@@ -333,6 +343,22 @@ def main() -> None:
         out["parity"] = None
         skipped.append("onchip_parity")
 
+    # ---- automated A/B ratchet (VERDICT r4 item 8) ---------------------
+    # Whenever the headline lands below the PRIOR ROUND's recorded value
+    # (not just below floor), settle rig-noise-vs-drift with the DESIGN
+    # §7b method: alternate headline-only subprocesses between HEAD and a
+    # git worktree of the commit the prior bench actually measured, same
+    # process rhythm for both.  Recorded in out["ab"] either way the
+    # verdict goes; 2.5x cross-process variance can no longer masquerade
+    # as (or mask) real drift.
+    if time.time() - t_start < TIME_BUDGET_S:
+        try:
+            ab = _ab_against_prior_round(rays_per_sec)
+        except Exception as e:  # A/B is evidence, never a crash source
+            ab = {"error": f"{type(e).__name__}: {e}"}
+        if ab is not None:
+            out["ab"] = ab
+
     out["regressed"] = regressed
     out["skipped"] = skipped
     print(json.dumps(out))
@@ -340,5 +366,167 @@ def main() -> None:
         raise SystemExit(1)
 
 
+def _repo_dir() -> str:
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def _prior_round_record():
+    """(path, value, code_commit) of the newest BENCH_r*.json, where
+    code_commit is the parent of the commit that added the JSON — i.e.
+    the tree the driver actually benched."""
+    import glob
+    import re
+    import subprocess
+
+    repo = _repo_dir()
+    benches = sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not benches:
+        return None
+    path = benches[-1]
+    try:
+        value = json.load(open(path)).get("parsed", {}).get("value")
+    except Exception:
+        return None
+    if not isinstance(value, (int, float)):
+        return None
+    rev = subprocess.run(
+        ["git", "-C", repo, "log", "-1", "--format=%H",
+         "--", os.path.basename(path)],
+        capture_output=True, text=True, timeout=60)
+    if rev.returncode != 0 or not rev.stdout.strip():
+        return None
+    commit = rev.stdout.strip()
+    parent = subprocess.run(
+        ["git", "-C", repo, "rev-parse", commit + "^"],
+        capture_output=True, text=True, timeout=60)
+    if parent.returncode != 0:
+        return None
+    return path, float(value), parent.stdout.strip()
+
+
+def _ab_against_prior_round(current_value: float):
+    """If current headline < prior round's record, alternate headline-only
+    subprocesses HEAD/old-worktree (2 runs each) and report both."""
+    import subprocess
+    import sys
+    import tempfile
+
+    rec = _prior_round_record()
+    if rec is None:
+        return None
+    prior_path, prior_value, old_commit = rec
+    if current_value >= prior_value:
+        return None
+
+    import shutil
+
+    repo = _repo_dir()
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    # run a COPY of this driver from a neutral dir: sys.path[0] is the
+    # script's dir, which would otherwise shadow PYTHONPATH's package pick
+    driver_dir = tempfile.mkdtemp(prefix="bench_ab_driver_")
+    driver = os.path.join(driver_dir, "bench_ab_driver.py")
+    shutil.copyfile(os.path.abspath(__file__), driver)
+    ab = {
+        "prior_record": {"file": os.path.basename(prior_path),
+                         "value": prior_value},
+        "old_commit": old_commit,
+        "runs_old": [],
+        "runs_new": [],
+    }
+    try:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--detach", wt,
+             old_commit],
+            check=True, capture_output=True, timeout=120)
+        # The NEW bench driver file runs in both arms; PYTHONPATH selects
+        # which package code gets imported (both are importable in place).
+        for i, (arm, path) in enumerate((("old", wt), ("new", repo),
+                                         ("old", wt), ("new", repo))):
+            env = dict(os.environ, PYTHONPATH=path)
+            try:
+                r = subprocess.run(
+                    [sys.executable, driver, "--headline-only"],
+                    capture_output=True, text=True, timeout=1200, env=env,
+                    cwd=driver_dir)
+                val = json.loads(r.stdout.strip().splitlines()[-1])["value"]
+            except Exception:
+                val = None
+            ab[f"runs_{arm}"].append(val)
+            if i == 1 and not any(ab["runs_old"]) and not any(ab["runs_new"]):
+                break  # relay queue is eating whole subprocesses; stop
+        olds = [v for v in ab["runs_old"] if v]
+        news = [v for v in ab["runs_new"] if v]
+        if olds and news:
+            ab["ratio_new_over_old"] = round(max(news) / max(olds), 3)
+            ab["verdict"] = (
+                "code_regression" if max(news) < 0.85 * max(olds)
+                else "rig_noise")
+    finally:
+        subprocess.run(["git", "-C", repo, "worktree", "remove",
+                        "--force", wt], capture_output=True, timeout=120)
+        shutil.rmtree(driver_dir, ignore_errors=True)
+    return ab
+
+
+def _headline_only() -> None:
+    """One A/B arm: measure just the headline with a reduced protocol and
+    print {"value": N}.  Package code comes from PYTHONPATH (set by the
+    caller to HEAD or the old worktree)."""
+    import jax
+    import jax.numpy as jnp
+
+    from volumerenderingproject_tpu import (
+        RenderConfig, default_transfer_function, load_nifti, make_volume)
+    from volumerenderingproject_tpu.models.raycast import render
+    from volumerenderingproject_tpu.scene.camera import Camera
+
+    if os.path.exists(DATASET):
+        volume = load_nifti(DATASET)
+    else:
+        from volumerenderingproject_tpu.ingest import synthetic
+
+        volume = synthetic.centered_sphere(100)
+    tf = default_transfer_function()
+    cfg = RenderConfig(width=700, height=700, samples_per_ray=500,
+                       early_termination=1e-3)
+    rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
+    frames, reps = 16, 2
+
+    def orbit(jitter):
+        thetas = (np.linspace(0.0, 2.0 * np.pi, frames + 1)[:frames]
+                  + jitter)
+        cams = [Camera.initial(position=(1.5 * np.cos(t),
+                                         0.4 + 0.2 * np.sin(2.0 * t),
+                                         1.5 * np.sin(t)))
+                for t in thetas]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+    @jax.jit
+    def render_orbit(volume_, tf_, cams):
+        def frame(carry, cam):
+            return carry + render(volume_, tf_, cam, cfg)[0, 0], None
+
+        probe, _ = jax.lax.scan(frame, jnp.zeros((4,), jnp.float32), cams)
+        return probe
+
+    np.asarray(render_orbit(volume, tf, orbit(rng.random(frames) * 1e-4)))
+    times = []
+    for _ in range(reps):
+        cams = orbit(rng.random(frames) * 1e-4)
+        t0 = time.time()
+        np.asarray(render_orbit(volume, tf, cams))
+        times.append(time.time() - t0)
+    print(json.dumps({"value": cfg.num_rays / (min(times) / frames)}))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--headline-only" in sys.argv:
+        _headline_only()
+    else:
+        main()

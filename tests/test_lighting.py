@@ -147,12 +147,11 @@ def test_gradient_filter_and_presmooth():
     for cfg_i, want in ((sobel_cfg, sobel), (smooth_cfg, smooth)):
         got = np.asarray(render_vrc_sharded(volume, tf, cam, cfg_i, mesh))
         np.testing.assert_allclose(got, want, atol=1e-5)
-    # sobel normals work on volume slabs through the halo; presmooth needs
-    # a wider halo and rejects cleanly
+    # sobel AND presmooth normals work on volume slabs: the halo widens
+    # to the Gaussian radius + 1 for presmooth (round-4 exclusion lift;
+    # full parity sweep lives in test_parallel.py::test_presmooth_volume_slab)
     mesh_v = make_mesh(rays=1, samples=1, volume=2)
     got = np.asarray(render_vrc_sharded(volume, tf, cam, sobel_cfg, mesh_v))
     np.testing.assert_allclose(got, sobel, atol=1e-5)
-    import pytest
-
-    with pytest.raises(NotImplementedError):
-        render_vrc_sharded(volume, tf, cam, smooth_cfg, mesh_v)
+    got_s = np.asarray(render_vrc_sharded(volume, tf, cam, smooth_cfg, mesh_v))
+    np.testing.assert_allclose(got_s, smooth, atol=1e-5)

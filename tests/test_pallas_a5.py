@@ -287,3 +287,31 @@ def test_a5_lit_packed_flat_light_exact(scene):
     want = np.asarray(render_test_pallas(
         volume, tf, cam, cfg_plain, early_eps=0.0, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_a5_id_stream_blocks():
+    """Streamed 4-bit id grid (round-4 VERDICT item 4): 512^3-class a5
+    volumes whose id grid exceeds the resident VMEM budget stream it per
+    x-block with manual DMA — parity vs the XLA a5 scan across block
+    boundaries, both march directions, lit and scattered."""
+    from volumerenderingproject_tpu.models.raycast import render_test
+    from volumerenderingproject_tpu.ops.pallas_a5 import (
+        render_test_pallas,
+    )
+
+    rng = np.random.default_rng(9)
+    volume = make_volume(
+        rng.uniform(-30, 255, (24, 14, 150)).astype(np.float32))
+    tf = default_transfer_function()
+    cfg = RenderConfig(width=32, height=32, samples_per_ray=24)
+    for pos in ((0.35, 0.45, 0.85), (-0.7, 0.2, 0.6)):
+        cam = Camera.initial(position=pos)
+        for kw, tol in (({}, 2e-5), (dict(lighting=True), 6e-3),
+                        (dict(scattering=True), 6e-3)):
+            c = cfg.replace(**kw)
+            want = np.asarray(render_test(volume, tf, cam, c, mode="fast"))
+            got = np.asarray(render_test_pallas(
+                volume, tf, cam, c, early_eps=0.0, interpret=True,
+                id_stream_block=8))
+            err = np.abs(got - want).max()
+            assert err <= tol, (pos, kw, err)

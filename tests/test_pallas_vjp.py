@@ -248,3 +248,77 @@ def test_color_grads_with_baked_lighting(scene):
 
     g_u = jax.grad(loss_unlit)(tf.colors)
     assert float(jnp.max(jnp.abs(g_p - g_u))) > 1e-6
+
+
+def test_streamed_diff_matches_xla(scene):
+    """Beyond-VMEM training tier (round-4 VERDICT item 1b): the manual-DMA
+    streamed custom_vjp core — forward values AND TF-color grads match
+    the XLA scan across multi-block decompositions, both march
+    directions, and the front.x == 0 clamp edge."""
+    from volumerenderingproject_tpu.ops.pallas_march_vjp import (
+        render_vrc_pallas_diff_streamed,
+    )
+
+    _, tf, _, _, _ = scene
+    rng = np.random.default_rng(11)
+    volume = make_volume(
+        rng.uniform(0.0, 255.0, size=(24, 10, 9)).astype(np.float32))
+    cfg = RenderConfig(width=16, height=6, samples_per_ray=32)
+    target = jnp.asarray(
+        rng.uniform(0.0, 1.0, size=(16, 6, 4)).astype(np.float32))
+
+    for campos in ((0.4, 0.3, 0.9), (-0.6, 0.2, 0.7), (0.9, 0.1, 0.05),
+                   (0.0, 0.95, 0.1)):
+        cam = Camera.initial(position=campos)
+
+        def loss_xla(colors):
+            img = render_vrc(
+                volume, _with_colors(tf, colors), cam, cfg, mode="fast")
+            return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+        def loss_streamed(colors):
+            img = render_vrc_pallas_diff_streamed(
+                volume, _with_colors(tf, colors), cam, cfg,
+                interpret=True, block_x=8)
+            return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+        want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+        got = np.asarray(render_vrc_pallas_diff_streamed(
+            volume, tf, cam, cfg, interpret=True, block_x=8))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        g1 = np.asarray(jax.grad(loss_xla)(tf.colors))
+        g2 = np.asarray(jax.grad(loss_streamed)(tf.colors))
+        assert np.abs(g1).sum() > 0
+        np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
+
+
+def test_streamed_diff_alpha0_outside_samples(scene):
+    """TF(0).alpha > 0: out-of-volume samples clamp into the boundary
+    blocks and scatter into TF(0)'s interval — gradient parity holds."""
+    from volumerenderingproject_tpu.ops.pallas_march_vjp import (
+        render_vrc_pallas_diff_streamed,
+    )
+
+    _, tf0, _, _, _ = scene
+    colors = np.asarray(tf0.colors).copy()
+    colors[0, 3] = 0.1
+    tf = _with_colors(tf0, jnp.asarray(colors))
+    rng = np.random.default_rng(3)
+    volume = make_volume(
+        rng.uniform(0.0, 255.0, size=(24, 10, 9)).astype(np.float32))
+    cfg = RenderConfig(width=16, height=6, samples_per_ray=32)
+    target = jnp.zeros((16, 6, 4), jnp.float32)
+    cam = Camera.initial(position=(0.4, 0.3, 0.9))
+
+    def loss(colors, streamed):
+        tf2 = _with_colors(tf, colors)
+        if streamed:
+            img = render_vrc_pallas_diff_streamed(
+                volume, tf2, cam, cfg, interpret=True, block_x=8)
+        else:
+            img = render_vrc(volume, tf2, cam, cfg, mode="fast")
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    g1 = np.asarray(jax.grad(loss)(tf.colors, False))
+    g2 = np.asarray(jax.grad(loss)(tf.colors, True))
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)

@@ -173,6 +173,16 @@ def _render_with_density(volume, tf, camera, config, density, light=None):
         # fused Pallas forward+backward (ops/pallas_march_vjp.py); the
         # alpha-column density fold above routes d/d density by chain rule
         return render_vrc_pallas_diff(volume, tf2, camera, config)
+    from ..ops.pallas_march_vjp import (
+        diff_pallas_streamed_eligible,
+        render_vrc_pallas_diff_streamed,
+    )
+
+    if diff_pallas_streamed_eligible(volume, tf2, config):
+        # beyond-VMEM training (round-4 VERDICT item 1b): the manual-DMA
+        # streamed custom_vjp core — forward streams each x-block once,
+        # backward twice; 512^3-class fits leave the XLA gather floor
+        return render_vrc_pallas_diff_streamed(volume, tf2, camera, config)
     return raycast.render_vrc(volume, tf2, camera, config, mode="fast")
 
 

@@ -725,20 +725,29 @@ def _pallas_a5_eligible(volume: Volume, tf, config: RenderConfig,
     — no ortho restriction."""
     import jax as _jax
 
-    from ..ops.pallas_a5 import a5_baked_light_feasible, a5_packed_geometry
+    from ..ops.pallas_a5 import (
+        a5_baked_light_feasible,
+        a5_packed_geometry,
+        a5_stream_geometry,
+    )
 
     fits_f32 = volume.dims[2] <= 127
     need_bake = config.lighting or config.scattering
     packed_ok = (a5_packed_geometry(volume.dims, tf.num_intervals)
                  is not None)
+    # id grids beyond the resident budget stream per x-block (round-4
+    # VERDICT item 4: 512^3-class a5 renders fused)
+    stream_ok = not fits_f32 and not packed_ok and (
+        a5_stream_geometry(volume.dims, tf.num_intervals) is not None)
     bake_ok = not need_bake or (
-        a5_baked_light_feasible(volume.dims) if fits_f32 else packed_ok
+        a5_baked_light_feasible(volume.dims) if fits_f32
+        else (packed_ok or stream_ok)
     )
     return (
         _jax.default_backend() == "tpu"
         and mode == "fast"
         and volume.channels == 1
-        and (fits_f32 or packed_ok)
+        and (fits_f32 or packed_ok or stream_ok)
         and bake_ok
         and not (config.scattering and config.conic)
     )
@@ -757,10 +766,26 @@ def render(
 
     On a TPU backend the a1/VRC and a5/TEST paths route to their fused
     Pallas kernels (ops/pallas_march.py, ops/pallas_a5.py) whenever those
-    implement the requested semantics exactly; ``config.early_termination``
+    implement the requested semantics; ``config.early_termination``
     sets their epsilon (0 = bit-exact vs the scan up to compiler FMA
-    placement).
+    placement).  Accuracy tiers: resident f32 kernels are value-exact
+    (<= 2e-5, bit-exact on chip post precision pins); the 4-bit a5 id
+    grid is exact (ids are discrete); but LIT/SCATTERED configs beyond
+    the resident VMEM budget stream u8-quantized (M, S) factor grids
+    with a documented ~2e-3 max error vs the XLA scan (PARITY.md
+    "streamed lit tier").  Pass ``mode="xla"`` to skip every fused
+    kernel and run the exact XLA scan (otherwise identical to "fast").
     """
+    if mode == "xla":
+        mode = "fast"
+        if config.algorithm is Algorithm.TEST:
+            return render_test(volume, tf, camera, config, mode=mode,
+                               remat=remat)
+        if config.algorithm is Algorithm.POINT:
+            from . import point_splat
+
+            return point_splat.render_points(volume, tf, camera, config)
+        return render_vrc(volume, tf, camera, config, mode=mode, remat=remat)
     if config.algorithm is Algorithm.TEST:
         if _pallas_a5_eligible(volume, tf, config, mode):
             from ..ops.pallas_a5 import render_test_pallas

@@ -79,6 +79,8 @@ def _a5_kernel(
     ms_brm: int = 0,
     nxb: int = 0,
     block_x: int = 0,
+    id_stream: bool = False,
+    id_brm: int = 0,
 ):
     """``baked_light``: Blinn-Phong on the containing voxel's gradient
     normal (models/raycast._a5_sample_fn lit branch) via per-voxel (M, S)
@@ -107,10 +109,21 @@ def _a5_kernel(
     the a1 manual stream.  Each block marches only the chunk range its
     x-interval maps to (the inverse affine), shades owned samples from
     the block's (M, S) slot, and masks non-owned samples to the over
-    identity."""
+    identity.
+
+    ``id_stream`` (packed mode, round-4 VERDICT item 4): the 4-bit id
+    GRID ITSELF stays in HBM and streams per x-block through the same
+    double-buffered manual-DMA block loop (512^3-class a5 renders, whose
+    id grid exceeds the resident VMEM budget).  Each block's slot holds
+    ``block_x + 1`` x planes (the corner taps reach x+1, one plane into
+    the next block); ownership masks non-owned samples exactly as
+    ms_stream does.  Composes with ms_stream (lit/scattered 512^3 a5 —
+    both grids ride the same block index)."""
     rest = list(rest)
     ms_sem_ref = rest.pop() if ms_stream else None
     ms_bufs_ref = rest.pop() if ms_stream else None
+    id_sem_ref = rest.pop() if id_stream else None
+    id_bufs_ref = rest.pop() if id_stream else None
     mg_ref = rest.pop(0) if baked_light else None
     sg_ref = rest.pop(0) if baked_light else None
     ms_hbm_ref = rest.pop(0) if ms_stream else None
@@ -175,10 +188,11 @@ def _a5_kernel(
                 out[c] = jnp.where(m, tf_colors_ref[k, c], out[c])
         return out
 
-    # ms_stream: per-block march context, set by march_range before each
-    # while_loop trace (chunk_body is re-traced per call, so the cell's
-    # current values bind into that trace — no carry-threading needed)
+    # ms_stream/id_stream: per-block march context, set by march_range
+    # before each while_loop trace (chunk_body is re-traced per call, so
+    # the cell's current values bind into that trace — no carry-threading)
     ms_cell = [None, None]  # [ms slot ref, block x0]
+    id_cell = [None]  # [id slot ref] (block x0 shared via ms_cell[1])
 
     def chunk_body(carry):
         ci, cr, cg, cb, t = carry
@@ -323,30 +337,74 @@ def _a5_kernel(
                 jnp.where(valid, jnp.minimum(taps[0][4], taps[2][4]), _BIG))
             gmax = jnp.max(
                 jnp.where(valid, jnp.maximum(taps[0][4], taps[2][4]), -1))
-            nrows_grid = vol_ref.shape[0]
+            if id_stream:
+                # rows come from the block's VMEM slot ([block_x + 2]
+                # planes starting at bx0 — +1 for corner taps, +1 more
+                # for the y-wrap quirk's x+2 reach): clamp the tap x
+                # range to the
+                # slot — non-owned samples' taps outside it fetch 0 and
+                # are alpha-masked by the ownership gate below
+                id_ref = id_cell[0]
+                bx0s = ms_cell[1]
+                rowbase = bx0s * nyg
+                rxmin_l = jnp.clip(rxmin - bx0s, 0, block_x + 1)
+                rxmax_l = jnp.clip(rxmax - bx0s, 0, block_x + 1)
+                nrows_grid = id_brm
 
-            def px_loop(dxi, accs):
-                cx = rxmin + dxi
+                def px_loop(dxi, accs):
+                    cx = rxmin_l + dxi
 
-                def pg_loop(dgi, accs):
-                    cg = gmin + dgi
-                    crow = cx * nyg + cg
-                    # rx == d1 rows (always flat-guarded) may exceed the
-                    # grid: clamp the read; the growid select rejects it
-                    crowc = jnp.clip(crow, 0, nrows_grid - 1)
-                    rowv = vol_ref[pl.ds(crowc, 1), :]
-                    bc = jnp.broadcast_to(rowv, (8, 128))
-                    out = []
-                    for acc, (growid, lane, shift, _, _) in zip(accs, taps):
-                        w = jnp.take_along_axis(bc, lane, axis=1)
-                        mid = jax.lax.shift_right_logical(w, shift) & 15
-                        out.append(jnp.where(growid == crow, mid, acc))
-                    return tuple(out)
+                    def pg_loop(dgi, accs):
+                        cg = gmin + dgi
+                        crow = cx * nyg + cg
+                        crowc = jnp.clip(crow, 0, nrows_grid - 1)
+                        rowv = id_ref[pl.ds(crowc, 1), :]
+                        bc = jnp.broadcast_to(rowv, (8, 128))
+                        out = []
+                        for acc, (growid, lane, shift, _, _) in zip(
+                                accs, taps):
+                            w = jnp.take_along_axis(bc, lane, axis=1)
+                            mid = jax.lax.shift_right_logical(
+                                w, shift) & 15
+                            out.append(jnp.where(
+                                growid == crow + rowbase, mid, acc))
+                        return tuple(out)
 
-                return jax.lax.fori_loop(0, gmax - gmin + 1, pg_loop, accs)
+                    return jax.lax.fori_loop(
+                        0, gmax - gmin + 1, pg_loop, accs)
+
+                nx_iters = rxmax_l - rxmin_l + 1
+            else:
+                nrows_grid = vol_ref.shape[0]
+
+                def px_loop(dxi, accs):
+                    cx = rxmin + dxi
+
+                    def pg_loop(dgi, accs):
+                        cg = gmin + dgi
+                        crow = cx * nyg + cg
+                        # rx == d1 rows (always flat-guarded) may exceed
+                        # the grid: clamp the read; the growid select
+                        # rejects it
+                        crowc = jnp.clip(crow, 0, nrows_grid - 1)
+                        rowv = vol_ref[pl.ds(crowc, 1), :]
+                        bc = jnp.broadcast_to(rowv, (8, 128))
+                        out = []
+                        for acc, (growid, lane, shift, _, _) in zip(
+                                accs, taps):
+                            w = jnp.take_along_axis(bc, lane, axis=1)
+                            mid = jax.lax.shift_right_logical(
+                                w, shift) & 15
+                            out.append(jnp.where(growid == crow, mid, acc))
+                        return tuple(out)
+
+                    return jax.lax.fori_loop(
+                        0, gmax - gmin + 1, pg_loop, accs)
+
+                nx_iters = rxmax - rxmin + 1
 
             zeros8i = tuple(jnp.zeros((8, 128), _i32) for _ in range(8))
-            ids8 = jax.lax.fori_loop(0, rxmax - rxmin + 1, px_loop, zeros8i)
+            ids8 = jax.lax.fori_loop(0, nx_iters, px_loop, zeros8i)
             ids8 = [jnp.where(fl < total, m, id0k)
                     for m, fl in zip(ids8, flats)]
 
@@ -381,13 +439,15 @@ def _a5_kernel(
             sr = sr * mval + sval
             sg = sg * mval + sval
             sb = sb * mval + sval
-        if ms_stream:
-            ms_ref, bx0 = ms_cell
+        if ms_stream or id_stream:
+            bx0 = ms_cell[1]
             # every sample is owned by exactly ONE block: the block of
             # its containing voxel's x (outside samples by the clipped x,
             # so they render once with TF(0)'s color when its alpha > 0)
             oxi = jnp.clip(ixi, 0, d1 - 1)
             owned = (oxi >= bx0) & (oxi < bx0 + block_x)
+        if ms_stream:
+            ms_ref = ms_cell[0]
             shade_ok = inside & owned
             # (M, S) tap at the containing voxel from the block slot:
             # u8 pair per voxel, 2 voxels per word (pack_ms_grid layout)
@@ -438,6 +498,7 @@ def _a5_kernel(
             sr = sr * mval + sval
             sg = sg * mval + sval
             sb = sb * mval + sval
+        if ms_stream or id_stream:
             # non-owned samples are the over identity for this block
             sa = sa * owned.astype(_f32)
 
@@ -458,9 +519,10 @@ def _a5_kernel(
     zeros = jnp.zeros((2, 128), _f32)
     ones = jnp.ones((2, 128), _f32)
 
-    def march_range(c_lo, c_hi, ms_ref=None, bx0=None):
+    def march_range(c_lo, c_hi, ms_ref=None, bx0=None, id_ref=None):
         ms_cell[0] = ms_ref
         ms_cell[1] = bx0
+        id_cell[0] = id_ref
 
         def cond(carry):
             ci, _, _, _, t = carry
@@ -469,14 +531,14 @@ def _a5_kernel(
         def body(carry):
             # fresh function object per march_range call: lax.while_loop
             # caches traced bodies by function identity, and chunk_body's
-            # trace depends on the ms_cell contents
+            # trace depends on the ms_cell/id_cell contents
             return chunk_body(carry)
 
         _, cr, cg, cb, t = jax.lax.while_loop(
             cond, body, (c_lo, zeros, zeros, zeros, ones))
         return cr, cg, cb, t
 
-    if not ms_stream:
+    if not (ms_stream or id_stream):
         cr, cg, cb, t = march_range(jnp.asarray(0, _i32), nchunks)
         out_r_ref[0, 0] = cr
         out_g_ref[0, 0] = cg
@@ -502,13 +564,42 @@ def _a5_kernel(
         return jnp.clip(jnp.where(fwdb, kvis, nxb - 1 - kvis),
                         0, nxb - 1).astype(_i32)
 
-    def dma(slot, kvis):
+    def ms_dma(slot, kvis):
         bk = bk_of(kvis)
         return pltpu.make_async_copy(
             ms_hbm_ref.at[pl.ds(bk * ms_brm, ms_brm), :],
             ms_bufs_ref.at[slot],
             ms_sem_ref.at[slot],
         )
+
+    def id_dma(slot, kvis):
+        # [block_x + 1] x planes: corner taps reach one plane past the
+        # block (consecutive block ranges overlap by nyg rows — fine)
+        bk = bk_of(kvis)
+        return pltpu.make_async_copy(
+            vol_ref.at[pl.ds(bk * block_x * nyg, id_brm), :],
+            id_bufs_ref.at[slot],
+            id_sem_ref.at[slot],
+        )
+
+    class _Dma:
+        def __init__(self, slot, kvis):
+            self.slot, self.kvis = slot, kvis
+
+        def start(self):
+            if ms_stream:
+                ms_dma(self.slot, self.kvis).start()
+            if id_stream:
+                id_dma(self.slot, self.kvis).start()
+
+        def wait(self):
+            if ms_stream:
+                ms_dma(self.slot, self.kvis).wait()
+            if id_stream:
+                id_dma(self.slot, self.kvis).wait()
+
+    def dma(slot, kvis):
+        return _Dma(slot, kvis)
 
     def crange(bk):
         """This block's chunk interval [c_lo, c_hi) — the inverse affine
@@ -552,7 +643,10 @@ def _a5_kernel(
         bk = bk_of(kvis)
         c_lo, c_hi = crange(bk)
         bcr, bcg, bcb, bt = march_range(
-            c_lo, c_hi, ms_ref=ms_bufs_ref.at[slot], bx0=bk * block_x)
+            c_lo, c_hi,
+            ms_ref=ms_bufs_ref.at[slot] if ms_stream else None,
+            bx0=bk * block_x,
+            id_ref=id_bufs_ref.at[slot] if id_stream else None)
         # visit order == visibility order: the accumulator is in front
         return (cr + t * bcr, cg + t * bcg, cb + t * bcb, t * bt)
 
@@ -673,6 +767,31 @@ def a5_pack_id_grid(
     return grid, id0.astype(_f32)
 
 
+_A5_ID_SLOT_BUDGET = 3 * 2**20  # per id-block slot (x2 double buffer)
+
+
+def a5_stream_geometry(
+    dims: Tuple[int, int, int], num_intervals: int
+) -> Tuple[int, int, int, int, int] | None:
+    """(zw, ypack, nyg, block_x, nxb) for STREAMING the 4-bit a5 id grid
+    per x-block (round-4 VERDICT item 4: 512^3-class a5 whose id grid
+    exceeds the resident a5_packed_geometry budget), or None when the
+    packed layout itself cannot apply (z > 1023 / K > 16)."""
+    d1, d2, d3 = dims
+    if num_intervals > 16:
+        return None
+    zw = -(-(d3 + 1) // 8)
+    if zw > 128:
+        return None  # d3 > 1023
+    ypack = min(128 // zw, d2)
+    nyg = -(-d2 // ypack)
+    per_plane = nyg * 128 * 4
+    block_x = max(8, (_A5_ID_SLOT_BUDGET // per_plane - 1) // 8 * 8)
+    block_x = min(block_x, _pad_to(d1, 8))
+    d1p = _pad_to(d1, block_x)
+    return zw, ypack, nyg, block_x, d1p // block_x
+
+
 def a5_baked_light_feasible(dims: Tuple[int, int, int]) -> bool:
     """Static predicate: do the volume rows plus the two per-voxel Phong
     factor grids fit the a5 kernel's VMEM budget?  (a5 lighting always
@@ -709,6 +828,7 @@ def render_test_pallas(
     s_start=0,
     s_count: int | None = None,
     segment: bool = False,
+    id_stream_block: int | None = None,
 ) -> jnp.ndarray:
     """a5/TEST render via the fused Pallas kernel -> [W, H, 4].
 
@@ -722,16 +842,35 @@ def render_test_pallas(
     the XLA renderer otherwise.  ``config.lighting`` runs through baked
     per-voxel Phong factor grids (any gradient filter; needs a uniform
     light color, the a5_baked_light_feasible VMEM budget, and the f32
-    layout — packed volumes render unlit)."""
+    layout — packed volumes render unlit).
+
+    Id grids beyond the resident a5_packed_geometry budget (512^3-class,
+    round-4 VERDICT item 4) STREAM per x-block with manual double-
+    buffered DMA (a5_stream_geometry; ``id_stream_block`` overrides the
+    block size for tests); lit/scattered renders stream the (M, S) pack
+    alongside on the same block index."""
     d1, d2, d3 = volume.dims
     zpack = None
+    id_mode = False
+    id_bx = id_nxb = 0
     if d3 > 127:
         zpack = a5_packed_geometry(volume.dims, tf.num_intervals)
-        if zpack is None:
-            raise ValueError(
-                f"a5 pallas path: dims {volume.dims} / {tf.num_intervals} "
-                "intervals fit neither the f32 rows (z <= 127) nor the "
-                "packed id grid; use the XLA renderer")
+        if zpack is None or id_stream_block is not None:
+            geo = a5_stream_geometry(volume.dims, tf.num_intervals)
+            if geo is None:
+                raise ValueError(
+                    f"a5 pallas path: dims {volume.dims} / "
+                    f"{tf.num_intervals} intervals fit neither the f32 "
+                    "rows (z <= 127) nor the packed id grid (z <= 1023); "
+                    "use the XLA renderer")
+            zw_, yp_, nyg_, id_bx, id_nxb = geo
+            if id_stream_block is not None:
+                if id_stream_block % 8:
+                    raise ValueError("id_stream_block must be 8-aligned")
+                id_bx = id_stream_block
+                id_nxb = _pad_to(d1, id_bx) // id_bx
+            zpack = (zw_, yp_, nyg_)
+            id_mode = True
     if volume.channels != 1:
         raise ValueError("a5 pallas path supports single-channel volumes")
     baked = (bool(config.lighting) or bool(config.scattering)
@@ -766,9 +905,25 @@ def render_test_pallas(
     ntx = -(-w_local // TILE_PX)
     nty = -(-h // TILE_PY)
 
+    import dataclasses as _dc
+
     id0 = jnp.zeros((), _f32)
+    id_brm = 0
     if zpack is None:
         vol_rows = _stage_rows_a5(volume)
+    elif id_mode:
+        # pad x to the block grid + 1 margin plane (corner taps reach
+        # x+1 across the block boundary); padded voxels are flat-guarded
+        d1p_id = id_nxb * id_bx
+        # +2 margin planes: a corner tap reaches x+1, and the reference's
+        # y-wrap quirk (kernel.cu:129-159) can push it to x+2
+        pad_x = d1p_id + 2 - d1
+        data_p = jnp.pad(volume.data.reshape(volume.dims),
+                         ((0, pad_x), (0, 0), (0, 0)))
+        vol_pad = _dc.replace(volume, data=data_p,
+                              dims=(d1p_id + 2, d2, d3))
+        vol_rows, id0 = a5_pack_id_grid(vol_pad, tf, zpack)
+        id_brm = (id_bx + 2) * zpack[2]
     else:
         vol_rows, id0 = a5_pack_id_grid(volume, tf, zpack)
     rows = vol_rows.shape[0]
@@ -778,6 +933,9 @@ def render_test_pallas(
     ms_q = None
     ms_brm = nxb = bx = 0
     nzr = 1
+    if id_mode:
+        bx = id_bx
+        nxb = id_nxb
     if baked:
         data3d = volume.data.reshape(volume.dims)
         if config.lighting or (light is not None and not config.scattering):
@@ -795,12 +953,19 @@ def render_test_pallas(
                 jnp.asarray(volume.cal_max, _f32),
                 jnp.trunc(jnp.asarray(volume.cal_max, _f32)))
         if ms_mode:
-            # u8-quantized (M, S) pack streamed per x-block (~2 MB/slot)
+            # u8-quantized (M, S) pack streamed per x-block (~2 MB/slot);
+            # with a streamed id grid both ride the SAME block index
             nzr = -(-d3 // 256)
-            ms_pp = d2 * nzr * 512  # bytes per x plane
-            bx = max(8, min((_A5_MS_SLOT_BUDGET // ms_pp) // 8 * 8, 64))
-            d1p = _pad_to(d1, bx)
-            nxb = d1p // bx
+            if id_mode:
+                bx = id_bx
+                d1p = id_nxb * id_bx
+                nxb = id_nxb
+            else:
+                ms_pp = d2 * nzr * 512  # bytes per x plane
+                bx = max(8, min((_A5_MS_SLOT_BUDGET // ms_pp) // 8 * 8,
+                                64))
+                d1p = _pad_to(d1, bx)
+                nxb = d1p // bx
             ms_rows, ms_q, nzr = pack_ms_grid(mgrid, sgrid, d1p)
             ms_brm = bx * d2 * nzr
             extra_args.append(ms_rows)
@@ -858,8 +1023,25 @@ def render_test_pallas(
         ms_brm=ms_brm,
         nxb=nxb,
         block_x=bx,
+        id_stream=id_mode,
+        id_brm=id_brm,
     )
 
+    vol_spec = (
+        pl.BlockSpec(memory_space=pl.ANY)  # id grid streams from HBM
+        if id_mode else
+        pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    # scratch order matches the kernel's pops: [id bufs, id sem] then
+    # [ms bufs, ms sem] (ms popped last)
+    scratch = []
+    if id_mode:
+        scratch += [pltpu.VMEM((2, id_brm, 128), jnp.int32),
+                    pltpu.SemaphoreType.DMA((2,))]
+    if ms_mode:
+        scratch += [pltpu.VMEM((2, ms_brm, 128), jnp.int32),
+                    pltpu.SemaphoreType.DMA((2,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(ntx, nty),
@@ -868,18 +1050,14 @@ def render_test_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tf lower
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tf upper
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tf colors
-            pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),  # volume
+            vol_spec,  # volume / id grid
         ] + extra_specs,  # [M, S rows (baked)] | [(M, S) pack (ms HBM)]
         out_specs=[
             pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ],
-        scratch_shapes=([
-            pltpu.VMEM((2, ms_brm, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ] if ms_mode else []),
+        scratch_shapes=scratch,
     )
     out_shape = [jax.ShapeDtypeStruct((ntx, nty, 2, 128), _f32)
                  for _ in range(4)]
@@ -1294,22 +1472,21 @@ def _make_a5_core(dims, num_intervals, width, height, spr, zpack, rows,
     return core
 
 
-def render_test_pallas_diff(
+def _a5_diff_tiles(
     volume: Volume,
     tf: TransferFunction,
     camera: Camera,
     config: RenderConfig,
     *,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """a5/TEST render -> [W, H, 4], differentiable w.r.t. ``tf.colors``
-    through fused Pallas forward AND backward kernels (f32 rows for
-    z <= 127, the packed 4-bit interval-id grid otherwise — the grid
-    depends only on gradient-inert bounds, so color gradients are exact).
-
-    Value-identical to ``render_test_pallas(..., early_eps=0)``; gradients
-    match ``jax.grad`` through the XLA a5 scan (a == 1 caveat as the a1
-    diff kernel).  No lighting/scattering (fit those via the XLA path)."""
+    x_offset=0,
+    local_width: int | None = None,
+    s_start=0,
+    s_count: int | None = None,
+):
+    """Shared differentiable a5 driver -> (cr, cg, cb, t) tiles of the
+    ray-column x sample-segment work unit (full render: offsets 0).
+    Offsets may be traced (axis_index-derived); shapes are static."""
     d1, d2, d3 = volume.dims
     if volume.channels != 1:
         raise ValueError("a5 diff path supports single-channel volumes")
@@ -1334,6 +1511,8 @@ def render_test_pallas_diff(
     rows = vol_rows.shape[0]
 
     w, h = config.width, config.height
+    w_local = w if local_width is None else local_width
+    s_count = config.samples_per_ray if s_count is None else s_count
     iv = T.inverse(camera.look_at_origin_view())
     L = float(volume.longest_dimension)
     m3 = [volume.dims[c] / 2.0 - L / 2.0 + 0.5 * L for c in range(3)]
@@ -1351,23 +1530,73 @@ def render_test_pallas_diff(
         jnp.asarray(m3, _f32),
         jnp.asarray([L], _f32),
         id0.reshape(1),
-        jnp.zeros((2,), _f32),  # x_offset, s_start
+        jnp.asarray(x_offset, _f32)[None],  # [24] ray-column offset
+        jnp.asarray(s_start, _f32)[None],  # [25] sample-segment start
     ])
 
     core = _make_a5_core(
-        volume.dims, tf.num_intervals, w, h, config.samples_per_ray,
-        zpack, rows, bool(interpret))
+        volume.dims, tf.num_intervals, w, h, s_count,
+        zpack, rows, bool(interpret), local_width)
     cr, cg, cb, t = core(tf.colors, tf.lower, tf.upper, scal, vol_rows)
 
-    ntx = -(-w // TILE_PX)
+    ntx = -(-w_local // TILE_PX)
     nty = -(-h // TILE_PY)
 
     def unpack(a):
         a = a.reshape(ntx, nty, TILE_PX, TILE_PY)
         a = a.transpose(0, 2, 1, 3).reshape(ntx * TILE_PX, nty * TILE_PY)
-        return a[:w, :h]
+        return a[:w_local, :h]
 
+    return unpack(cr), unpack(cg), unpack(cb), unpack(t)
+
+
+def render_test_pallas_diff_segment(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    x_offset=0,
+    local_width: int | None = None,
+    s_start=0,
+    s_count: int | None = None,
+    interpret: bool = False,
+):
+    """Shard_map-friendly DIFFERENTIABLE fused a5 work unit -> (C, T)
+    segment — the a5 twin of
+    ops/pallas_march_vjp.render_vrc_pallas_diff_segment (round-4 VERDICT
+    item 3): marches ray columns [x_offset, x_offset + local_width) x
+    samples [s_start, s_start + s_count) through the custom_vjp a5 core,
+    so ``jax.grad`` of a sharded a5 loss runs the fused forward AND
+    backward kernels on every device (rays/samples axes; volume slabs
+    stay on the XLA scan segments).  Matches
+    /root/reference/kernel.cu:72-187 under shard_map transposition."""
+    cr, cg, cb, t = _a5_diff_tiles(
+        volume, tf, camera, config, interpret=interpret,
+        x_offset=x_offset, local_width=local_width,
+        s_start=s_start, s_count=s_count)
+    return jnp.stack([cr, cg, cb], axis=-1), t[..., None]
+
+
+def render_test_pallas_diff(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """a5/TEST render -> [W, H, 4], differentiable w.r.t. ``tf.colors``
+    through fused Pallas forward AND backward kernels (f32 rows for
+    z <= 127, the packed 4-bit interval-id grid otherwise — the grid
+    depends only on gradient-inert bounds, so color gradients are exact).
+
+    Value-identical to ``render_test_pallas(..., early_eps=0)``; gradients
+    match ``jax.grad`` through the XLA a5 scan (a == 1 caveat as the a1
+    diff kernel).  No lighting/scattering (fit those via the XLA path)."""
+    w, h = config.width, config.height
+    cr, cg, cb, t = _a5_diff_tiles(
+        volume, tf, camera, config, interpret=interpret)
     bg = jnp.asarray(config.background, _f32)
-    t2 = unpack(t)
-    rgb = [unpack(c) + t2 * bg[i] for i, c in enumerate((cr, cg, cb))]
+    rgb = [c + t * bg[i] for i, c in enumerate((cr, cg, cb))]
     return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)

@@ -1105,10 +1105,24 @@ def bake_light_grids(
     ``light.color`` so M collapses to one channel-independent grid.
     Supports every gradient_filter / presmooth_sigma (the bake runs the
     same XLA convolution the scan renderer uses)."""
-    from . import conv3d, phong
+    from . import conv3d
 
     grad = conv3d.gradient_field(
         data, config.gradient_filter, config.presmooth_sigma)  # [X,Y,Z,3]
+    return bake_light_grids_from_grad(grad, light, view_dir)
+
+
+def bake_light_grids_from_grad(
+    grad: jnp.ndarray,
+    light,
+    view_dir: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The shading half of :func:`bake_light_grids`, taking a precomputed
+    gradient field [..., 3] — used by volume-slab callers whose gradients
+    come from a halo-extended slab (parallel/render_dist.py diff slab
+    segments) rather than the replicated volume."""
+    from . import phong
+
     ldir = light.direction / jnp.linalg.norm(light.direction)
     n_norm = jnp.linalg.norm(grad, axis=-1)
     nn = grad / jnp.maximum(n_norm[..., None], 1e-8)

@@ -105,6 +105,7 @@ def _march_bwd_kernel(
     krows: int = 8,
     baked_light: bool = False,
     local_width: int | None = None,
+    slab_x: int | None = None,
 ):
     """``spr`` is the LOCAL sample count of this segment (the global
     sample index is ``scal[30] + local``) and ``local_width``/``scal[29]``
@@ -115,6 +116,17 @@ def _march_bwd_kernel(
     cotangent of the segment-final transmittance, whether that flows from
     the caller's ``+ T * bg`` (full render) or from transposing
     ops/composite.segment_compose (sharded segments).
+
+    ``slab_x``/``scal[31]`` carry a volume x-slab exactly as in the
+    forward: ``vol_ref`` (and the baked (M, S) rows) hold only the
+    slab's rows, every sample is owned by the slab of its x-clamped
+    voxel (ops/sampling.octree_nn_sample_slab), and non-owned samples
+    are the over identity — their alpha is forced 0 AND their interval
+    scatter is dropped (an outside-volume sample owned by this slab
+    still scatters into TF(0)'s interval, exactly like the replicated
+    backward).  Summed over slabs (shard_map's psum), the gradients
+    equal the replicated backward's because ownership partitions the
+    sample set.
 
     ``baked_light``: the forward shades classified colors with baked
     per-voxel factors, c' = c * M + S (ops/pallas_march.bake_light_grids).
@@ -150,7 +162,9 @@ def _march_bwd_kernel(
     rsh = scal_ref[21]
     x_off_i = scal_ref[29].astype(_i32)  # ray-column offset (segments)
     s_start_i = scal_ref[30].astype(_i32)  # global index of local sample 0
+    x0_i = scal_ref[31].astype(_i32)  # volume-slab x offset (slab mode)
     lw = width if local_width is None else local_width
+    slab = slab_x is not None
 
     tx = pl.program_id(0)
     ty = pl.program_id(1)
@@ -208,24 +222,35 @@ def _march_bwd_kernel(
             valid &= (res[c] >= hg[c]) & (res[c] < hg_hi[c])
         ijk = [jnp.trunc((res[c] + halfd[c]) - halfL).astype(_i32)
                for c in range(3)]
+        if slab:
+            # ownership: the slab of the sample's x-clamped voxel (same
+            # clamp as the forward _march_kernel slab mode); non-owned
+            # samples contribute NOTHING to this device's gradients
+            gx = jnp.clip(ijk[0], 0, d1 - 1)
+            owned = (gx >= x0_i) & (gx < x0_i + slab_x)
+            valid &= owned
+            lxv = ijk[0] - x0_i
+        else:
+            owned = None
+            lxv = ijk[0]
         if packed:
             # material-id grid fetch (mirrors _march_kernel's packed mode)
             ygrp = jnp.where(valid, ijk[1] // ypack, 0)
-            rowid = jnp.where(valid, ijk[0] * nyg + ygrp, -1)
+            rowid = jnp.where(valid, lxv * nyg + ygrp, -1)
             iz = jnp.where(
                 valid, (ijk[1] - ygrp * ypack) * zw + ijk[2] // 8, 0)
             ry = ygrp
             stride = nyg
             acc_dtype = _i32
         else:
-            rowid = jnp.where(valid, ijk[0] * d2 + ijk[1], -1)
+            rowid = jnp.where(valid, lxv * d2 + ijk[1], -1)
             iz = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
             ry = ijk[1]
             stride = d2
             acc_dtype = _f32
-        rxmin = jnp.min(jnp.where(valid, ijk[0], _BIG))
+        rxmin = jnp.min(jnp.where(valid, lxv, _BIG))
         rymin = jnp.min(jnp.where(valid, ry, _BIG))
-        rxmax = jnp.max(jnp.where(valid, ijk[0], -1))
+        rxmax = jnp.max(jnp.where(valid, lxv, -1))
         rymax = jnp.max(jnp.where(valid, ry, -1))
 
         def fx(dx, acc):
@@ -273,11 +298,11 @@ def _march_bwd_kernel(
             # fetch the baked (M, S) factors at the sample voxel (f32 row
             # layout regardless of the main grid's packing) and shade:
             # c' = c * M + S — mirrors _march_kernel's baked_light block
-            rowid_f = jnp.where(valid, ijk[0] * d2 + ijk[1], -1)
+            rowid_f = jnp.where(valid, lxv * d2 + ijk[1], -1)
             iz_f = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
-            rfxmin = jnp.min(jnp.where(valid, ijk[0], _BIG))
+            rfxmin = jnp.min(jnp.where(valid, lxv, _BIG))
             rfymin = jnp.min(jnp.where(valid, ijk[1], _BIG))
-            rfxmax = jnp.max(jnp.where(valid, ijk[0], -1))
+            rfxmax = jnp.max(jnp.where(valid, lxv, -1))
             rfymax = jnp.max(jnp.where(valid, ijk[1], -1))
 
             def bfx(dxi, accs2):
@@ -309,6 +334,11 @@ def _march_bwd_kernel(
             b = b * mval + sval
         # mask steps beyond spr in the last chunk (matches the forward gate)
         live = (ci * STEPS + s_idx) < spr
+        if slab:
+            # non-owned samples are the over identity on this device:
+            # zero alpha in the march recurrence AND no interval scatter
+            # (live gates both below)
+            live &= owned
         a = a * live.astype(_f32)
         gdotc = gr4 * r + gg4 * g + gb4 * b
         return a, gdotc, matches, live, mval
@@ -377,7 +407,7 @@ def _march_bwd_kernel(
 @functools.lru_cache(maxsize=32)
 def _make_core(dims, depth, num_intervals, width, height, spr, conic,
                nb, rows, interpret, zpack=None, baked=False,
-               local_width=None):
+               local_width=None, slab_x=None):
     """Build (and cache per static config) the custom_vjp'd tile renderer:
     (colors, lower, upper, scal, vol_rows, occ, mg, sgd)
     -> (cr, cg, cb, t) tiles.
@@ -398,21 +428,23 @@ def _make_core(dims, depth, num_intervals, width, height, spr, conic,
     ntx = -(-(width if local_width is None else local_width) // TILE_PX)
     nty = -(-height // TILE_PY)
     krows = 8 if num_intervals <= 8 else 16
-    mrows = _pad_to(dims[0] * dims[1], 8)
+    # baked (M, S) rows cover the slab only in slab mode (like vol_rows)
+    mrows = _pad_to((slab_x if slab_x is not None else dims[0])
+                    * dims[1], 8)
 
     fwd_kernel = functools.partial(
         _march_kernel,
         dims=dims, depth=depth, num_intervals=num_intervals,
         width=width, height=height, spr=spr, conic=conic,
         density_scale=1.0, nbricks=nb, zpack=zpack, baked_light=baked,
-        local_width=local_width,
+        local_width=local_width, slab_x=slab_x,
     )
     bwd_kernel = functools.partial(
         _march_bwd_kernel,
         dims=dims, depth=depth, num_intervals=num_intervals,
         width=width, height=height, spr=spr, conic=conic,
         zpack=zpack, krows=krows, baked_light=baked,
-        local_width=local_width,
+        local_width=local_width, slab_x=slab_x,
     )
 
     baked_specs = [
@@ -503,6 +535,472 @@ def _make_core(dims, depth, num_intervals, width, height, spr, conic,
         z = jnp.zeros_like
         return (dcolors, z(lower), z(upper), z(scal), _zero_cot(vol_rows),
                 _zero_cot(occ), z(mg), z(sgd))
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def _march_streamed_bwd_kernel(
+    # SMEM
+    scal_ref,  # [32] f32 (same layout as _march_kernel)
+    tf_lower_ref,  # [K]
+    tf_upper_ref,  # [K]
+    tf_colors_ref,  # [K, 4]
+    bown_ref,  # [2 * nxb] f32 per-block OWNERSHIP x extents (ray space)
+    # HBM
+    vol_hbm_ref,  # [nxb * block_rows, 128] staged rows (ANY)
+    # VMEM
+    g_r_ref, g_g_ref, g_b_ref, g_t_ref,  # cotangent tiles
+    dcol_ref,  # out [1, 1, krows, 128]
+    bufs_ref,  # scratch VMEM [2, block_rows, 128]
+    dma_sem_ref,  # scratch DMA sems [2]
+    *,
+    dims: Tuple[int, int, int],
+    depth: int,
+    num_intervals: int,
+    width: int,
+    height: int,
+    spr: int,
+    zpack: Tuple[int, int, int] | None,
+    krows: int,
+    block_x: int,
+    nxb: int,
+    local_width: int | None = None,
+):
+    """Beyond-VMEM backward: the manual-DMA streamed twin of
+    ``_march_bwd_kernel`` (round-4 VERDICT item 1b).
+
+    The volume stays in HBM; x-blocks stream through a double-buffered
+    VMEM scratch in VISIBILITY order (sign(front.x)) — twice: pass A
+    accumulates the per-ray totals (final transmittance + the weighted
+    gdotc sum), pass B re-streams to run the prefix re-march and the
+    per-interval gradient scatter.  Per-sample ownership is the
+    x-clamped-voxel rule, so every sample (including out-of-volume ones,
+    which clamp into the first/last blocks and scatter into TF(0)'s
+    interval) is processed by exactly ONE block — marching blocks
+    front-to-back therefore applies each sample's (1 - a) factor exactly
+    once in global order, and the prefix/suffix math is unchanged from
+    the resident backward.  Per-(tile, block) chunk ranges come from the
+    OWNERSHIP x extents in ``bown_ref`` (block 0 / block nxb-1 extend to
+    -inf/+inf on the clamp side) — geometry only, no occupancy or
+    alpha0 gating: parameter gradients are nonzero where values are not
+    (module docstring).  Matches the reference's one-GPU backward-less
+    pipeline scale point: the 3.92 GB sample buffer
+    /root/reference/kernel.cu:1036-1043."""
+    d1, d2, d3 = dims
+    packed = zpack is not None
+    if packed:
+        zw, ypack, nyg = zpack
+    L = np.float32(max(dims))
+    n = np.float32(2**depth)
+    nchunks = -(-spr // STEPS)
+    hg = [np.float32(L / 2) - np.float32(d / 2) for d in dims]
+    hg_hi = [np.float32(hg[c] + np.float32(dims[c])) for c in range(3)]
+    halfd = [np.float32(d / 2) for d in dims]
+    halfL = np.float32(L / 2)
+    block_rows = bufs_ref.shape[1]
+
+    ds = scal_ref[0]
+    clip = scal_ref[1]
+    cal_max = scal_ref[2]
+    front = [scal_ref[8 + c] for c in range(3)]
+    up = [scal_ref[14 + c] for c in range(3)]
+    right = [scal_ref[11 + c] for c in range(3)]
+    tl = [scal_ref[17 + c] for c in range(3)]
+    rsw = scal_ref[20]
+    rsh = scal_ref[21]
+    x_off_i = scal_ref[29].astype(_i32)
+    s_start_i = scal_ref[30].astype(_i32)
+    lw = width if local_width is None else local_width
+
+    tx = pl.program_id(0)
+    ty = pl.program_id(1)
+
+    # ---- ray setup (ortho only; streamed rejects conic) ----------------
+    e = _iota(0) * 128 + _iota(1)
+    s_idx = e // 256
+    f = e % 256
+    u = f // TILE_PY
+    v = f % TILE_PY
+    lxp = tx * TILE_PX + u
+    pxi = lxp + x_off_i
+    pyi = ty * TILE_PY + v
+    pix_ok = (lxp < lw) & (pyi < height)
+    px = pxi.astype(_f32)
+    py = pyi.astype(_f32)
+    xt = [((px * rsw) / np.float32(width)) * right[c] for c in range(3)]
+    yt = [((py * rsh) / np.float32(height)) * (-up[c]) for c in range(3)]
+    o = [(tl[c] + xt[c]) + yt[c] for c in range(3)]
+    d0 = front[0]
+
+    g_r = g_r_ref[0, 0]
+    g_g = g_g_ref[0, 0]
+    g_b = g_b_ref[0, 0]
+    g_t = g_t_ref[0, 0]
+    gr4 = jnp.concatenate([g_r] * STEPS, axis=0)
+    gg4 = jnp.concatenate([g_g] * STEPS, axis=0)
+    gb4 = jnp.concatenate([g_b] * STEPS, axis=0)
+
+    fwd = d0 >= 0.0
+
+    def bk_of(kvis):
+        bk = jnp.where(fwd, kvis, nxb - 1 - kvis)
+        return jnp.clip(bk, 0, nxb - 1).astype(_i32)
+
+    def chunk_range(bk):
+        """[c_lo, c_hi) chunks whose samples this block might OWN —
+        per-ray preimage of the ownership x extent under x(t), reduced
+        over the tile.  Exact coverage: out-of-range rays (d0 == 0 with
+        o.x outside the extent) produce empty per-ray intervals and are
+        owned elsewhere."""
+        blo = bown_ref[2 * bk]
+        bhi = bown_ref[2 * bk + 1]
+        inf = jnp.asarray(3.0e38, _f32)
+        d_safe = jnp.abs(d0) > 1e-12
+        dv = jnp.where(d_safe, d0, 1.0)
+        ta = (blo - o[0]) / dv
+        tb = (bhi - o[0]) / dv
+        in_x = (o[0] >= blo) & (o[0] <= bhi)
+        t_lo = jnp.where(d_safe, jnp.minimum(ta, tb),
+                         jnp.where(in_x, -inf, inf))
+        t_hi = jnp.where(d_safe, jnp.maximum(ta, tb),
+                         jnp.where(in_x, inf, -inf))
+        hit = (t_hi >= t_lo) & pix_ok
+        t_enter = jnp.min(jnp.where(hit, t_lo, inf))
+        t_exit = jnp.max(jnp.where(hit, t_hi, -inf))
+        # clamp in FLOAT before the i32 cast (3e38 would overflow i32);
+        # subtract the segment's global sample offset FIRST so later
+        # sample segments keep their full local range
+        spf = np.float32(spr + STEPS + 2)
+        s0f = s_start_i.astype(_f32)
+        i_lo_f = jnp.clip((t_enter - clip) / ds - s0f, -2.0, spf)
+        i_hi_f = jnp.clip((t_exit - clip) / ds - s0f, -2.0, spf)
+        i_lo = jnp.floor(i_lo_f).astype(_i32) - 1
+        i_hi = jnp.ceil(i_hi_f).astype(_i32) + 1
+        c_lo = jnp.clip(i_lo // STEPS, 0, nchunks)
+        c_hi = jnp.clip(i_hi // STEPS + 1, 0, nchunks)
+        c_hi = jnp.maximum(c_hi, c_lo)
+        return c_lo, c_hi
+
+    def sample_chunk(ci, vol_ref, x0b):
+        """(a, gdotc, matches, live) for chunk ci against block x0b —
+        the slab-ownership sample_chunk of _march_bwd_kernel with the
+        block's VMEM buffer as the row source."""
+        i_f = (s_start_i + ci * STEPS + s_idx).astype(_f32)
+        ti = i_f * ds + clip  # kernel.cu:54,59
+        # ortho: d[c] is the broadcast front — identical float order to
+        # _march_bwd_kernel's (o + ti * d) + 0.5
+        p = [(o[c] + ti * front[c]) + 0.5 for c in range(3)]
+        inside = pix_ok
+        for c in range(3):
+            inside &= (p[c] >= 0.0) & (p[c] < 1.0)
+        res = [(jnp.floor(p[c] * n) / n) * L for c in range(3)]
+        valid = inside
+        for c in range(3):
+            valid &= (res[c] >= hg[c]) & (res[c] < hg_hi[c])
+        ijk = [jnp.trunc((res[c] + halfd[c]) - halfL).astype(_i32)
+               for c in range(3)]
+        gx = jnp.clip(ijk[0], 0, d1 - 1)
+        owned = pix_ok & (gx >= x0b) & (gx < x0b + block_x)
+        valid &= owned
+        lxv = ijk[0] - x0b
+        if packed:
+            ygrp = jnp.where(valid, ijk[1] // ypack, 0)
+            rowid = jnp.where(valid, lxv * nyg + ygrp, -1)
+            iz = jnp.where(
+                valid, (ijk[1] - ygrp * ypack) * zw + ijk[2] // 8, 0)
+            ry = ygrp
+            stride = nyg
+            acc_dtype = _i32
+        else:
+            rowid = jnp.where(valid, lxv * d2 + ijk[1], -1)
+            iz = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
+            ry = ijk[1]
+            stride = d2
+            acc_dtype = _f32
+        rxmin = jnp.min(jnp.where(valid, lxv, _BIG))
+        rymin = jnp.min(jnp.where(valid, ry, _BIG))
+        rxmax = jnp.max(jnp.where(valid, lxv, -1))
+        rymax = jnp.max(jnp.where(valid, ry, -1))
+
+        def fx(dx, acc):
+            cx = rxmin + dx
+
+            def fy(dy, acc):
+                cy = rymin + dy
+                crow = jnp.clip(cx * stride + cy, 0, block_rows - 1)
+                rowv = vol_ref[pl.ds(crow, 1), :]
+                bc = jnp.broadcast_to(rowv, (8, 128))
+                g = jnp.take_along_axis(bc, iz, axis=1)
+                return jnp.where(rowid == cx * stride + cy, g, acc)
+
+            return jax.lax.fori_loop(0, rymax - rymin + 1, fy, acc)
+
+        acc = jax.lax.fori_loop(
+            0, rxmax - rxmin + 1, fx, jnp.zeros((8, 128), acc_dtype))
+
+        if packed:
+            sh = (ijk[2] & 7) * 4
+            mid = jax.lax.shift_right_logical(acc, sh) & 15
+            id0 = scal_ref[28].astype(_i32)
+            mid = jnp.where(valid, mid, id0)
+            matches = [mid == k for k in range(num_intervals)]
+        else:
+            vn = jnp.maximum(acc, 0.0) / cal_max
+            matches = []
+            seen = jnp.zeros((8, 128), jnp.bool_)
+            for k in range(num_intervals - 1, -1, -1):
+                m = (vn >= tf_lower_ref[k]) & (vn <= tf_upper_ref[k])
+                matches.append(m & ~seen)
+                seen = seen | m
+            matches.reverse()
+            matches[0] = matches[0] | ~seen
+
+        out = [jnp.zeros((8, 128), _f32) for _ in range(4)]
+        for k in range(num_intervals):
+            mf = matches[k].astype(_f32)
+            for c in range(4):
+                out[c] = out[c] + mf * tf_colors_ref[k, c]
+        a, r, g, b = out[3], out[0], out[1], out[2]
+        live = ((ci * STEPS + s_idx) < spr) & owned
+        a = a * live.astype(_f32)
+        gdotc = gr4 * r + gg4 * g + gb4 * b
+        return a, gdotc, matches, live
+
+    def dma(slot, kvis):
+        bk = bk_of(kvis)
+        return pltpu.make_async_copy(
+            vol_hbm_ref.at[pl.ds(bk * block_rows, block_rows), :],
+            bufs_ref.at[slot],
+            dma_sem_ref.at[slot],
+        )
+
+    def block_sweep(per_block, carry0):
+        """Stream every block in visibility order through the double
+        buffer, folding ``per_block(slot, kvis, carry)``."""
+        dma(0, 0).start()
+
+        def body(it, carry):
+            k0 = it * 2
+            k1 = it * 2 + 1
+
+            @pl.when(k1 < nxb)
+            def _():
+                dma(1, k1).start()
+
+            dma(0, k0).wait()
+            carry = per_block(0, k0, carry)
+
+            @pl.when(k1 + 1 < nxb)
+            def _():
+                dma(0, k1 + 1).start()
+
+            @pl.when(k1 < nxb)
+            def _():
+                dma(1, k1).wait()
+                # balanced waits: every started DMA is awaited even when
+                # the march below is skipped
+
+            def late(c):
+                return per_block(1, k1, c)
+
+            return jax.lax.cond(k1 < nxb, late, lambda c: c, carry)
+
+        npairs = -(-nxb // 2)
+        return jax.lax.fori_loop(0, npairs, body, carry0)
+
+    ones = jnp.ones((2, 128), _f32)
+    zeros = jnp.zeros((2, 128), _f32)
+
+    # ---- pass A: totals (final T + sum of weighted gdotc) --------------
+    def block_a(slot, kvis, carry):
+        bk = bk_of(kvis)
+        x0b = bk * block_x
+        c_lo, c_hi = chunk_range(bk)
+
+        def chunk_a(ci, carry):
+            t, tot = carry
+            a_all, gdotc_all, _, _ = sample_chunk(
+                ci, bufs_ref.at[slot], x0b)
+            for s in range(STEPS):
+                sl = slice(2 * s, 2 * s + 2)
+                a = a_all[sl]
+                w = t * a
+                tot = tot + w * gdotc_all[sl]
+                t = t * (1.0 - a)
+            return t, tot
+
+        def run(c):
+            return jax.lax.fori_loop(c_lo, c_hi, chunk_a, c)
+
+        live = jnp.max(carry[0]) > 0.0
+        return jax.lax.cond(live, run, lambda c: c, carry)
+
+    t_final, total = block_sweep(block_a, (ones, zeros))
+    bg_term = t_final * g_t
+
+    row_i = _iota(0, krows)
+    col_i = _iota(1, krows)
+
+    # ---- pass B: prefix re-march + per-interval scatter ----------------
+    def block_b(slot, kvis, carry):
+        bk = bk_of(kvis)
+        x0b = bk * block_x
+        c_lo, c_hi = chunk_range(bk)
+
+        def chunk_b(ci, carry):
+            t, pfx, dc = carry
+            a_all, gdotc_all, matches, live = sample_chunk(
+                ci, bufs_ref.at[slot], x0b)
+            w_list, da_list = [], []
+            for s in range(STEPS):
+                sl = slice(2 * s, 2 * s + 2)
+                a = a_all[sl]
+                gd = gdotc_all[sl]
+                w = t * a
+                pfx = pfx + w * gd
+                suffix = total - pfx
+                denom = 1.0 - a
+                num = suffix + bg_term
+                da = t * gd - jnp.where(denom != 0.0, num / denom, 0.0)
+                w_list.append(w)
+                da_list.append(da)
+                t = t * denom
+            w_all = jnp.concatenate(w_list, axis=0)
+            da_all = jnp.concatenate(da_list, axis=0)
+            for k in range(num_intervals):
+                mf = (matches[k] & live).astype(_f32)
+                dr = jnp.sum(mf * w_all * gr4)
+                dg = jnp.sum(mf * w_all * gg4)
+                db = jnp.sum(mf * w_all * gb4)
+                dal = jnp.sum(mf * da_all)
+                upd = jnp.where(
+                    col_i == 0, dr,
+                    jnp.where(col_i == 1, dg,
+                              jnp.where(col_i == 2, db,
+                                        jnp.where(col_i == 3, dal, 0.0))))
+                dc = dc + jnp.where(row_i == k, upd, 0.0)
+            return t, pfx, dc
+
+        def run(c):
+            return jax.lax.fori_loop(c_lo, c_hi, chunk_b, c)
+
+        live = jnp.max(carry[0]) > 0.0
+        return jax.lax.cond(live, run, lambda c: c, carry)
+
+    _, _, dc = block_sweep(
+        block_b, (ones, zeros, jnp.zeros((krows, 128), _f32)))
+    dcol_ref[0, 0] = dc
+
+
+@functools.lru_cache(maxsize=32)
+def _make_streamed_core(dims, depth, num_intervals, width, height, spr,
+                        nb, block_x, nxb, block_rows, zpack, vol_dtype,
+                        interpret, local_width, brick):
+    """custom_vjp'd manual-DMA STREAMED tile renderer (beyond-VMEM
+    training, round-4 VERDICT item 1b):
+    (colors, lower, upper, scal, vol_rows, occ, bext, bown) -> 4 tiles.
+
+    ``vol_rows`` stays in HBM (pl.ANY) and streams through a
+    double-buffered VMEM scratch in both directions: the forward is the
+    existing manual_stream kernel (early_eps = 0 via scal[3]); the
+    backward is _march_streamed_bwd_kernel, which streams every block
+    TWICE (pass A totals, pass B prefix + scatter).  ``bext`` is the
+    forward's occupancy∩geometry extent table (value-exact skips);
+    ``bown`` is the backward's pure-ownership extent table (no skips —
+    gradients are nonzero where values are not)."""
+    from .pallas_march import _march_kernel as _fwd_march_kernel
+
+    w_local = width if local_width is None else local_width
+    ntx = -(-w_local // TILE_PX)
+    nty = -(-height // TILE_PY)
+    krows = 8 if num_intervals <= 8 else 16
+    tile = (TILE_PX, TILE_PY, STEPS)
+
+    fwd_kernel = functools.partial(
+        _fwd_march_kernel,
+        dims=dims, depth=depth, num_intervals=num_intervals,
+        width=width, height=height, spr=spr, conic=False,
+        density_scale=1.0, nbricks=nb, zpack=zpack, tile=tile,
+        local_width=w_local, slab_x=block_x, hbm_mode=True,
+        manual_stream=True, nxb=nxb, brick=brick,
+    )
+    bwd_kernel = functools.partial(
+        _march_streamed_bwd_kernel,
+        dims=dims, depth=depth, num_intervals=num_intervals,
+        width=width, height=height, spr=spr, zpack=zpack, krows=krows,
+        block_x=block_x, nxb=nxb, local_width=w_local,
+    )
+
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(5)]
+    out_shape = [jax.ShapeDtypeStruct((ntx, nty, 2, 128), _f32)
+                 for _ in range(4)]
+    scratch = [
+        pltpu.VMEM((2, block_rows, 128), jnp.dtype(vol_dtype)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    def forward_tiles(colors, lower, upper, scal, vol_rows, occ, bext):
+        return tuple(pl.pallas_call(
+            fwd_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(ntx, nty),
+                in_specs=smem[:5] + [
+                    pl.BlockSpec(memory_space=pl.ANY),  # volume in HBM
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # bext
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(4)
+                ],
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(scal, lower, upper, colors, occ, vol_rows, bext))
+
+    @jax.custom_vjp
+    def core(colors, lower, upper, scal, vol_rows, occ, bext, bown):
+        del bown
+        return forward_tiles(colors, lower, upper, scal, vol_rows, occ,
+                             bext)
+
+    def core_fwd(colors, lower, upper, scal, vol_rows, occ, bext, bown):
+        out = forward_tiles(colors, lower, upper, scal, vol_rows, occ,
+                            bext)
+        return out, (colors, lower, upper, scal, vol_rows, occ, bext,
+                     bown)
+
+    def core_bwd(res, g):
+        colors, lower, upper, scal, vol_rows, occ, bext, bown = res
+        dtiles = pl.pallas_call(
+            bwd_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(ntx, nty),
+                in_specs=smem[:4] + [
+                    pl.BlockSpec(memory_space=pltpu.SMEM),  # bown
+                    pl.BlockSpec(memory_space=pl.ANY),  # volume in HBM
+                ] + [
+                    pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(4)
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, krows, 128), lambda i, j: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((ntx, nty, krows, 128), _f32),
+            interpret=interpret,
+        )(scal, lower, upper, colors, bown, vol_rows, *g)
+        dcolors = dtiles.sum(axis=(0, 1))[:num_intervals, :4]
+        z = jnp.zeros_like
+        return (dcolors, z(lower), z(upper), z(scal),
+                _zero_cot_pub(vol_rows), _zero_cot_pub(occ), z(bext),
+                z(bown))
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -673,6 +1171,9 @@ def _diff_march_tiles(
     local_width: int | None = None,
     s_start=0,
     s_count: int | None = None,
+    x0=0,
+    slab_x: int | None = None,
+    baked_grids=None,
 ):
     """Differentiable fused-march driver -> (cr, cg, cb, t), each
     [w_local, height] f32 — the (C, T) segment of ray columns
@@ -681,6 +1182,17 @@ def _diff_march_tiles(
     a traced ``light`` is passed) through the custom_vjp cores.  Offsets
     may be traced (axis_index-derived); shapes are static.  See
     render_vrc_pallas_diff for semantics and caveats.
+
+    ``slab_x``: volume-slab work unit — ``volume.data`` holds only the
+    x-slab starting at global voxel ``x0`` (traced OK), and both kernels
+    apply the x-clamped ownership rule, so per-slab gradients sum (via
+    shard_map's psum) to the replicated gradients exactly.  Baked
+    lighting on a slab takes ``baked_grids`` = (M, S) arrays of the SLAB
+    shape, computed by the caller from a halo-extended slab (gradient
+    normals cross slab bounds; parallel/render_dist.py does the ppermute
+    + crop) — they enter under stop_gradient, so this combination trains
+    TF colors/density but not light params (use rays/samples axes for
+    traced lights).
 
     ``config.lighting`` (or an explicit uniform-color ``light``) runs
     through the baked per-voxel Phong factors — (M, S) depend only on the
@@ -719,6 +1231,7 @@ def _diff_march_tiles(
     )
 
     d1, d2, d3 = volume.dims
+    dims_local = (slab_x if slab_x is not None else d1, d2, d3)
     if volume.channels != 1:
         raise ValueError("diff pallas path supports single-channel volumes")
     if config.tf_lut or config.interp is not Interp.NEAREST:
@@ -741,23 +1254,31 @@ def _diff_march_tiles(
         light_traced = light is not None and any(
             isinstance(leaf, jax.core.Tracer)
             for leaf in jax.tree.leaves(light))
+        if slab_x is not None and light_traced:
+            raise ValueError(
+                "slab diff segments take the baked (M, S) grids under "
+                "stop_gradient; traced-light fits need rays/samples axes")
+        if slab_x is not None and baked_grids is None:
+            raise ValueError(
+                "slab diff segments with lighting need baked_grids "
+                "computed from a halo-extended slab (render_dist does)")
         if (config.conic
                 or not (light_traced or _uniform_light_color(light))
                 or not baked_light_feasible(
-                    volume.dims, tf.num_intervals, config)):
+                    dims_local, tf.num_intervals, config)):
             raise ValueError(
                 "diff pallas lighting needs the baked path: ortho camera, "
                 "statically-uniform light color (pass light=None for the "
                 "default), z <= 128 and the VMEM budget; use the XLA "
                 "renderer otherwise")
-    zpack = packed_geometry(volume.dims, tf.num_intervals)
+    zpack = packed_geometry(dims_local, tf.num_intervals)
     if packed is None:
         # baked lighting prefers the packed main grid (the two f32 factor
         # grids take most of the VMEM budget)
         packed = (d3 > 128 or baked) and zpack is not None
     if packed and zpack is None:
         raise ValueError(
-            f"dims {volume.dims} / {tf.num_intervals} intervals don't fit "
+            f"dims {dims_local} / {tf.num_intervals} intervals don't fit "
             "the packed material grid")
     if not packed and d3 > 128:
         raise ValueError(
@@ -779,23 +1300,24 @@ def _diff_march_tiles(
     if packed:
         # bounds are gradient-inert -> pack under stop_gradient
         vol_rows, id0 = pack_material_grid(
-            volume.data.reshape(volume.dims),
+            volume.data.reshape(dims_local),
             TransferFunction(lower=sg(tf.lower), upper=sg(tf.upper),
                              colors=sg(colors), hg_g=tf.hg_g),
             cal_max_trunc, zpack)
     else:
         zpack = None
-        rows = _pad_to(d1 * d2, 8)
+        rows = _pad_to(dims_local[0] * d2, 8)
         vol_rows = jnp.zeros((rows, 128), _f32)
-        vol_rows = vol_rows.at[: d1 * d2, :d3].set(
-            volume.data.reshape(d1 * d2, d3))
+        vol_rows = vol_rows.at[: dims_local[0] * d2, :d3].set(
+            volume.data.reshape(dims_local[0] * d2, d3))
     rows = vol_rows.shape[0]
 
     # skip-control inputs (value-inert): occupancy bricks + TF(0) alpha
+    # (slab mode: slab-local bricks, matching the forward slab kernel)
     tf_sg = TransferFunction(lower=sg(tf.lower), upper=sg(tf.upper),
                              colors=sg(colors), hg_g=tf.hg_g)
     occ, nb = brick_occupancy(
-        volume.data.reshape(volume.dims), tf_sg, cal_max_trunc)
+        volume.data.reshape(dims_local), tf_sg, cal_max_trunc)
     alpha0 = sg(tf_sg.classify(jnp.zeros((), _f32))[3])
 
     L = float(max(volume.dims))
@@ -803,6 +1325,17 @@ def _diff_march_tiles(
     box_lo = [max(0.0, (L / 2 - dim / 2) / L) - 0.5 for dim in volume.dims]
     box_hi = [min(1.0, (L / 2 + dim / 2) / L + 1.0 / n) - 0.5
               for dim in volume.dims]
+    box_lo = [jnp.asarray(v, _f32) for v in box_lo]
+    box_hi = [jnp.asarray(v, _f32) for v in box_hi]
+    if slab_x is not None:
+        # tighten the x extent to this slab (FORWARD chunk-range clipping
+        # only — the backward kernel ignores box clips and marches all
+        # chunks, so gradients for outside-but-owned samples are kept)
+        hg0 = np.float32(L / 2) - np.float32(d1 / 2)
+        x0f = jnp.asarray(x0, _f32)
+        box_lo[0] = jnp.maximum(box_lo[0], (hg0 + x0f) / L - 0.5)
+        box_hi[0] = jnp.minimum(
+            box_hi[0], (hg0 + x0f + slab_x) / L + 1.0 / n - 0.5)
 
     top_left = camera.top_left
     if config.conic and config.conic_corrected:
@@ -823,12 +1356,12 @@ def _diff_march_tiles(
         top_left.astype(_f32),
         jnp.asarray([config.real_screen_width, config.real_screen_height],
                     _f32),
-        jnp.asarray(box_lo, _f32),
-        jnp.asarray(box_hi, _f32),
+        jnp.stack([jnp.asarray(v, _f32) for v in box_lo]),
+        jnp.stack([jnp.asarray(v, _f32) for v in box_hi]),
         id0[None],  # [28] classify-index of vn=0 (packed mode)
         jnp.asarray(x_offset, _f32)[None],  # [29] ray-column offset
         jnp.asarray(s_start, _f32)[None],  # [30] sample-segment start
-        jnp.zeros((1,), _f32),  # [31] slab x0 (diff path: full volume)
+        jnp.asarray(x0, _f32)[None],  # [31] volume-slab x offset
     ])
 
     w_local = w if local_width is None else local_width
@@ -849,17 +1382,21 @@ def _diff_march_tiles(
             vol_rows, occ)
     else:
         if baked:
-            mgrid, sgrid = bake_light_grids(
-                volume.data.reshape(volume.dims), config, lg, -camera.front)
-            mg = sg(_stage_f32_rows(mgrid, d1, d2, d3))
-            sgd = sg(_stage_f32_rows(sgrid, d1, d2, d3))
+            if baked_grids is not None:
+                mgrid, sgrid = baked_grids  # slab (M, S): caller-supplied
+            else:
+                mgrid, sgrid = bake_light_grids(
+                    volume.data.reshape(dims_local), config, lg,
+                    -camera.front)
+            mg = sg(_stage_f32_rows(mgrid, dims_local[0], d2, d3))
+            sgd = sg(_stage_f32_rows(sgrid, dims_local[0], d2, d3))
         else:
             mg = sgd = jnp.zeros((8, 128), _f32)  # ignored dummies
 
         core = _make_core(
             volume.dims, volume.octree_depth, tf.num_intervals, w, h,
             s_count, bool(config.conic), nb, rows,
-            bool(interpret), zpack, baked, local_width,
+            bool(interpret), zpack, baked, local_width, slab_x,
         )
         cr, cg, cb, t = core(colors, tf.lower, tf.upper, scal, vol_rows,
                              occ, mg, sgd)
@@ -912,6 +1449,9 @@ def render_vrc_pallas_diff_segment(
     interpret: bool = False,
     packed: bool | None = None,
     light=None,
+    x0=0,
+    slab_x: int | None = None,
+    baked_grids=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shard_map-friendly DIFFERENTIABLE fused work unit -> (C, T) segment.
 
@@ -926,15 +1466,267 @@ def render_vrc_pallas_diff_segment(
     ``light``); the (C, T) composition across mesh axes is plain XLA
     (ops/composite.segment_compose), so its transpose is exact and the
     rays-axis psum is inserted by shard_map's transposition as usual.
-    Volume slabs are NOT supported here (the backward's footprint runs on
-    the full grid); render_dist keeps volume-sharded training on the XLA
-    scan segments.  Matches the reference 3-kernel pipeline
-    kernel.cu:40-70,194-225 under shard_map transposition.
+    ``slab_x``/``x0`` add VOLUME-SLAB work units (round-4 VERDICT item
+    1a): ``volume.data`` holds only the x-slab, both kernels apply the
+    x-clamped ownership rule, and per-slab gradients psum to the
+    replicated gradients exactly — volume-sharded training at kernel
+    speed.  Baked lighting on slabs takes caller-computed
+    ``baked_grids`` (halo-extended bake; render_dist's ppermute + crop);
+    traced lights stay on rays/samples axes.  Matches the reference
+    3-kernel pipeline kernel.cu:40-70,194-225 under shard_map
+    transposition.
     """
     cr, cg, cb, t = _diff_march_tiles(
         volume, tf, camera, config,
         interpret=interpret, packed=packed, light=light,
         x_offset=x_offset, local_width=local_width,
         s_start=s_start, s_count=s_count,
+        x0=x0, slab_x=slab_x, baked_grids=baked_grids,
     )
+    return jnp.stack([cr, cg, cb], axis=-1), t[..., None]
+
+
+def diff_pallas_streamed_eligible(volume: Volume, tf: TransferFunction,
+                                  config: RenderConfig) -> bool:
+    """Static predicate for the STREAMED differentiable path (round-4
+    VERDICT item 1b): beyond-VMEM volumes train through the manual-DMA
+    custom_vjp core — plain a1 classify, ortho, single channel, K <= 16.
+    The resident tier (diff_pallas_eligible) is preferred when it fits;
+    fit.py tries it first."""
+    from .pallas_march import streamed_geometry
+
+    return (
+        jax.default_backend() == "tpu"
+        and volume.channels == 1
+        and not config.conic
+        and not config.lighting
+        and not config.scattering
+        and not config.tf_lut
+        and config.interp is Interp.NEAREST
+        and tf.num_intervals <= 16
+        and streamed_geometry(volume.dims, tf.num_intervals,
+                              block_bytes=6 * 2**20) is not None
+    )
+
+
+def _diff_streamed_tiles(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    interpret: bool = False,
+    x_offset=0,
+    local_width: int | None = None,
+    s_start=0,
+    s_count: int | None = None,
+    block_x: int | None = None,
+):
+    """Differentiable STREAMED driver -> (cr, cg, cb, t) [w_local,
+    height] tiles for beyond-VMEM volumes (round-4 VERDICT item 1b).
+    ``block_x`` overrides the auto block size (tests force multi-block
+    streaming on small volumes).
+
+    Stages the padded row grid once (HBM-resident; f32 rows for
+    z <= 128, the packed 4-bit id grid otherwise), computes the
+    forward's occupancy∩geometry block extents (value-exact skips) AND
+    the backward's pure-ownership extents (no skips), and runs the
+    manual-DMA custom_vjp core — the forward streams each block once,
+    the backward twice.  Gradients flow to ``tf.colors`` (+ density by
+    the external alpha fold).  Matches the scale point of the
+    reference's 3.92 GB sample buffer (kernel.cu:1036-1043) with O(rays)
+    memory and fused gradients."""
+    from .pallas_march import (
+        BRICK,
+        brick_occupancy,
+        pack_material_grid,
+        streamed_geometry,
+    )
+
+    d1, d2, d3 = volume.dims
+    if volume.channels != 1:
+        raise ValueError("streamed diff path supports single-channel")
+    if config.conic:
+        raise ValueError("streamed diff path is ortho only")
+    if config.lighting or config.scattering or config.tf_lut:
+        raise ValueError(
+            "streamed diff path is the plain a1 classify; use the XLA "
+            "renderer for streamed lit/LUT training")
+    if config.interp is not Interp.NEAREST:
+        raise ValueError("streamed diff path is NEAREST sampling")
+    if tf.num_intervals > 16:
+        raise ValueError("streamed diff path supports at most 16 intervals")
+
+    geo = streamed_geometry(volume.dims, tf.num_intervals,
+                            block_bytes=6 * 2**20)
+    if geo is None:
+        raise ValueError(f"volume dims {volume.dims} not streamable")
+    bx_auto, zpack = geo
+    if block_x is None:
+        block_x = bx_auto
+    if block_x % 8:
+        raise ValueError(f"block_x {block_x} must be a multiple of 8")
+    d1p = _pad_to(d1, block_x)
+    nxb = d1p // block_x
+    packed = zpack is not None
+
+    sg = jax.lax.stop_gradient
+    colors = tf.colors
+    if config.density_scale != 1.0:
+        colors = colors.at[:, 3].set(
+            jnp.clip(colors[:, 3] * np.float32(config.density_scale),
+                     0.0, 1.0))
+    tf_sg = TransferFunction(lower=sg(tf.lower), upper=sg(tf.upper),
+                             colors=sg(colors), hg_g=tf.hg_g)
+
+    data = volume.data.reshape(volume.dims)
+    data_p = jnp.pad(data, ((0, d1p - d1), (0, 0), (0, 0)))
+    cal_max_trunc = jnp.trunc(jnp.asarray(volume.cal_max, _f32))
+    id0 = jnp.zeros((), _f32)
+    if packed:
+        vol_rows, id0 = pack_material_grid(
+            data_p, tf_sg, cal_max_trunc, zpack)
+        block_rows = block_x * zpack[2]
+    else:
+        block_rows = block_x * d2
+        vol_rows = jnp.zeros((d1p * d2, 128), _f32)
+        vol_rows = vol_rows.at[:, :d3].set(data_p.reshape(d1p * d2, d3))
+
+    # occupancy bricks, y/z-coarsened to the 1 MB SMEM budget (x stays
+    # BRICK for block alignment — the same rule as the forward driver)
+    brick = [BRICK, BRICK, BRICK]
+
+    def _occ_ints(b):
+        return (_pad_to(d1, b[0]) // b[0]) * (_pad_to(d2, b[1]) // b[1]) \
+            * (_pad_to(d3, b[2]) // b[2])
+
+    while _occ_ints(brick) * 4 > 512 * 1024:
+        brick[1] *= 2
+        brick[2] *= 2
+    brick = tuple(brick)
+    occ, nb = brick_occupancy(data, tf_sg, cal_max_trunc, brick=brick)
+    alpha0 = sg(tf_sg.classify(jnp.zeros((), _f32))[3])
+
+    # ---- forward block extents: occupancy ∩ geometry, alpha0-gated -----
+    L = float(max(volume.dims))
+    n = float(2**volume.octree_depth)
+    nbx_b = nb[0]
+    bpb = block_x // BRICK
+    occ_any = (occ.reshape(nb).max(axis=(1, 2)) > 0)
+    occ_any = jnp.pad(occ_any, (0, nxb * bpb - nbx_b))
+    rb = occ_any.reshape(nxb, bpb)
+    bidx = jnp.arange(bpb)
+    has = jnp.any(rb, axis=1)
+    first = jnp.min(jnp.where(rb, bidx, bpb), axis=1)
+    last = jnp.max(jnp.where(rb, bidx, -1), axis=1)
+    karr = jnp.arange(nxb, dtype=_f32) * np.float32(block_x)
+    Lf = np.float32(L)
+    nf = np.float32(n)
+    hg0 = np.float32(Lf / 2) - np.float32(d1 / 2)
+    xlo = karr + first.astype(_f32) * np.float32(BRICK)
+    xhi = karr + (last + 1).astype(_f32) * np.float32(BRICK)
+    geo_lo = (hg0 + karr) / Lf - 0.5
+    geo_hi = (hg0 + karr + np.float32(block_x)) / Lf + 1.0 / nf - 0.5
+    occ_lo = (hg0 + xlo) / Lf - 0.5
+    occ_hi = (hg0 + xhi) / Lf + 1.0 / nf - 0.5
+    unsafe = alpha0 > 0.0
+    lo_r = jnp.where(unsafe, geo_lo,
+                     jnp.where(has, jnp.maximum(occ_lo, geo_lo), 1e9))
+    hi_r = jnp.where(unsafe, geo_hi,
+                     jnp.where(has, jnp.minimum(occ_hi, geo_hi), -1e9))
+    bext = jnp.stack([lo_r, hi_r], axis=-1).reshape(-1)
+
+    # ---- backward OWNERSHIP extents: clamp sides open ------------------
+    own_lo = jnp.asarray(geo_lo).at[0].set(-3.0e38)
+    own_hi = jnp.asarray(geo_hi).at[-1].set(3.0e38)
+    bown = jnp.stack([own_lo, own_hi], axis=-1).reshape(-1)
+
+    box_lo = [max(0.0, (L / 2 - dim / 2) / L) - 0.5 for dim in volume.dims]
+    box_hi = [min(1.0, (L / 2 + dim / 2) / L + 1.0 / n) - 0.5
+              for dim in volume.dims]
+
+    w, h = config.width, config.height
+    w_local = w if local_width is None else local_width
+    s_count = config.samples_per_ray if s_count is None else s_count
+
+    scal = jnp.concatenate([
+        jnp.asarray([config.sample_distance, config.front_clip], _f32),
+        cal_max_trunc[None],
+        jnp.zeros((1,), _f32),  # early_eps = 0
+        alpha0[None],
+        camera.position.astype(_f32),
+        camera.front.astype(_f32),
+        camera.right.astype(_f32),
+        camera.up.astype(_f32),
+        camera.top_left.astype(_f32),
+        jnp.asarray([config.real_screen_width, config.real_screen_height],
+                    _f32),
+        jnp.asarray(box_lo, _f32),
+        jnp.asarray(box_hi, _f32),
+        id0[None],  # [28] classify-index of vn=0 (packed mode)
+        jnp.asarray(x_offset, _f32)[None],  # [29] ray-column offset
+        jnp.asarray(s_start, _f32)[None],  # [30] sample-segment start
+        jnp.zeros((1,), _f32),  # [31] block x0 base (kernel adds bk)
+    ])
+
+    core = _make_streamed_core(
+        volume.dims, volume.octree_depth, tf.num_intervals, w, h,
+        s_count, nb, block_x, nxb, block_rows, zpack,
+        vol_rows.dtype.name, bool(interpret), local_width, brick)
+    cr, cg, cb, t = core(colors, tf.lower, tf.upper, scal, vol_rows,
+                         occ, bext, bown)
+
+    ntx = -(-w_local // TILE_PX)
+    nty = -(-h // TILE_PY)
+
+    def unpack(a):
+        a = a.reshape(ntx, nty, TILE_PX, TILE_PY)
+        a = a.transpose(0, 2, 1, 3).reshape(ntx * TILE_PX, nty * TILE_PY)
+        return a[:w_local, :h]
+
+    return unpack(cr), unpack(cg), unpack(cb), unpack(t)
+
+
+def render_vrc_pallas_diff_streamed(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    interpret: bool = False,
+    block_x: int | None = None,
+) -> jnp.ndarray:
+    """Beyond-VMEM a1 render -> [W, H, 4], differentiable w.r.t.
+    ``tf.colors`` through the STREAMED custom_vjp core (see
+    _diff_streamed_tiles).  Value-identical to
+    ``render_vrc_pallas_streamed(..., early_eps=0)``; gradients match
+    ``jax.grad`` through the XLA scan."""
+    cr, cg, cb, t = _diff_streamed_tiles(
+        volume, tf, camera, config, interpret=interpret, block_x=block_x)
+    w, h = config.width, config.height
+    bg = jnp.asarray(config.background, _f32)
+    rgb = [c + t * bg[i] for i, c in enumerate((cr, cg, cb))]
+    return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)
+
+
+def render_vrc_pallas_diff_streamed_segment(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    x_offset=0,
+    local_width: int | None = None,
+    s_start=0,
+    s_count: int | None = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shard_map-friendly DIFFERENTIABLE streamed work unit -> (C, T)
+    segment: rays/samples axes over a beyond-VMEM volume (each device
+    streams from its own HBM copy), fused forward AND backward kernels
+    per device (round-4 VERDICT item 1b, sharded flavor)."""
+    cr, cg, cb, t = _diff_streamed_tiles(
+        volume, tf, camera, config, interpret=interpret,
+        x_offset=x_offset, local_width=local_width,
+        s_start=s_start, s_count=s_count)
     return jnp.stack([cr, cg, cb], axis=-1), t[..., None]

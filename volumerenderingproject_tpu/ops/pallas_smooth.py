@@ -223,12 +223,26 @@ def _sample_smooth(scal_ref, lower_ref, upper_ref, colors_ref, vol_ref,
                 shift = (lzv - zi * 3) * 10
                 taps.append((growid, lane, shift, g))
 
-        gmin = jnp.min(jnp.where(ok00 | ok10, taps[0][3], _BIG))
+        # Group bounds from RAW iy / iy+1 under the union masks — exactly
+        # mirroring how rymin/rymax use raw ix/iy above.  Deriving them
+        # from the per-corner ok-zeroed cyv (as the taps do for their own
+        # lane math) loses the true g(iy) for lanes where only the x+1
+        # corners are valid (ix == -1 entry-face band): pg_loop would
+        # skip the row group and the valid x=0 corners would fetch 0.
+        def _grp(y):
+            g = y // ypack
+            g = jnp.where(y >= (g + 1) * ypack, g + 1, g)
+            g = jnp.where(y < g * ypack, g - 1, g)
+            return g
+
+        gy = _grp(iy)
+        gy1 = _grp(iy + 1)
+        gmin = jnp.min(jnp.where(ok00 | ok10, gy, _BIG))
         gmin = jnp.minimum(gmin, jnp.min(
-            jnp.where(ok01 | ok11, taps[2][3], _BIG)))
-        gmax = jnp.max(jnp.where(ok01 | ok11, taps[2][3], -1))
+            jnp.where(ok01 | ok11, gy1, _BIG)))
+        gmax = jnp.max(jnp.where(ok01 | ok11, gy1, -1))
         gmax = jnp.maximum(gmax, jnp.max(
-            jnp.where(ok00 | ok10, taps[0][3], -1)))
+            jnp.where(ok00 | ok10, gy, -1)))
         nrows_grid = vol_ref.shape[0]
 
         def px_loop(dxi, accs):
@@ -723,8 +737,12 @@ def render_vrc_smooth_pallas(
     volume cotangent).
 
     Value-identical (<= ~1e-5) to ``render_vrc(..., mode="fast")`` with
-    ``config.interp = TRILINEAR``; gradients match ``jax.grad`` through
-    the XLA scan.  A static ``config.density_scale`` is not supported —
+    ``config.interp = TRILINEAR`` **when the f32 row layout is selected**
+    (z <= 128); when ``smooth_packed_geometry`` routes larger volumes
+    through the 10-bit packed grid, each tap carries a quantization
+    error of ~(data range)/1023/2 (~5e-4 of cal_max — onchip parity uses
+    2e-2 on the image).  Gradients match ``jax.grad`` through the XLA
+    scan (of the same — possibly quantized — forward model).  A static ``config.density_scale`` is not supported —
     fold density into the alpha column externally (diff/fit.py does).
 
     ``early_eps`` overrides ``config.early_termination`` for the forward

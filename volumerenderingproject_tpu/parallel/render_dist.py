@@ -89,6 +89,7 @@ def _pallas_segment_eligible(
         from ..ops.pallas_a5 import (
             a5_baked_light_feasible,
             a5_packed_geometry,
+            a5_stream_geometry,
         )
 
         if volume.channels != 1 or slab_x is not None:
@@ -97,12 +98,14 @@ def _pallas_segment_eligible(
         fits_f32 = volume.dims[2] <= 127
         packed_ok = (a5_packed_geometry(volume.dims, tf.num_intervals)
                      is not None)
+        stream_ok = not fits_f32 and not packed_ok and (
+            a5_stream_geometry(volume.dims, tf.num_intervals) is not None)
         bake_ok = not need_bake or (
             a5_baked_light_feasible(volume.dims) if fits_f32
-            else packed_ok  # streamed u8 (M, S) pack (ms_stream)
+            else (packed_ok or stream_ok)  # streamed u8 (M, S) / id grid
         )
         return (
-            (fits_f32 or packed_ok)
+            (fits_f32 or packed_ok or stream_ok)
             and bake_ok
             and not (config.scattering and config.conic)
         )
@@ -193,29 +196,56 @@ def _diff_segment_eligible(
 ) -> bool:
     """True when the DIFFERENTIABLE fused segment kernel
     (ops/pallas_march_vjp.render_vrc_pallas_diff_segment) implements the
-    per-device work unit exactly: plain a1 classify on the full volume
-    (rays/samples axes only — the backward's footprint needs the whole
-    grid), f32 rows or the packed id grid, optional baked lighting
-    (traced light OK: the lit core differentiates the 10 light params)."""
+    per-device work unit exactly: plain a1 classify, f32 rows or the
+    packed id grid at the LOCAL (slab) geometry, optional baked lighting
+    (traced light OK on rays/samples axes: the lit core differentiates
+    the 10 light params; volume slabs bake (M, S) from a halo-extended
+    slab and require the default light — round-4 VERDICT item 1a)."""
     from ..ops.pallas_march import baked_light_feasible, packed_geometry
 
-    if slab_x is not None or volume.channels != 1:
+    if volume.channels != 1:
         return False
     if not (jax.default_backend() == "tpu" or pallas_interpret):
         return False
+    if config.algorithm is Algorithm.TEST:
+        # fused differentiable a5 segments (round-4 VERDICT item 3):
+        # rays/samples axes, plain a5 classify (XLA scan covers the rest)
+        from ..ops.pallas_a5 import a5_packed_geometry
+
+        return (
+            slab_x is None
+            and not config.lighting
+            and not config.scattering
+            and light is None
+            and tf.num_intervals <= 16
+            and (volume.dims[2] <= 127
+                 or a5_packed_geometry(volume.dims, tf.num_intervals)
+                 is not None)
+        )
+    dims_local = (
+        (slab_x, volume.dims[1], volume.dims[2])
+        if slab_x is not None else volume.dims
+    )
     fits = (
-        volume.dims[2] <= 128
-        or packed_geometry(volume.dims, tf.num_intervals) is not None
+        dims_local[2] <= 128
+        or packed_geometry(dims_local, tf.num_intervals) is not None
     )
     baked = bool(config.lighting) or light is not None
     if baked:
         from ..ops.pallas_march import _uniform_light_color
 
-        light_ok = light is None or _uniform_light_color(light) or any(
-            isinstance(leaf, jax.core.Tracer)
-            for leaf in jax.tree.leaves(light))
-        if (config.conic or not light_ok or not baked_light_feasible(
-                volume.dims, tf.num_intervals, config)):
+        if slab_x is not None:
+            # slab bake rides stop_gradient: config.lighting with the
+            # default light only (explicit/traced lights -> XLA scan)
+            if light is not None or config.conic:
+                return False
+        else:
+            light_ok = light is None or _uniform_light_color(light) or any(
+                isinstance(leaf, jax.core.Tracer)
+                for leaf in jax.tree.leaves(light))
+            if config.conic or not light_ok:
+                return False
+        if not baked_light_feasible(dims_local, tf.num_intervals, config):
             return False
     return (
         config.algorithm is Algorithm.VRC
@@ -301,10 +331,32 @@ def render_vrc_sharded(
     slab_x = volume.dims[0] // n_vol if n_vol > 1 else None
 
     use_streamed_seg = False
+    use_streamed_diff = False
     if use_pallas is None:
         if differentiable:
             use_pallas = _diff_segment_eligible(
                 volume, tf, config, slab_x, light, pallas_interpret)
+            if not use_pallas and slab_x is None and light is None:
+                # beyond-VMEM training on rays/samples axes: the streamed
+                # custom_vjp core as the work unit (VERDICT r4 item 1b)
+                from ..ops.pallas_march import streamed_geometry
+
+                backend_ok = (jax.default_backend() == "tpu"
+                              or pallas_interpret)
+                use_streamed_diff = (
+                    backend_ok
+                    and volume.channels == 1
+                    and not config.conic
+                    and not config.lighting
+                    and not config.scattering
+                    and not config.tf_lut
+                    and config.interp is Interp.NEAREST
+                    and config.algorithm is Algorithm.VRC
+                    and tf.num_intervals <= 16
+                    and streamed_geometry(
+                        volume.dims, tf.num_intervals,
+                        block_bytes=6 * 2**20) is not None
+                )
         else:
             # an explicit light is threaded through the XLA segment paths
             # only (the fused segment kernel shades with the default light)
@@ -323,7 +375,27 @@ def render_vrc_sharded(
     def tile_fn(vol_data, cal_max, tf_, cam, lgt):
         ri = jax.lax.axis_index("rays")
         si = jax.lax.axis_index("samples")
-        if use_pallas and differentiable:
+        if use_pallas and differentiable and \
+                config.algorithm is Algorithm.TEST:
+            from ..ops.pallas_a5 import render_test_pallas_diff_segment
+
+            vol_local = Volume(
+                data=vol_data,
+                cal_max=cal_max,
+                cal_min=volume.cal_min,
+                pixdim=volume.pixdim,
+                dims=volume.dims,
+                channels=volume.channels,
+            )
+            seg = render_test_pallas_diff_segment(
+                vol_local, tf_, cam, config,
+                x_offset=ri * w_local,
+                local_width=w_local,
+                s_start=si * s_local,
+                s_count=s_local,
+                interpret=pallas_interpret,
+            )
+        elif use_pallas and differentiable:
             from ..ops.pallas_march_vjp import (
                 render_vrc_pallas_diff_segment,
             )
@@ -336,14 +408,87 @@ def render_vrc_sharded(
                 dims=volume.dims,
                 channels=volume.channels,
             )
-            seg = render_vrc_pallas_diff_segment(
+            if slab_x is None:
+                seg = render_vrc_pallas_diff_segment(
+                    vol_local, tf_, cam, config,
+                    x_offset=ri * w_local,
+                    local_width=w_local,
+                    s_start=si * s_local,
+                    s_count=s_local,
+                    interpret=pallas_interpret,
+                    light=lgt,
+                )
+            else:
+                # volume-slab diff work unit (VERDICT r4 item 1a): the
+                # kernels apply the x-clamped ownership rule; baked (M, S)
+                # come from a halo-extended slab so gradient normals match
+                # the replicated bake (same hw rule as the XLA slab path)
+                vi = jax.lax.axis_index("volume")
+                baked_grids = None
+                if config.lighting:
+                    from ..ops import conv3d, phong
+                    from ..ops.pallas_march import (
+                        bake_light_grids_from_grad,
+                    )
+
+                    slab3d = vol_data.reshape(
+                        (slab_x,) + volume.dims[1:3])
+                    hw = 2
+                    if config.presmooth_sigma > 0.0:
+                        hw = max(hw, 1 + max(
+                            1, int(3.0 * config.presmooth_sigma + 0.5)))
+                    ext = _with_x_halo(slab3d, hw)
+                    if config.presmooth_sigma > 0.0:
+                        sm = conv3d.gaussian_smooth(
+                            ext, config.presmooth_sigma)
+                        gxg = (jnp.arange(-hw, slab_x + hw)
+                               + vi * slab_x)
+                        sm = jnp.where(
+                            ((gxg >= 0) & (gxg < volume.dims[0]))
+                            [:, None, None], sm, 0.0)
+                        if config.gradient_filter == "sobel":
+                            grad_ext = conv3d.sobel_gradient(sm)
+                        else:
+                            grad_ext = conv3d.central_difference_gradient(
+                                sm)
+                    else:
+                        grad_ext = conv3d.gradient_field(
+                            ext, config.gradient_filter, 0.0)
+                    grad = grad_ext[hw:hw + slab_x]
+                    baked_grids = bake_light_grids_from_grad(
+                        grad, phong.default_light(), -cam.front)
+                seg = render_vrc_pallas_diff_segment(
+                    vol_local, tf_, cam, config,
+                    x_offset=ri * w_local,
+                    local_width=w_local,
+                    s_start=si * s_local,
+                    s_count=s_local,
+                    interpret=pallas_interpret,
+                    light=None,
+                    x0=vi * slab_x,
+                    slab_x=slab_x,
+                    baked_grids=baked_grids,
+                )
+        elif use_streamed_diff and differentiable:
+            from ..ops.pallas_march_vjp import (
+                render_vrc_pallas_diff_streamed_segment,
+            )
+
+            vol_local = Volume(
+                data=vol_data,
+                cal_max=cal_max,
+                cal_min=volume.cal_min,
+                pixdim=volume.pixdim,
+                dims=volume.dims,
+                channels=volume.channels,
+            )
+            seg = render_vrc_pallas_diff_streamed_segment(
                 vol_local, tf_, cam, config,
                 x_offset=ri * w_local,
                 local_width=w_local,
                 s_start=si * s_local,
                 s_count=s_local,
                 interpret=pallas_interpret,
-                light=lgt,
             )
         elif use_pallas and config.algorithm is Algorithm.TEST:
             from ..ops.pallas_a5 import render_test_pallas
@@ -464,11 +609,15 @@ def render_vrc_sharded(
             # move toward +x, so slab 0 is nearest the camera.
             segs_c = jax.lax.all_gather(seg[0], "volume")
             segs_t = jax.lax.all_gather(seg[1], "volume")
-            if config.conic:
+            if config.conic and config.algorithm is not Algorithm.TEST:
                 # conic rays can disagree on sign(dir.x): fold both
                 # orders (K compose steps each — cheap) and select per
                 # ray.  dir.x == 0 rays live in one slab, so either
-                # order is exact for them.
+                # order is exact for them.  a5 (TEST) is excluded: its
+                # march ignores config.conic — every ray steps along the
+                # shared camera-front affine (kernel.cu:1177-1222), so
+                # the cam.front[0] fold below matches its actual
+                # traversal direction even for conic configs.
                 ri2 = jax.lax.axis_index("rays")
                 dirs = raycast.primary_ray_dirs(
                     cam, config, ri2 * w_local, w_local)
