@@ -241,6 +241,29 @@ def main():
           render_vrc(vol_str, tf, cam, cfg.replace(tf_lut=64),
                      mode="fast"), 2e-5)
 
+    # ---- scattering + LUT DIFF (round-5: item 7) -----------------------
+    from volumerenderingproject_tpu.ops.pallas_march_vjp import (
+        render_vrc_pallas_diff_scatter,
+    )
+
+    for name, kw, fn in (
+        ("scatter_diff", dict(scattering=True),
+         render_vrc_pallas_diff_scatter),
+        ("lut_diff", dict(tf_lut=64), render_vrc_pallas_diff),
+        ("lut_lit_diff", dict(tf_lut=64, lighting=True),
+         render_vrc_pallas_diff),
+    ):
+        c = cfg.replace(**kw)
+        wantk = render_vrc(vol_small, tf, cam, c, mode="fast")
+        check(f"{name}_fwd", fn(vol_small, tf, cam, c), wantk, 2e-5)
+        g_p = jax.jit(jax.grad(loss(
+            lambda t2, fn=fn, c=c: fn(vol_small, t2, cam, c))))(tf.colors)
+        g_x = jax.grad(loss(
+            lambda t2, c=c: render_vrc(vol_small, t2, cam, c,
+                                       mode="fast")))(tf.colors)
+        scale = float(jnp.abs(g_x).max()) + 1e-12
+        check(f"{name}_grads", g_p / scale, g_x / scale, 5e-3)
+
     # ---- streamed DIFF (round-5: beyond-VMEM training tier) ------------
     from volumerenderingproject_tpu.ops.pallas_march_vjp import (
         render_vrc_pallas_diff_streamed,
@@ -266,6 +289,9 @@ def main():
     )
 
     half = vol_str.dims[0] // 2
+    # slab visibility order must be decided OUTSIDE the jit trace
+    # (cam.front is a computed property -> a tracer inside)
+    front_pos = float(cam.front[0]) >= 0
 
     def slab_img(t2):
         segs = []
@@ -277,7 +303,7 @@ def main():
                     axis=0))
             segs.append(render_vrc_pallas_diff_segment(
                 v2, t2, cam, cfg, x0=vi * half, slab_x=half))
-        order = segs if float(cam.front[0]) >= 0 else segs[::-1]
+        order = segs if front_pos else segs[::-1]
         seg = comp.segment_compose(order[0], order[1])
         return comp.segment_finalize(
             seg, jnp.asarray(cfg.background, jnp.float32))

@@ -1,22 +1,19 @@
-"""Round-5 TPU job 1: sharded training at kernel speed (VERDICT r3 item 1).
+"""Round-5 chip job 1: parity gate for the new kernels + timings.
 
-The round-3 gap: every mesh fit set use_pallas=False (diff/fit.py), so
-multi-device training ran at XLA-scan speed.  This job measures, on the
-real chip, the new custom_vjp SEGMENT kernel path
-(parallel/render_dist.render_vrc_sharded differentiable=True — what
-diff/fit.render_loss now auto-routes through on TPU):
-
-  r5a_step_unsharded      fused single-device diff step (the r3 baseline)
-  r5a_step_mesh1_kernel   1-device-mesh diff step through segment kernels
-  r5a_step_mesh1_xla      1-device-mesh diff step through the XLA scan
-                          (the r3 use_pallas=False training cliff)
-  r5a_grad_max_rel_err    on-chip grad parity mesh-kernel vs unsharded
-  r5a_lit_*               same trio with baked lighting + traced light
-
-Done-criterion (VERDICT): mesh-kernel step within ~1.2x the fused
-unsharded step; grads allclose.  Appends to tpu_round5_results.json.
+One process (the axon relay queues the first program of each process —
+batch everything).  Measures:
+  j1a: full onchip_parity (incl. round-5 entries: slab/streamed/a5 diff,
+       scatter/LUT diff, a5 id-stream, x-dominant packed smooth)
+  j1b: streamed a5 at 320^3 (id grid streams; previously the XLA cliff)
+  j1c: 512^3 a5 id-stream frame (plain + lit)
+  j1d: streamed DIFF fit step at 320^3 (vs the XLA-scan step and the
+       forward streamed frame)
+  j1e: MNI-1mm smooth TF/bound-only fit step (volume_grad=False) vs the
+       full-splat step (round-4 VERDICT item 10)
+Appends results to benchmarks/tpu_round5_results2.json as they land.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -25,119 +22,172 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "tpu_round5_results.json")
-REPS = 5
+                   "tpu_round5_results2.json")
+
+results = {}
+
+
+def save():
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    from jax.sharding import Mesh
 
     from volumerenderingproject_tpu import (
+        Camera,
         RenderConfig,
         default_transfer_function,
         make_volume,
     )
-    from volumerenderingproject_tpu.diff.fit import (
-        FitParams,
-        render_loss,
-    )
-    from volumerenderingproject_tpu.ops import phong
-    from volumerenderingproject_tpu.scene.camera import Camera
+    from volumerenderingproject_tpu.models.raycast import render, render_test
+    from volumerenderingproject_tpu.utils.config import Algorithm, Interp
 
-    results = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            results = json.load(f)
-
-    def save():
-        with open(OUT, "w") as f:
-            json.dump(results, f, indent=2)
-
+    rng = np.random.default_rng(5)
     tf = default_transfer_function()
-    rng = np.random.default_rng(42)
-    # MNI-2mm-class volume (z = 91 <= 128: f32 rows in the diff kernels)
-    vol_np = rng.uniform(0.0, 255.0, size=(91, 109, 91)).astype(np.float32)
-    volume = make_volume(vol_np)
-    cam = Camera.initial(position=(0.9, 0.35, 0.75))
-    cfg = RenderConfig(width=304, height=304, samples_per_ray=300)
-    target = jnp.asarray(
-        rng.uniform(0.0, 1.0, size=(304, 304, 4)).astype(np.float32))
-    devs = np.array(jax.devices()[:1]).reshape(1, 1, 1)
-    mesh = Mesh(devs, ("rays", "samples", "volume"))
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
 
-    def timed(fn, *args):
-        out = fn(*args)  # compile
+    def timed(fn, *args, reps=3):
+        out = fn(*args)
         jax.block_until_ready(out)
         best = float("inf")
-        for _ in range(REPS):
+        for _ in range(reps):
             t0 = time.perf_counter()
             out = fn(*args)
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
         return best, out
 
-    def grad_fn(cfg_, mesh_, light, use_pallas=None):
-        def loss(params):
-            return render_loss(params, tf, volume, cam, target, cfg_, mesh_)
+    # ---- j1a: parity gate ----------------------------------------------
+    import onchip_parity
 
-        g = jax.jit(jax.value_and_grad(loss))
-        if use_pallas is not None:
-            # route the mesh path explicitly (the XLA-cliff comparison)
-            from volumerenderingproject_tpu.parallel.render_dist import (
-                render_vrc_sharded,
-            )
-            from volumerenderingproject_tpu.scene.transfer_function import (
-                TransferFunction,
-            )
+    onchip_parity.main()
+    with open(onchip_parity.OUT) as f:
+        results["j1a_parity_paths"] = len(json.load(f))
+    save()
 
-            def loss2(params):
-                tf3 = TransferFunction(
-                    lower=tf.lower, upper=tf.upper,
-                    colors=params.tf_colors.at[:, 3].mul(
-                        jnp.clip(params.density_scale, 0.0, None)),
-                    hg_g=tf.hg_g)
-                img = render_vrc_sharded(
-                    volume, tf3, cam, cfg_, mesh_,
-                    use_pallas=use_pallas, light=params.light)
-                return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+    # ---- j1b: streamed a5 at 320^3 -------------------------------------
+    xs = np.linspace(-1, 1, 320, dtype=np.float32)
+    r2 = (xs[:, None, None] ** 2 + xs[None, :, None] ** 2
+          + xs[None, None, :] ** 2)
+    dense = make_volume(
+        np.where(r2 < 0.8, 55.0 + 60.0 * r2, 0.0).astype(np.float32))
+    cfg5 = RenderConfig(width=304, height=304, samples_per_ray=300,
+                        algorithm=Algorithm.TEST, early_termination=1e-3)
+    f = jax.jit(lambda v: render(v, tf, cam, cfg5))
+    t, _ = timed(f, dense)
+    results["j1b_streamed_a5_320_ms"] = t * 1e3
+    # the XLA fallback it replaces
+    f_x = jax.jit(lambda v: render_test(v, tf, cam, cfg5, mode="fast"))
+    t, _ = timed(f_x, dense, reps=2)
+    results["j1b_a5_320_xla_ms"] = t * 1e3
+    save()
+    print("j1b", results, flush=True)
 
-            g = jax.jit(jax.value_and_grad(loss2))
-        return g
+    # ---- j1c: 512^3 a5 id-stream ---------------------------------------
+    xs = np.linspace(-1, 1, 512, dtype=np.float32)
+    r2 = (xs[:, None, None] ** 2 + xs[None, :, None] ** 2
+          + xs[None, None, :] ** 2)
+    big = make_volume(
+        np.where(r2 < 0.8, 55.0 + 60.0 * r2, 0.0).astype(np.float32))
+    t, _ = timed(jax.jit(lambda v: render(v, tf, cam, cfg5)), big, reps=2)
+    results["j1c_a5_512_ms"] = t * 1e3
+    t, _ = timed(jax.jit(lambda v: render(
+        v, tf, cam, cfg5.replace(lighting=True))), big, reps=2)
+    results["j1c_a5_512_lit_ms"] = t * 1e3
+    save()
+    print("j1c", results, flush=True)
 
-    for tag, lighting in (("", False), ("lit_", True)):
-        cfg_ = cfg.replace(lighting=lighting) if lighting else cfg
-        light = phong.default_light() if lighting else None
-        params = FitParams.init(tf, light=light)
+    # ---- j1d: streamed DIFF fit step at 320^3 --------------------------
+    from volumerenderingproject_tpu.ops.pallas_march_vjp import (
+        render_vrc_pallas_diff_streamed,
+    )
+    from volumerenderingproject_tpu.models.raycast import render_vrc
 
-        t_un, (l_un, g_un) = timed(grad_fn(cfg_, None, light), params)
-        results[f"r5a_{tag}step_unsharded_ms"] = t_un * 1e3
-        save()
-        t_mk, (l_mk, g_mk) = timed(grad_fn(cfg_, mesh, light), params)
-        results[f"r5a_{tag}step_mesh1_kernel_ms"] = t_mk * 1e3
-        save()
-        t_mx, _ = timed(grad_fn(cfg_, mesh, light, use_pallas=False),
-                        params)
-        results[f"r5a_{tag}step_mesh1_xla_ms"] = t_mx * 1e3
+    cfg1 = RenderConfig(width=304, height=304, samples_per_ray=300,
+                        early_termination=1e-3)
+    target = jnp.asarray(
+        rng.uniform(0, 1, (304, 304, 4)).astype(np.float32))
 
-        gu = np.asarray(g_un.tf_colors)
-        gm = np.asarray(g_mk.tf_colors)
-        denom = np.maximum(np.abs(gu), 1e-8)
-        results[f"r5a_{tag}grad_max_rel_err"] = float(
-            np.max(np.abs(gm - gu) / denom))
-        results[f"r5a_{tag}loss_abs_diff"] = abs(float(l_mk) - float(l_un))
-        results[f"r5a_{tag}mesh_vs_unsharded_ratio"] = t_mk / t_un
-        results[f"r5a_{tag}kernel_vs_xla_speedup"] = t_mx / t_mk
-        save()
-        print(f"[{tag or 'plain'}] unsharded {t_un*1e3:.1f} ms | "
-              f"mesh-kernel {t_mk*1e3:.1f} ms | mesh-xla {t_mx*1e3:.1f} ms "
-              f"| grad_rel_err {results[f'r5a_{tag}grad_max_rel_err']:.2e}")
+    t, _ = timed(jax.jit(lambda v: render(v, tf, cam, cfg1)), dense)
+    results["j1d_streamed_fwd_320_ms"] = t * 1e3
 
-    print(json.dumps({k: v for k, v in results.items()
-                      if k.startswith("r5a")}, indent=2))
+    def loss_p(colors, v):
+        tf2 = dataclasses.replace(tf, colors=colors)
+        img = render_vrc_pallas_diff_streamed(
+            v, tf2, cam, cfg1.replace(early_termination=0.0))
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    gp = jax.jit(jax.value_and_grad(loss_p))
+    t, (lv, g) = timed(gp, tf.colors, dense, reps=2)
+    results["j1d_streamed_diff_step_320_ms"] = t * 1e3
+    results["j1d_streamed_diff_grad_sum"] = float(jnp.abs(g).sum())
+
+    def loss_x(colors, v):
+        tf2 = dataclasses.replace(tf, colors=colors)
+        img = render_vrc(v, tf2, cam,
+                         cfg1.replace(early_termination=0.0), mode="fast")
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    gx = jax.jit(jax.value_and_grad(loss_x))
+    t, (lv2, g2) = timed(gx, tf.colors, dense, reps=2)
+    results["j1d_xla_step_320_ms"] = t * 1e3
+    results["j1d_grad_match"] = float(jnp.abs(g - g2).max())
+    save()
+    print("j1d", results, flush=True)
+
+    # 512^3 streamed diff step
+    def loss_p512(colors, v):
+        tf2 = dataclasses.replace(tf, colors=colors)
+        img = render_vrc_pallas_diff_streamed(
+            v, tf2, cam, cfg1.replace(early_termination=0.0))
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    gp5 = jax.jit(jax.value_and_grad(loss_p512))
+    t, _ = timed(gp5, tf.colors, big, reps=2)
+    results["j1d_streamed_diff_step_512_ms"] = t * 1e3
+    save()
+    print("j1d512", results, flush=True)
+
+    # ---- j1e: MNI-1mm smooth TF/bound-only step (item 10) --------------
+    from volumerenderingproject_tpu.ops.pallas_smooth import (
+        render_vrc_smooth_pallas,
+        smooth_pallas_eligible,
+    )
+
+    mni = make_volume(
+        rng.uniform(0, 255, (182, 218, 182)).astype(np.float32))
+    cfg_s = RenderConfig(width=304, height=304, samples_per_ray=300,
+                         interp=Interp.TRILINEAR, tf_sharpness=60.0)
+    assert smooth_pallas_eligible(mni, tf, cfg_s)
+    target2 = jnp.asarray(
+        rng.uniform(0, 1, (304, 304, 4)).astype(np.float32))
+
+    def loss_s(colors, lower, upper, data, vgrad):
+        tf2 = dataclasses.replace(tf, colors=colors, lower=lower,
+                                  upper=upper)
+        v2 = dataclasses.replace(mni, data=data)
+        img = render_vrc_smooth_pallas(
+            v2, tf2, cam, cfg_s, early_eps=0.0, volume_grad=vgrad)
+        return jnp.mean((img[..., :3] - target2[..., :3]) ** 2)
+
+    # TF/bound-only (no splat)
+    g_nv = jax.jit(jax.value_and_grad(
+        lambda c, lo, up, d: loss_s(c, lo, up, d, False),
+        argnums=(0, 1, 2)))
+    t, _ = timed(g_nv, tf.colors, tf.lower, tf.upper, mni.data, reps=2)
+    results["j1e_smooth_step_tf_only_mni_ms"] = t * 1e3
+    # full (with splat) for the ratio
+    g_full = jax.jit(jax.value_and_grad(
+        lambda c, lo, up, d: loss_s(c, lo, up, d, True),
+        argnums=(0, 1, 2, 3)))
+    t, _ = timed(g_full, tf.colors, tf.lower, tf.upper, mni.data, reps=2)
+    results["j1e_smooth_step_full_mni_ms"] = t * 1e3
+    save()
+    print("DONE", json.dumps(results, indent=1), flush=True)
 
 
 if __name__ == "__main__":

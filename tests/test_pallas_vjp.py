@@ -322,3 +322,76 @@ def test_streamed_diff_alpha0_outside_samples(scene):
     g1 = np.asarray(jax.grad(loss)(tf.colors, False))
     g2 = np.asarray(jax.grad(loss)(tf.colors, True))
     np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
+
+
+def test_scatter_diff_matches_xla(scene):
+    """Scattering-mode fits run fused (round-4 VERDICT item 7): TF-color
+    gradients through the scatter core match jax.grad through the XLA
+    scan INCLUDING the dT_light/d alpha transmittance chain (the bake's
+    additive slot depends on the alpha column; tangent forward calls
+    restore that chain exactly)."""
+    from volumerenderingproject_tpu.ops.pallas_march_vjp import (
+        render_vrc_pallas_diff_scatter,
+    )
+
+    volume, tf0, cam, cfg0, target = scene
+    hg = np.asarray(tf0.hg_g).copy()
+    hg[:] = ([0.0, 0.3, -0.2, 0.5] * 4)[: hg.shape[0]]
+    tf = TransferFunction(tf0.lower, tf0.upper, tf0.colors,
+                          jnp.asarray(hg))
+    for kw in (dict(scattering=True),
+               dict(scattering=True, lighting=True)):
+        cfg = cfg0.replace(**kw)
+
+        def loss(colors, fused):
+            tf2 = _with_colors(tf, colors)
+            if fused:
+                img = render_vrc_pallas_diff_scatter(
+                    volume, tf2, cam, cfg, interpret=True)
+            else:
+                img = render_vrc(volume, tf2, cam, cfg, mode="fast")
+            return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+        want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+        got = np.asarray(render_vrc_pallas_diff_scatter(
+            volume, tf, cam, cfg, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        g1 = np.asarray(jax.grad(loss)(tf.colors, False))
+        g2 = np.asarray(jax.grad(loss)(tf.colors, True))
+        assert np.abs(g1).sum() > 0
+        np.testing.assert_allclose(
+            g2, g1, rtol=1e-4, atol=float(np.abs(g1).max()) * 1e-4)
+
+
+def test_lut_diff_matches_xla(scene):
+    """Dense-LUT classify trains fused (round-4 VERDICT item 7): the
+    forward reads the (linear-in-colors) LUT rows; the backward scatters
+    into the interval table from the quantized vn — grads match jax.grad
+    through the XLA LUT scan."""
+    from volumerenderingproject_tpu.ops.pallas_march_vjp import (
+        render_vrc_pallas_diff,
+    )
+
+    volume, tf, cam, cfg0, target = scene
+    for kw in (dict(tf_lut=64), dict(tf_lut=256),
+               dict(tf_lut=64, lighting=True)):
+        cfg = cfg0.replace(**kw)
+
+        def loss(colors, fused):
+            tf2 = _with_colors(tf, colors)
+            if fused:
+                img = render_vrc_pallas_diff(
+                    volume, tf2, cam, cfg, interpret=True)
+            else:
+                img = render_vrc(volume, tf2, cam, cfg, mode="fast")
+            return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+        want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+        got = np.asarray(render_vrc_pallas_diff(
+            volume, tf, cam, cfg, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        g1 = np.asarray(jax.grad(loss)(tf.colors, False))
+        g2 = np.asarray(jax.grad(loss)(tf.colors, True))
+        assert np.abs(g1).sum() > 0
+        np.testing.assert_allclose(
+            g2, g1, rtol=1e-4, atol=float(np.abs(g1).max()) * 1e-4)

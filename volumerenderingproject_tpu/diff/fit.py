@@ -149,6 +149,20 @@ def _render_with_density(volume, tf, camera, config, density, light=None):
         render_vrc_pallas_diff,
     )
 
+    if config.scattering:
+        # scattering-mode fits run fused (round-4 VERDICT item 7): the
+        # additive-slot bake + tangent calls keep the dT_light/d alpha
+        # chain exact; traced lights fall back to the XLA scan
+        from ..ops.pallas_march_vjp import (
+            diff_pallas_scatter_eligible,
+            render_vrc_pallas_diff_scatter,
+        )
+
+        if diff_pallas_scatter_eligible(volume, tf2, config, light):
+            return render_vrc_pallas_diff_scatter(
+                volume, tf2, camera, config, light=light)
+        return raycast.render_vrc(
+            volume, tf2, camera, config, mode="fast", light=light)
     if light is not None:
         # optimizable light: fused baked-light kernels when eligible
         # (dL/dlight via tangent forward calls), XLA Phong scan otherwise
@@ -163,12 +177,17 @@ def _render_with_density(volume, tf, camera, config, density, light=None):
     )
 
     if smooth_pallas_eligible(volume, tf2, config):
-        # fused smooth-mode kernels: TF color + bound + volume-field
-        # gradients at kernel speed (ops/pallas_smooth.py); early_eps
-        # pinned to 0 — the smooth backward re-marches all chunks, so a
-        # nonzero forward eps would make gradients eps-inconsistent
+        # fused smooth-mode kernels: TF color + bound gradients at kernel
+        # speed (ops/pallas_smooth.py); early_eps pinned to 0 — the
+        # smooth backward re-marches all chunks, so a nonzero forward eps
+        # would make gradients eps-inconsistent.  volume_grad=False
+        # (round-4 VERDICT item 10): FitParams has no volume field, so
+        # the scatter-bound adjoint splat — the ~6 ns/index floor of
+        # full smooth steps — is never built; volume-FIELD fits call
+        # render_vrc_smooth_pallas directly with the default.
         return render_vrc_smooth_pallas(
-            volume, tf2, camera, config, early_eps=0.0)
+            volume, tf2, camera, config, early_eps=0.0,
+            volume_grad=False)
     if diff_pallas_eligible(volume, tf2, config):
         # fused Pallas forward+backward (ops/pallas_march_vjp.py); the
         # alpha-column density fold above routes d/d density by chain rule

@@ -730,11 +730,18 @@ def render_vrc_smooth_pallas(
     interpret: bool = False,
     tile: Tuple[int, int, int] | None = None,
     early_eps: float | None = None,
+    volume_grad: bool = True,
 ) -> jnp.ndarray:
     """Smooth-mode a1 render -> [W, H, 4], differentiable w.r.t. the TF
     colors AND interval bounds AND the volume data through fused Pallas
     forward/backward kernels (+ an XLA trilinear-adjoint splat for the
     volume cotangent).
+
+    ``volume_grad=False`` (round-4 VERDICT item 10) guarantees the
+    adjoint splat — the scatter-bound ~6 ns/index floor of full smooth
+    fit steps (DESIGN §4c) — is never built: the volume enters as a
+    constant and only TF colors/bounds receive gradients.  TF/bound-only
+    fits (diff/fit.py — FitParams has no volume field) use this mode.
 
     Value-identical (<= ~1e-5) to ``render_vrc(..., mode="fast")`` with
     ``config.interp = TRILINEAR`` **when the f32 row layout is selected**
@@ -831,34 +838,57 @@ def render_vrc_smooth_pallas(
         return vol_rows, jnp.concatenate(
             [scal_, q_min[None], q_step[None]])
 
-    @jax.custom_vjp
-    def core(colors, lower, upper, scal_, data3d):
-        vol_rows, scal2 = _stage(scal_, data3d)
-        return forward_tiles(colors, lower, upper, scal2, vol_rows)
-
-    def core_fwd(colors, lower, upper, scal_, data3d):
-        return (core(colors, lower, upper, scal_, data3d),
-                (colors, lower, upper, scal_, data3d))
-
-    def core_bwd(res, g):
-        colors, lower, upper, scal_, data3d = res
+    def _bwd_common(colors, lower, upper, scal_, data3d, g):
         vol_rows, scal2 = _stage(scal_, data3d)
         dcol_tiles, dvn_tiles = backward_tiles(
             colors, lower, upper, scal2, vol_rows, g)
         summed = dcol_tiles.sum(axis=(0, 1))
         k = tf.num_intervals
-        dcolors = summed[:k, :4]
-        dlower = summed[:k, 4]
-        dupper = summed[:k, 5]
-        dvol = _splat_volume_grad(
-            dvn_tiles, tile, camera, config, volume.dims,
-            jnp.asarray(volume.cal_max, _f32))
-        return (dcolors, dlower, dupper, jnp.zeros_like(scal_), dvol)
+        return summed[:k, :4], summed[:k, 4], summed[:k, 5], dvn_tiles
 
-    core.defvjp(core_fwd, core_bwd)
+    if volume_grad:
+        @jax.custom_vjp
+        def core(colors, lower, upper, scal_, data3d):
+            vol_rows, scal2 = _stage(scal_, data3d)
+            return forward_tiles(colors, lower, upper, scal2, vol_rows)
 
-    cr, cg, cb, t = core(tf.colors, tf.lower, tf.upper, scal,
-                         volume.data.reshape(volume.dims))
+        def core_fwd(colors, lower, upper, scal_, data3d):
+            return (core(colors, lower, upper, scal_, data3d),
+                    (colors, lower, upper, scal_, data3d))
+
+        def core_bwd(res, g):
+            colors, lower, upper, scal_, data3d = res
+            dcolors, dlower, dupper, dvn_tiles = _bwd_common(
+                colors, lower, upper, scal_, data3d, g)
+            dvol = _splat_volume_grad(
+                dvn_tiles, tile, camera, config, volume.dims,
+                jnp.asarray(volume.cal_max, _f32))
+            return (dcolors, dlower, dupper, jnp.zeros_like(scal_), dvol)
+
+        core.defvjp(core_fwd, core_bwd)
+        cr, cg, cb, t = core(tf.colors, tf.lower, tf.upper, scal,
+                             volume.data.reshape(volume.dims))
+    else:
+        data_const = jax.lax.stop_gradient(
+            volume.data.reshape(volume.dims))
+
+        @jax.custom_vjp
+        def core_nv(colors, lower, upper, scal_):
+            vol_rows, scal2 = _stage(scal_, data_const)
+            return forward_tiles(colors, lower, upper, scal2, vol_rows)
+
+        def core_nv_fwd(colors, lower, upper, scal_):
+            return (core_nv(colors, lower, upper, scal_),
+                    (colors, lower, upper, scal_))
+
+        def core_nv_bwd(res, g):
+            colors, lower, upper, scal_ = res
+            dcolors, dlower, dupper, _ = _bwd_common(
+                colors, lower, upper, scal_, data_const, g)
+            return (dcolors, dlower, dupper, jnp.zeros_like(scal_))
+
+        core_nv.defvjp(core_nv_fwd, core_nv_bwd)
+        cr, cg, cb, t = core_nv(tf.colors, tf.lower, tf.upper, scal)
 
     ntx = -(-w // tpx)
     nty = -(-h // tpy)
