@@ -197,7 +197,9 @@ def main():
         camd = Camera.initial(position=pos)
         wantd = render_vrc(vol_str, tf, camd, cfg, mode="fast")
         tag = "px" if pos[0] > 0 else "nx"
-        for mode, kw in (("manual", dict(manual=True)),
+        for mode, kw in (("manual", dict(manual=True,
+                                         manual_block_major=False)),
+                         ("mbm", dict(manual_block_major=True)),
                          ("tile", dict(manual=False, block_major=False)),
                          ("block", dict(manual=False, block_major=True))):
             check(f"streamed_{mode}_{tag}",

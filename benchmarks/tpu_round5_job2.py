@@ -1,17 +1,10 @@
-"""Round-5 TPU job 2: streamed lighting at 512^3-class scale (VERDICT r3
-item 3 done-criterion: "a 512^3-class lit render runs fused").
+"""Round-5 chip job 2: manual-block-major A/B (round-4 VERDICT item 6).
 
-Measures (min-of-reps, one process):
-
-  r5b_streamed_lit_512        512^3 dense synthetic, 304^2 x 300, lighting
-  r5b_streamed_plain_512      same workload unlit (the overhead ratio)
-  r5b_streamed_lit_320        320^3 (the bench.py streamed_320 scale), lit
-  r5b_streamed_scatter_320    320^3 scattering
-  r5b_xla_lit_320             the XLA scan it replaces (1 rep; the cliff)
-  r5b_streamed_lit_320_err    on-chip parity vs the XLA scan (quantization
-                              bound ~6e-3 documented in pack_ms_grid)
-
-Appends to tpu_round5_results.json.
+Same-process A/B of the streamed variants at 512^3 and 320^3 (plain,
+lit, LUT): tile-major manual (current default) vs manual_block_major
+(one invocation, each block DMA'd once per frame).  Also re-checks mbm
+parity on-chip at small scale before timing.  Appends to
+benchmarks/tpu_round5_results2.json.
 """
 
 import json
@@ -22,10 +15,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "tpu_round5_results.json")
-REPS = 3
+                   "tpu_round5_results2.json")
 
 
 def main():
@@ -33,12 +24,15 @@ def main():
     import jax.numpy as jnp
 
     from volumerenderingproject_tpu import (
+        Camera,
         RenderConfig,
         default_transfer_function,
         make_volume,
     )
-    from volumerenderingproject_tpu.models.raycast import render, render_vrc
-    from volumerenderingproject_tpu.scene.camera import Camera
+    from volumerenderingproject_tpu.models.raycast import render_vrc
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        render_vrc_pallas_streamed,
+    )
 
     results = {}
     if os.path.exists(OUT):
@@ -47,21 +41,13 @@ def main():
 
     def save():
         with open(OUT, "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump(results, f, indent=1)
 
+    rng = np.random.default_rng(5)
     tf = default_transfer_function()
-    cam = Camera.initial(position=(0.9, 0.35, 0.75))
-    cfg = RenderConfig(width=304, height=304, samples_per_ray=300,
-                       early_termination=1e-3)
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
 
-    def sphere(n):
-        xs = np.linspace(-1, 1, n, dtype=np.float32)
-        r2 = (xs[:, None, None] ** 2 + xs[None, :, None] ** 2
-              + xs[None, None, :] ** 2)
-        return make_volume(
-            np.where(r2 < 0.8, 55.0 + 60.0 * r2, 0.0).astype(np.float32))
-
-    def timed(fn, *args, reps=REPS):
+    def timed(fn, *args, reps=3):
         out = fn(*args)
         jax.block_until_ready(out)
         best = float("inf")
@@ -72,47 +58,66 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best, out
 
-    render_j = jax.jit(
-        lambda v, c: render(v, tf, cam, c), static_argnames="c")
-
-    vol320 = sphere(320)
-    for name, c in (
-        ("r5b_streamed_plain_320", cfg),
-        ("r5b_streamed_lit_320", cfg.replace(lighting=True)),
-        ("r5b_streamed_scatter_320", cfg.replace(scattering=True)),
-    ):
-        t, out = timed(render_j, vol320, c)
-        results[name + "_ms"] = t * 1e3
-        save()
-        print(f"{name}: {t*1e3:.1f} ms", flush=True)
-
-    # parity at 320^3 (exact mode) vs the XLA scan — and the cliff timing
-    c_lit = cfg.replace(lighting=True, early_termination=0.0)
-    got = np.asarray(render_j(vol320, c_lit))
-    t_x0 = time.perf_counter()
-    want = np.asarray(jax.jit(
-        lambda v: render_vrc(v, tf, cam, c_lit, mode="fast"))(vol320))
-    t_xla = time.perf_counter() - t_x0
-    results["r5b_xla_lit_320_ms_incl_compile"] = t_xla * 1e3
-    err = float(np.abs(got - want).max())
-    results["r5b_streamed_lit_320_err"] = err
+    # on-chip parity of mbm at small scale first (gates the timings)
+    vol_s = make_volume(rng.uniform(0, 255, (24, 12, 11)).astype(np.float32))
+    cfg_s = RenderConfig(width=32, height=32, samples_per_ray=24)
+    want = render_vrc(vol_s, tf, cam, cfg_s, mode="fast")
+    got = render_vrc_pallas_streamed(
+        vol_s, tf, cam, cfg_s, early_eps=0.0, block_x=8,
+        manual_block_major=True)
+    err = float(jnp.abs(got - want).max())
+    results["j2_mbm_parity_err"] = err
     save()
-    print(f"streamed lit 320 parity err {err:.2e}; XLA lit "
-          f"{t_xla*1e3:.0f} ms (incl compile)", flush=True)
-    assert err <= 6e-3, err
+    assert err <= 2e-5, err
+    print("j2 parity ok", err, flush=True)
 
-    vol512 = sphere(512)
-    for name, c in (
-        ("r5b_streamed_plain_512", cfg),
-        ("r5b_streamed_lit_512", cfg.replace(lighting=True)),
-    ):
-        t, out = timed(render_j, vol512, c, reps=2)
-        results[name + "_ms"] = t * 1e3
+    def vol_of(nn):
+        xs = np.linspace(-1, 1, nn, dtype=np.float32)
+        r2 = (xs[:, None, None] ** 2 + xs[None, :, None] ** 2
+              + xs[None, None, :] ** 2)
+        return make_volume(
+            np.where(r2 < 0.8, 55.0 + 60.0 * r2, 0.0).astype(np.float32))
+
+    for nn in (320, 512):
+        vol = vol_of(nn)
+        cfg = RenderConfig(width=304, height=304, samples_per_ray=300,
+                           early_termination=1e-3)
+        for name, kw in (
+            ("plain", {}),
+            ("lit", dict(lighting=True)),
+        ):
+            c = cfg.replace(**kw)
+            for mode, mkw in (("manual", dict(manual=True)),
+                              ("mbm", dict(manual_block_major=True))):
+                f = jax.jit(lambda v, c=c, mkw=mkw: render_vrc_pallas_streamed(
+                    v, tf, cam, c, early_eps=c.early_termination, **mkw))
+                t, _ = timed(f, vol, reps=3)
+                results[f"j2_{nn}_{name}_{mode}_ms"] = t * 1e3
+                save()
+                print(f"j2 {nn} {name} {mode}: {t*1e3:.1f} ms", flush=True)
+
+    # ---- lit a5 at MNI-1mm: the ms_nzr==1 flattened fetch (item 5) -----
+    from volumerenderingproject_tpu.models.raycast import render_test
+    from volumerenderingproject_tpu.utils.config import Algorithm
+
+    mni = make_volume(
+        rng.uniform(0, 255, (182, 218, 182)).astype(np.float32))
+    cfg5 = RenderConfig(width=304, height=304, samples_per_ray=300,
+                        algorithm=Algorithm.TEST, early_termination=1e-3)
+    from volumerenderingproject_tpu.ops.pallas_a5 import render_test_pallas
+
+    for name, kw in (("unlit", {}), ("lit", dict(lighting=True))):
+        c = cfg5.replace(**kw)
+        f = jax.jit(lambda v, c=c: render_test_pallas(
+            v, tf, cam, c, early_eps=c.early_termination))
+        t, _ = timed(f, mni, reps=3)
+        results[f"j2_a5_mni_{name}_ms"] = t * 1e3
         save()
-        print(f"{name}: {t*1e3:.1f} ms", flush=True)
-
-    print(json.dumps({k: v for k, v in results.items()
-                      if k.startswith("r5b")}, indent=2))
+        print(f"j2 a5 mni {name}: {t*1e3:.1f} ms", flush=True)
+    results["j2_a5_lit_ratio"] = (results["j2_a5_mni_lit_ms"]
+                                  / results["j2_a5_mni_unlit_ms"])
+    save()
+    print("DONE", json.dumps(results, indent=1), flush=True)
 
 
 if __name__ == "__main__":

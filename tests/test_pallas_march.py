@@ -627,3 +627,37 @@ def test_streamed_lit_quantization_exact_when_flat(scene):
         volume, tf, cam, cfg_plain, early_eps=0.0, interpret=True,
         block_x=8))
     np.testing.assert_array_equal(got, want)
+
+
+def test_streamed_manual_block_major_matches(scene):
+    """manual_block_major (round-4 VERDICT item 6): one invocation, blocks
+    outer (each DMA'd ONCE per frame), tiles inner with per-tile (C, T)
+    state in the VMEM outputs — parity vs the XLA renderer across both
+    visit directions, lit/scattered (quantized bound), and LUT."""
+    from volumerenderingproject_tpu.ops.pallas_march import (
+        render_vrc_pallas_streamed,
+    )
+
+    rng = np.random.default_rng(11)
+    volume = make_volume(
+        rng.uniform(0, 255, (24, 12, 11)).astype(np.float32))
+    tf = default_transfer_function()
+    cfg = RenderConfig(width=32, height=32, samples_per_ray=24)
+    for pos in ((0.35, 0.45, 0.85), (-0.5, 0.3, -0.8)):
+        cam = Camera.initial(position=pos)
+        want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+        got = np.asarray(render_vrc_pallas_streamed(
+            volume, tf, cam, cfg, early_eps=0.0, block_x=8,
+            manual_block_major=True, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-5, err_msg=str(pos))
+    cam = Camera.initial(position=(0.35, 0.45, 0.85))
+    for kw, tol in ((dict(lighting=True), 6e-3),
+                    (dict(scattering=True), 6e-3),
+                    (dict(tf_lut=64), 2e-5)):
+        c = cfg.replace(**kw)
+        want = np.asarray(render_vrc(volume, tf, cam, c, mode="fast"))
+        got = np.asarray(render_vrc_pallas_streamed(
+            volume, tf, cam, c, early_eps=0.0, block_x=8,
+            manual_block_major=True, interpret=True))
+        err = np.abs(got - want).max()
+        assert err <= tol, (kw, err)

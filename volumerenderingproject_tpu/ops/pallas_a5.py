@@ -463,21 +463,31 @@ def _a5_kernel(
             rmsxmax = jnp.max(jnp.where(shade_ok, lxb, -1))
             rmsymax = jnp.max(jnp.where(shade_ok, iyc, -1))
 
+            def _ms_fetch(crow, acc):
+                crowc = jnp.clip(crow, 0, ms_brm - 1)
+                bm = jnp.broadcast_to(
+                    ms_ref[pl.ds(crowc, 1), :], (8, 128))
+                w16 = jax.lax.shift_right_logical(
+                    jnp.take_along_axis(bm, lane_ms, axis=1),
+                    shift_ms) & 0xFFFF
+                return jnp.where(rowid_ms == crow, w16, acc)
+
             def msx(dxi, acc):
                 cx = rmsxmin + dxi
 
                 def msy(dyi, acc):
                     cy = rmsymin + dyi
+                    if ms_nzr == 1:
+                        # d3 <= 256 (the MNI-1mm class): one z-row per
+                        # (x, y) column — skip the inner loop entirely
+                        # (Mosaic scalar loop overhead is real, and this
+                        # sits in the hot lit-a5 path; round-4 VERDICT
+                        # item 5)
+                        return _ms_fetch(cx * d2 + cy, acc)
 
                     def msz(zr, acc):
-                        crow = (cx * d2 + cy) * ms_nzr + zr
-                        crowc = jnp.clip(crow, 0, ms_brm - 1)
-                        bm = jnp.broadcast_to(
-                            ms_ref[pl.ds(crowc, 1), :], (8, 128))
-                        w16 = jax.lax.shift_right_logical(
-                            jnp.take_along_axis(bm, lane_ms, axis=1),
-                            shift_ms) & 0xFFFF
-                        return jnp.where(rowid_ms == crow, w16, acc)
+                        return _ms_fetch((cx * d2 + cy) * ms_nzr + zr,
+                                         acc)
 
                     return jax.lax.fori_loop(0, ms_nzr, msz, acc)
 

@@ -133,6 +133,7 @@ def _march_kernel(
     vis_ref=None,
     block_major: bool = False,
     manual_stream: bool = False,
+    mbm: bool = False,
     nxb: int = 0,
     ms_stream: bool = False,
     ms_nzr: int = 1,
@@ -245,6 +246,9 @@ def _march_kernel(
         # lives in a persistent VMEM scratch across the whole sweep.
         tx = pl.program_id(1)
         ty = pl.program_id(2)
+    elif mbm:
+        # grid (1,): tile indices are LOOP variables (txv/tyv)
+        tx = ty = jnp.asarray(0, _i32)
     else:
         tx = pl.program_id(0)
         ty = pl.program_id(1)
@@ -266,21 +270,25 @@ def _march_kernel(
     ones = jnp.ones((RT, 128), _f32)
 
     def _compute_ct(vol_ref=vol_ref, x0_i=x0_i, box_lo=box_lo,
-                    box_hi=box_hi, ms_ref=None):
+                    box_hi=box_hi, ms_ref=None, txv=None, tyv=None):
         """Slot decode, ray setup, box clip and the chunk march — the
         per-invocation heavy work, deferred so hbm_mode can gate it
         behind the (tile, block) visibility bit.  The default arguments
         re-bind the enclosing values; manual_stream overrides them per
-        block (a VMEM buffer slot + that block's x offset/box)."""
+        block (a VMEM buffer slot + that block's x offset/box), and the
+        mbm mode passes LOOP tile indices (txv/tyv) instead of the
+        program ids."""
+        txl = tx if txv is None else txv
+        tyl = ty if tyv is None else tyv
         # ---- slot decode: e = step*nrays + u*tpy + v -----------------------
         e = _iota(0, E) * 128 + _iota(1, E)
         s_idx = e // nrays  # step-in-chunk 0..steps-1
         f = e % nrays
         u = f // tpy
         v = f % tpy
-        lxp = tx * tpx + u  # local pixel column
+        lxp = txl * tpx + u  # local pixel column
         pxi = lxp + x_off_i  # global pixel column (ray math uses global)
-        pyi = ty * tpy + v
+        pyi = tyl * tpy + v
         pix_ok = (lxp < lw) & (pyi < height)
         px = pxi.astype(_f32)
         py = pyi.astype(_f32)
@@ -761,6 +769,130 @@ def _march_kernel(
         out_g_ref[0, 0] = cg
         out_b_ref[0, 0] = cb
         out_t_ref[0, 0] = t
+        return
+
+    if mbm:
+        # ---- manual BLOCK-MAJOR: ONE invocation total (grid (1,)).
+        # The tile-major manual mode re-fetches every block once per ray
+        # tile — at 512^3 that block re-fetch is ~123 ms of the 177 ms
+        # frame (DESIGN §7).  Here the block loop is OUTERMOST: each
+        # block is DMA'd from HBM exactly once per frame (double-
+        # buffered), and an inner fori over ray tiles marches it into
+        # per-tile (C, T) state held directly in the VMEM output
+        # blocks.  Blocks are visited in visibility order, so the
+        # compose keeps the accumulator in front and saturated tiles
+        # skip the march (per-tile early termination).
+        block_rows = bufs_ref.shape[1]
+        fwd = front[0] >= 0.0
+        ntx_s = -(-lw // tpx)
+        nty_s = -(-height // tpy)
+        ntiles = ntx_s * nty_s
+        srows = out_t_ref.shape[0]  # pad8(ntiles * RT)
+
+        def bk_of(kvis):
+            bk = jnp.where(fwd, kvis, nxb - 1 - kvis)
+            return jnp.clip(bk, 0, nxb - 1).astype(_i32)
+
+        def dma(slot, kvis):
+            bk = bk_of(kvis)
+            return pltpu.make_async_copy(
+                vol_ref.at[pl.ds(bk * block_rows, block_rows), :],
+                bufs_ref.at[slot],
+                dma_sem_ref.at[slot],
+            )
+
+        def ms_dma(slot, kvis):
+            bk = bk_of(kvis)
+            return pltpu.make_async_copy(
+                ms_hbm_ref.at[pl.ds(bk * ms_brm, ms_brm), :],
+                ms_bufs_ref.at[slot],
+                ms_sem_ref.at[slot],
+            )
+
+        def start(slot, kvis):
+            dma(slot, kvis).start()
+            if ms_stream:
+                ms_dma(slot, kvis).start()
+
+        def wait(slot, kvis):
+            dma(slot, kvis).wait()
+            if ms_stream:
+                ms_dma(slot, kvis).wait()
+
+        # init the persistent per-tile states (the output blocks)
+        out_r_ref[:, :] = jnp.zeros((srows, 128), _f32)
+        out_g_ref[:, :] = jnp.zeros((srows, 128), _f32)
+        out_b_ref[:, :] = jnp.zeros((srows, 128), _f32)
+        out_t_ref[:, :] = jnp.ones((srows, 128), _f32)
+
+        def march_block(slot, kvis):
+            bk = bk_of(kvis)
+            x0b = x0_i + bk * slab_x
+            blk_lo = bext_ref[2 * bk]
+            blk_hi = bext_ref[2 * bk + 1]
+            bl = [jnp.maximum(box_lo[0], blk_lo), box_lo[1], box_lo[2]]
+            bh = [jnp.minimum(box_hi[0], blk_hi), box_hi[1], box_hi[2]]
+            nonempty = blk_lo <= blk_hi
+
+            @pl.when((kvis < nxb) & nonempty)
+            def _():
+                def tile_body(lin, _):
+                    txv = lin // nty_s
+                    tyv = lin % nty_s
+                    base = lin * RT
+                    acc_t = out_t_ref[pl.ds(base, RT), :]
+                    live = jnp.logical_not(jnp.max(acc_t) <= eps)
+
+                    @pl.when(live)
+                    def _():
+                        bcr, bcg, bcb, bt = _compute_ct(
+                            vol_ref=bufs_ref.at[slot], x0_i=x0b,
+                            box_lo=bl, box_hi=bh,
+                            ms_ref=(ms_bufs_ref.at[slot]
+                                    if ms_stream else None),
+                            txv=txv, tyv=tyv)
+                        # visit order == visibility order: accumulator
+                        # is in front of the block
+                        acc_r = out_r_ref[pl.ds(base, RT), :]
+                        acc_g = out_g_ref[pl.ds(base, RT), :]
+                        acc_b = out_b_ref[pl.ds(base, RT), :]
+                        out_r_ref[pl.ds(base, RT), :] = (
+                            acc_r + acc_t * bcr)
+                        out_g_ref[pl.ds(base, RT), :] = (
+                            acc_g + acc_t * bcg)
+                        out_b_ref[pl.ds(base, RT), :] = (
+                            acc_b + acc_t * bcb)
+                        out_t_ref[pl.ds(base, RT), :] = acc_t * bt
+
+                    return 0
+
+                jax.lax.fori_loop(0, ntiles, tile_body, 0)
+
+        start(0, 0)
+
+        def body(it, carry):
+            k0 = it * 2
+            k1 = it * 2 + 1
+
+            @pl.when(k1 < nxb)
+            def _():
+                start(1, k1)
+
+            wait(0, k0)
+            march_block(0, k0)
+
+            @pl.when(k1 + 1 < nxb)
+            def _():
+                start(0, k1 + 1)
+
+            @pl.when(k1 < nxb)
+            def _():
+                wait(1, k1)
+                march_block(1, k1)
+
+            return carry
+
+        jax.lax.fori_loop(0, -(-nxb // 2), body, 0)
         return
 
     if manual_stream:
@@ -1981,6 +2113,7 @@ def render_vrc_pallas_streamed(
     remap_dma: bool = False,
     block_major: bool = False,
     manual: bool = True,
+    manual_block_major: bool | None = None,
     light=None,
     x_offset=0,
     local_width: int | None = None,
@@ -2057,10 +2190,13 @@ def render_vrc_pallas_streamed(
     lut_n = int(config.tf_lut)
     if use_vis or block_major:
         manual = False
+        manual_block_major = False
     if use_vis:
         block_major = False  # the bitmap indexes the tile-major grid
+    if manual_block_major:
+        manual = True  # same arg layout; the kernel branches on mbm
     if segment and not manual:
-        raise ValueError("streamed segments run in the manual-DMA mode")
+        raise ValueError("streamed segments run in the manual-DMA modes")
     lit = bool(config.lighting) or bool(config.scattering)
     if lit and not manual:
         raise ValueError(
@@ -2089,11 +2225,23 @@ def render_vrc_pallas_streamed(
     nty = -(-h // tpy)
     rt = (tpx * tpy) // 128
 
+    if manual_block_major is None:
+        # round-5 on-chip A/B (tpu_round5_results2.json j2_*): mbm wins
+        # or ties tile-major manual everywhere measured (320^3 plain
+        # +8%, lit +6%; 512^3 lit -24%, plain tie) — default to it
+        # whenever its per-tile state leaves the block buffers room
+        state_bytes = 4 * _pad_to(ntx * nty * rt, 8) * 128 * 4
+        manual_block_major = manual and state_bytes <= 4 * 2**20
     if block_major:
         # the per-tile (C, T) scratch shares VMEM with the double-buffered
         # block: shrink the block budget accordingly
         state_bytes = ntx * nty * 4 * rt * 128 * 4
         bb = max(2**20, (13 * 2**20 - state_bytes) // 2)
+    elif manual_block_major:
+        # per-tile states live in the VMEM output blocks; budget what's
+        # left for the two block buffers
+        state_bytes = 4 * _pad_to(ntx * nty * rt, 8) * 128 * 4
+        bb = max(2**20, (12 * 2**20 - state_bytes) // 2)
     elif manual:
         bb = 6 * 2**20  # two explicit buffers + compute headroom
     else:
@@ -2336,33 +2484,74 @@ def render_vrc_pallas_streamed(
             pltpu.SemaphoreType.DMA((2,)),
         ] if lit else [])
         ms_args = ([ms_rows] if lit else [])
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(ntx, nty),
-            in_specs=base_in_specs + [
-                pl.BlockSpec(memory_space=pl.ANY)]  # volume stays in HBM
-            + [pl.BlockSpec((a.shape[0], 128), lambda i, j: (0, 0),
-                            memory_space=pltpu.VMEM)
-               for a in extra_args]  # [LUT rows]
-            + ms_in  # [(M, S) rows stay in HBM too]
-            + [pl.BlockSpec(memory_space=pltpu.SMEM)],  # block extents
-            out_specs=[
-                pl.BlockSpec((1, 1, rt, 128), lambda i, j: (i, j, 0, 0),
-                             memory_space=pltpu.VMEM)
-                for _ in range(4)
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((2, block_rows, 128), vol_rows.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ] + ms_scratch,
-        )
-        cr, cg, cb, t = pl.pallas_call(
-            functools.partial(base_kernel, manual_stream=True, nxb=nxb),
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows, *extra_args,
-          *ms_args, bext)
+        if manual_block_major:
+            # grid (1,): ONE invocation; blocks outer (each DMA'd once),
+            # tiles inner, per-tile (C, T) state in the flat VMEM outputs
+            srows = _pad_to(ntx * nty * rt, 8)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(1,),
+                in_specs=base_in_specs + [
+                    pl.BlockSpec(memory_space=pl.ANY)]  # volume in HBM
+                + [pl.BlockSpec((a.shape[0], 128), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   for a in extra_args]  # [LUT rows]
+                + ms_in
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)],  # extents
+                out_specs=[
+                    pl.BlockSpec((srows, 128), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(4)
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, block_rows, 128), vol_rows.dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ] + ms_scratch,
+            )
+            cr, cg, cb, t = pl.pallas_call(
+                functools.partial(base_kernel, manual_stream=True,
+                                  mbm=True, nxb=nxb),
+                grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct((srows, 128), _f32)
+                           for _ in range(4)],
+                interpret=interpret,
+            )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows,
+              *extra_args, *ms_args, bext)
+            # flat rows [lin * rt + r] -> the (ntx, nty, rt, 128) layout
+            # the shared unpack expects
+            cr, cg, cb, t = (
+                a[: ntx * nty * rt].reshape(ntx, nty, rt, 128)
+                for a in (cr, cg, cb, t))
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(ntx, nty),
+                in_specs=base_in_specs + [
+                    pl.BlockSpec(memory_space=pl.ANY)]  # volume in HBM
+                + [pl.BlockSpec((a.shape[0], 128), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   for a in extra_args]  # [LUT rows]
+                + ms_in  # [(M, S) rows stay in HBM too]
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)],  # block extents
+                out_specs=[
+                    pl.BlockSpec((1, 1, rt, 128),
+                                 lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(4)
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, block_rows, 128), vol_rows.dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ] + ms_scratch,
+            )
+            cr, cg, cb, t = pl.pallas_call(
+                functools.partial(base_kernel, manual_stream=True,
+                                  nxb=nxb),
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(scal, tf.lower, tf.upper, tf.colors, occ, vol_rows,
+              *extra_args, *ms_args, bext)
     elif block_major:
         # block OUTERMOST: the volume block index changes only when grid
         # dim 0 advances, so Pallas's consecutive-index elision copies
