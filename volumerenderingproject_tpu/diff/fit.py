@@ -149,6 +149,19 @@ def _render_with_density(volume, tf, camera, config, density, light=None):
         render_vrc_pallas_diff,
     )
 
+    if volume.channels > 1:
+        # 4-D multichannel fits run fused (round-5): the TF alpha column
+        # trains at kernel speed (rgb is data-derived — zero cotangents)
+        from ..ops.pallas_march_vjp import (
+            diff_pallas_mc_eligible,
+            render_vrc_pallas_diff_multichannel,
+        )
+
+        if light is None and diff_pallas_mc_eligible(volume, tf2, config):
+            return render_vrc_pallas_diff_multichannel(
+                volume, tf2, camera, config)
+        return raycast.render_vrc(
+            volume, tf2, camera, config, mode="fast", light=light)
     if config.scattering:
         # scattering-mode fits run fused (round-4 VERDICT item 7): the
         # additive-slot bake + tangent calls keep the dT_light/d alpha

@@ -107,6 +107,7 @@ def _march_bwd_kernel(
     local_width: int | None = None,
     slab_x: int | None = None,
     lut_n: int = 0,
+    mc_grids: int = 0,
 ):
     """``spr`` is the LOCAL sample count of this segment (the global
     sample index is ``scal[30] + local``) and ``local_width``/``scal[29]``
@@ -134,10 +135,16 @@ def _march_bwd_kernel(
     M and S are volume-only quantities — constants w.r.t. the TF colors —
     so the chain rule just scales the rgb scatter by the sample's M
     (dC/dc_k = w * M) and routes the alpha gradient through the SHADED
-    g.c' (the (M, S) grids themselves get zero cotangents)."""
+    g.c' (the (M, S) grids themselves get zero cotangents).
+
+    ``mc_grids``: 4-D multi-channel mode (round-5) — the sample's rgb
+    comes from the normalized channel grids (data-only, zero color
+    cotangents) and only its ALPHA classifies (packed mean-id grid), so
+    the color table receives alpha-column gradients only."""
     rest = list(rest)
     mg_ref = rest.pop(0) if baked_light else None
     sg_ref = rest.pop(0) if baked_light else None
+    mc_refs = tuple(rest.pop(0) for _ in range(mc_grids))
     g_r_ref, g_g_ref, g_b_ref, g_t_ref, dcol_ref = rest
     d1, d2, d3 = dims
     packed = zpack is not None
@@ -305,6 +312,45 @@ def _march_bwd_kernel(
                 out[c] = out[c] + mf * tf_colors_ref[k, c]
         a, r, g, b = out[3], out[0], out[1], out[2]
         mval = jnp.ones((8, 128), _f32)
+        if mc_grids:
+            # multichannel: rgb comes from the normalized channel grids
+            # (data-only — zero cotangents), valid-masked to 0 outside,
+            # exactly as the forward's fetch_f32_grids; the classify
+            # above supplied only the alpha column
+            rowid_f = jnp.where(valid, lxv * d2 + ijk[1], -1)
+            iz_f = jnp.where(valid, jnp.clip(ijk[2], 0, d3 - 1), 0)
+            rfxmin = jnp.min(jnp.where(valid, lxv, _BIG))
+            rfymin = jnp.min(jnp.where(valid, ijk[1], _BIG))
+            rfxmax = jnp.max(jnp.where(valid, lxv, -1))
+            rfymax = jnp.max(jnp.where(valid, ijk[1], -1))
+
+            def cfx(dxi, accs):
+                cx = rfxmin + dxi
+
+                def cfy(dyi, accs):
+                    crow = cx * d2 + (rfymin + dyi)
+                    sel = rowid_f == crow
+                    out2 = []
+                    for ref, acc2 in zip(mc_refs, accs):
+                        bm = jnp.broadcast_to(
+                            ref[pl.ds(crow, 1), :], (8, 128))
+                        out2.append(jnp.where(
+                            sel,
+                            jnp.take_along_axis(bm, iz_f, axis=1),
+                            acc2))
+                    return tuple(out2)
+
+                return jax.lax.fori_loop(
+                    0, rfymax - rfymin + 1, cfy, accs)
+
+            vals = jax.lax.fori_loop(
+                0, rfxmax - rfxmin + 1, cfx,
+                tuple(jnp.zeros((8, 128), _f32) for _ in mc_refs))
+            vals = [jnp.where(valid, v, 0.0) for v in vals]
+            if mc_grids == 1:
+                r = g = b = vals[0]
+            else:
+                r, g, b = vals
         if baked_light:
             # fetch the baked (M, S) factors at the sample voxel (f32 row
             # layout regardless of the main grid's packing) and shade:
@@ -394,13 +440,18 @@ def _march_bwd_kernel(
             t = t * denom
         w_all = jnp.concatenate(w_list, axis=0)
         da_all = jnp.concatenate(da_list, axis=0)
-        # dC/dc_k = w (x M when the forward shades c' = c * M + S)
+        # dC/dc_k = w (x M when the forward shades c' = c * M + S);
+        # multichannel rgb comes from the data grids -> zero rgb scatter
         wc = w_all * mval if baked_light else w_all
+        zscat = jnp.zeros((), _f32)
         for k in range(num_intervals):
             mf = (matches[k] & live).astype(_f32)
-            dr = jnp.sum(mf * wc * gr4)
-            dg = jnp.sum(mf * wc * gg4)
-            db = jnp.sum(mf * wc * gb4)
+            if mc_grids:
+                dr = dg = db = zscat
+            else:
+                dr = jnp.sum(mf * wc * gr4)
+                dg = jnp.sum(mf * wc * gg4)
+                db = jnp.sum(mf * wc * gb4)
             dal = jnp.sum(mf * da_all)
             upd = jnp.where(
                 col_i == 0, dr,
@@ -2072,3 +2123,213 @@ def render_vrc_pallas_diff_streamed_segment(
         x_offset=x_offset, local_width=local_width,
         s_start=s_start, s_count=s_count)
     return jnp.stack([cr, cg, cb], axis=-1), t[..., None]
+
+
+@functools.lru_cache(maxsize=32)
+def _make_mc_core(dims, depth, num_intervals, width, height, spr, nb,
+                  rows, ngrids, grows_n, interpret, zpack,
+                  local_width=None):
+    """custom_vjp'd MULTICHANNEL tile renderer (round-5): rgb from the
+    normalized channel grids (data-only), alpha from the packed mean-id
+    classify — so the color table receives exact ALPHA-column gradients
+    and zero rgb gradients (the multichannel sampler takes rgb from the
+    data, models/raycast._vrc_sample_rgba_multichannel)."""
+    ntx = -(-(width if local_width is None else local_width) // TILE_PX)
+    nty = -(-height // TILE_PY)
+    krows = 8 if num_intervals <= 8 else 16
+    tile = (TILE_PX, TILE_PY, STEPS)
+
+    fwd_kernel = functools.partial(
+        _march_kernel,
+        dims=dims, depth=depth, num_intervals=num_intervals,
+        width=width, height=height, spr=spr, conic=False,
+        density_scale=1.0, nbricks=nb, zpack=zpack, tile=tile,
+        local_width=local_width, mc_grids=ngrids,
+    )
+    bwd_kernel = functools.partial(
+        _march_bwd_kernel,
+        dims=dims, depth=depth, num_intervals=num_intervals,
+        width=width, height=height, spr=spr, conic=False,
+        zpack=zpack, krows=krows, local_width=local_width,
+        mc_grids=ngrids,
+    )
+
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(5)]
+    vol_spec = pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    mc_specs = [pl.BlockSpec((grows_n, 128), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(ngrids)]
+    tile_spec = [pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM) for _ in range(4)]
+    tile_shape = [jax.ShapeDtypeStruct((ntx, nty, 2, 128), _f32)
+                  for _ in range(4)]
+
+    def forward_tiles(colors, lower, upper, scal, vol_rows, occ, mcg):
+        return tuple(pl.pallas_call(
+            fwd_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0, grid=(ntx, nty),
+                in_specs=smem + [vol_spec] + mc_specs,
+                out_specs=tile_spec),
+            out_shape=tile_shape,
+            interpret=interpret,
+        )(scal, lower, upper, colors, occ, vol_rows, *mcg))
+
+    @jax.custom_vjp
+    def core(colors, lower, upper, scal, vol_rows, occ, *mcg):
+        return forward_tiles(colors, lower, upper, scal, vol_rows, occ,
+                             mcg)
+
+    def core_fwd(colors, lower, upper, scal, vol_rows, occ, *mcg):
+        return (forward_tiles(colors, lower, upper, scal, vol_rows, occ,
+                              mcg),
+                (colors, lower, upper, scal, vol_rows, occ) + mcg)
+
+    def core_bwd(res, g):
+        colors, lower, upper, scal, vol_rows, occ = res[:6]
+        mcg = res[6:]
+        dtiles = pl.pallas_call(
+            bwd_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0, grid=(ntx, nty),
+                in_specs=smem[:4] + [vol_spec] + mc_specs + [
+                    pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(4)
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, krows, 128), lambda i, j: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM)),
+            out_shape=jax.ShapeDtypeStruct((ntx, nty, krows, 128), _f32),
+            interpret=interpret,
+        )(scal, lower, upper, colors, vol_rows, *mcg, *g)
+        dcolors = dtiles.sum(axis=(0, 1))[:num_intervals, :4]
+        z = jnp.zeros_like
+        return (dcolors, z(lower), z(upper), z(scal),
+                _zero_cot_pub(vol_rows), _zero_cot_pub(occ)
+                ) + tuple(z(m) for m in mcg)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def diff_pallas_mc_eligible(volume: Volume, tf: TransferFunction,
+                            config: RenderConfig) -> bool:
+    """Static predicate for the MULTICHANNEL differentiable fused path
+    (round-5): 4-D volumes train their TF alpha column at kernel speed
+    (rgb is data-derived; no rgb cotangents exist)."""
+    from .pallas_march import multichannel_feasible
+
+    return (
+        jax.default_backend() == "tpu"
+        and volume.channels > 1
+        and not config.conic
+        and not config.scattering
+        and config.algorithm.name == "VRC"
+        and tf.num_intervals <= 16
+        and multichannel_feasible(
+            volume.dims, volume.channels, tf.num_intervals, config)
+    )
+
+
+def render_vrc_pallas_diff_multichannel(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-channel a1 render -> [W, H, 4], differentiable w.r.t. the TF
+    ALPHA column through fused Pallas forward+backward kernels (rgb is
+    data-derived — its color-table cotangents are identically zero, which
+    the backward reproduces exactly).  Value-identical to the fused
+    multichannel forward == the XLA multichannel scan."""
+    from .pallas_march import (
+        _stage_f32_rows,
+        brick_occupancy,
+        multichannel_feasible,
+        pack_material_grid,
+        packed_geometry,
+    )
+
+    d1, d2, d3 = volume.dims
+    if volume.channels < 2:
+        raise ValueError("use render_vrc_pallas_diff for single-channel")
+    if config.conic or config.scattering:
+        raise ValueError("mc diff path is ortho, unscattered")
+    if not multichannel_feasible(
+            volume.dims, volume.channels, tf.num_intervals, config):
+        raise ValueError(
+            "multichannel pallas path infeasible for this config "
+            "(needs plain NN classify + the VMEM budget)")
+    sg = jax.lax.stop_gradient
+    colors = tf.colors
+    if config.density_scale != 1.0:
+        colors = colors.at[:, 3].set(
+            jnp.clip(colors[:, 3] * np.float32(config.density_scale),
+                     0.0, 1.0))
+    tf_sg = TransferFunction(lower=sg(tf.lower), upper=sg(tf.upper),
+                             colors=sg(colors), hg_g=tf.hg_g)
+
+    zpack = packed_geometry(volume.dims, tf.num_intervals)
+    cal_raw = jnp.asarray(volume.cal_max, _f32)
+    norm4 = jnp.maximum(
+        volume.data.reshape(volume.dims + (volume.channels,)), 0.0
+    ) / cal_raw
+    meanv = jnp.mean(norm4, axis=-1)
+    one = jnp.ones((), _f32)
+    vol_rows, id0 = pack_material_grid(meanv, tf_sg, one, zpack)
+    rows = vol_rows.shape[0]
+    occ, nb = brick_occupancy(meanv, tf_sg, one)
+    alpha0 = sg(tf_sg.classify(jnp.zeros((), _f32))[3])
+
+    ngrids = 1 if volume.channels < 3 else 3
+    mcg = tuple(_stage_f32_rows(norm4[..., ci], d1, d2, d3)
+                for ci in range(ngrids))
+    grows_n = mcg[0].shape[0]
+
+    L = float(max(volume.dims))
+    n = float(2**volume.octree_depth)
+    box_lo = [max(0.0, (L / 2 - dim / 2) / L) - 0.5 for dim in volume.dims]
+    box_hi = [min(1.0, (L / 2 + dim / 2) / L + 1.0 / n) - 0.5
+              for dim in volume.dims]
+    w, h = config.width, config.height
+    scal = jnp.concatenate([
+        jnp.asarray([config.sample_distance, config.front_clip], _f32),
+        jnp.trunc(cal_raw)[None],
+        jnp.zeros((1,), _f32),  # early_eps = 0
+        alpha0[None],
+        camera.position.astype(_f32),
+        camera.front.astype(_f32),
+        camera.right.astype(_f32),
+        camera.up.astype(_f32),
+        camera.top_left.astype(_f32),
+        jnp.asarray([config.real_screen_width, config.real_screen_height],
+                    _f32),
+        jnp.asarray(box_lo, _f32),
+        jnp.asarray(box_hi, _f32),
+        id0[None],
+        jnp.zeros((3,), _f32),  # x_offset, s_start, slab x0
+    ])
+
+    core = _make_mc_core(
+        volume.dims, volume.octree_depth, tf.num_intervals, w, h,
+        config.samples_per_ray, nb, rows, ngrids, grows_n,
+        bool(interpret), zpack)
+    cr, cg, cb, t = core(colors, tf.lower, tf.upper, scal, vol_rows,
+                         occ, *mcg)
+
+    ntx = -(-w // TILE_PX)
+    nty = -(-h // TILE_PY)
+
+    def unpack(a):
+        a = a.reshape(ntx, nty, TILE_PX, TILE_PY)
+        a = a.transpose(0, 2, 1, 3).reshape(ntx * TILE_PX, nty * TILE_PY)
+        return a[:w, :h]
+
+    t2 = unpack(t)
+    bg = jnp.asarray(config.background, _f32)
+    rgb = [unpack(c) + t2 * bg[i] for i, c in enumerate((cr, cg, cb))]
+    return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)
