@@ -338,3 +338,62 @@ def test_mesh_kernel_fit_grads_match_single(scene):
     np.testing.assert_allclose(gm2[keep], gs2[keep], rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(
         gm2[3:6].sum(), gs2[3:6].sum(), rtol=2e-3, atol=2e-5)
+
+
+def test_a5_mesh_fit_grads_match_single(scene):
+    """a5 fits over a mesh (round-4 VERDICT item 3): render_loss with a
+    TEST-algorithm config + mesh produces the same color/density grads
+    as the single-device path (the fused a5 diff segments carry the
+    sharded side in interpret/TPU runs; CPU runs the XLA scan — either
+    way the mesh must not change gradients)."""
+    from jax.sharding import Mesh
+
+    from volumerenderingproject_tpu.utils.config import Algorithm
+
+    volume, tf, cam, cfg, target = scene
+    devs = np.array(jax.devices()[:4]).reshape(2, 2, 1)
+    mesh = Mesh(devs, ("rays", "samples", "volume"))
+    cfg5 = dataclasses.replace(cfg, width=16, samples_per_ray=30,
+                               algorithm=Algorithm.TEST)
+    target2 = target[:16]
+    params = FitParams.init(tf)
+
+    g_single = jax.grad(render_loss)(
+        params, tf, volume, cam, target2, cfg5)
+    g_mesh = jax.grad(render_loss)(
+        params, tf, volume, cam, target2, cfg5, mesh)
+    assert float(jnp.abs(g_single.tf_colors).sum()) > 0
+    np.testing.assert_allclose(
+        np.asarray(g_mesh.tf_colors), np.asarray(g_single.tf_colors),
+        rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_mesh.density_scale),
+        np.asarray(g_single.density_scale), rtol=2e-4, atol=1e-6)
+
+
+def test_volume_mesh_fit_grads_match_single(scene):
+    """Volume-axis mesh fits (round-4 VERDICT item 1a): render_loss over
+    a ("rays", "samples", "volume") mesh with volume > 1 matches the
+    single-device gradients (the slab diff segments carry the sharded
+    side on TPU/interpret; CPU runs the XLA slab scan)."""
+    from jax.sharding import Mesh
+
+    from volumerenderingproject_tpu import make_volume
+
+    _, tf, cam, cfg, target = scene
+    rng = np.random.default_rng(5)
+    volume = make_volume(  # even x so the axis divides it
+        rng.uniform(0, 255, size=(8, 11, 10)).astype(np.float32))
+    devs = np.array(jax.devices()[:4]).reshape(2, 1, 2)
+    mesh = Mesh(devs, ("rays", "samples", "volume"))
+    cfg2 = dataclasses.replace(cfg, width=16, samples_per_ray=30)
+    target2 = target[:16]
+    params = FitParams.init(tf)
+
+    g_single = jax.grad(render_loss)(
+        params, tf, volume, cam, target2, cfg2)
+    g_mesh = jax.grad(render_loss)(
+        params, tf, volume, cam, target2, cfg2, mesh)
+    np.testing.assert_allclose(
+        np.asarray(g_mesh.tf_colors), np.asarray(g_single.tf_colors),
+        rtol=2e-4, atol=1e-6)
