@@ -69,23 +69,24 @@ MATRIX_REPS = 3
 TIME_BUDGET_S = 2100  # stop starting new configs past this
 
 # Committed regression floors (rays/s): 0.75 x best recorded headline
-# (60.36M r02; exact 43.65M r03), 0.70 x best recorded matrix values
-# (BENCH_r03.json / BENCH_r04+ as they improve).  Update alongside any
-# intentional protocol change; raising a floor requires a recorded run
-# above it.
+# (64.48M, benchmarks/bench_r5_trial.json — the round-5 record run;
+# exact 54.18M same run), 0.70 x best recorded matrix values.  Update
+# alongside any intentional protocol change; raising a floor requires a
+# recorded run above it.  A below-floor headline/exact is NOT fatal when
+# the automated same-rhythm A/B (out["ab"]) proves rig noise.
 FLOORS = {
-    "headline": 45.3e6,
-    "exact": 32.7e6,
-    # 0.70 x best on record: lut_phong 3.88M / sobel_lit 12.01M /
-    # streamed 3.39M (BENCH_r04), a5 2.32M / multichannel 2.48M (BENCH_r03)
-    "lut_phong_300": 2.72e6,
-    "sobel_lit_700": 8.41e6,
-    "a5_500": 1.63e6,
-    "streamed_320": 2.37e6,
-    # 0.70 x the BENCH_r04.json protocol record (0.73M rays/s) per the
-    # stated ratchet rule (placeholder 0.4M retired round 5).
-    "streamed_lit_320": 0.51e6,
-    "multichannel_304": 1.73e6,
+    "headline": 48.4e6,
+    "exact": 40.6e6,
+    # 0.70 x best on record (benchmarks/bench_r5_trial.json): lut_phong
+    # 4.18M, sobel_lit 14.97M, streamed 3.58M, streamed_lit 0.82M,
+    # multichannel 3.61M, streamed_a5 0.36M; a5 2.48M (BENCH_r03)
+    "lut_phong_300": 2.92e6,
+    "sobel_lit_700": 10.5e6,
+    "a5_500": 1.73e6,
+    "streamed_320": 2.51e6,
+    "streamed_lit_320": 0.58e6,
+    "streamed_a5_320": 0.25e6,
+    "multichannel_304": 2.53e6,
 }
 
 
@@ -358,6 +359,16 @@ def main() -> None:
             ab = {"error": f"{type(e).__name__}: {e}"}
         if ab is not None:
             out["ab"] = ab
+            if ab.get("verdict") == "rig_noise":
+                # the same-rhythm A/B proved the old code reads the same
+                # on this rig right now: below-floor THROUGHPUT entries
+                # are rig state, not drift — record them, don't fail the
+                # gate (config errors and parity failures still do)
+                kept = [r for r in regressed if "< floor" not in r]
+                if len(kept) != len(regressed):
+                    out["below_floor_rig_noise"] = [
+                        r for r in regressed if "< floor" in r]
+                regressed = kept
 
     out["regressed"] = regressed
     out["skipped"] = skipped
@@ -418,7 +429,9 @@ def _ab_against_prior_round(current_value: float):
     if rec is None:
         return None
     prior_path, prior_value, old_commit = rec
-    if current_value >= prior_value:
+    # run whenever the headline is below the prior round's record OR the
+    # committed floor (the rig-noise verdict rescues the floor gate)
+    if current_value >= max(prior_value, FLOORS["headline"]):
         return None
 
     import shutil
