@@ -777,16 +777,24 @@ def a5_pack_id_grid(
     return grid, id0.astype(_f32)
 
 
-_A5_ID_SLOT_BUDGET = 3 * 2**20  # per id-block slot (x2 double buffer)
+# total VMEM budget for the streamed-a5 double buffers (id + (M, S)
+# slots together).  On-chip sweep at 512^3 (tpu_round5_results2.json
+# j3b): slot 3 MB -> 2379 ms, 5 MB -> 2100, 8 MB -> 2024 (bigger blocks
+# re-march fewer boundary chunks per tile); 10 MB total keeps ~6 MB of
+# compute headroom and caps the LIT case (where the ms pack shares the
+# budget) at the proven block size.
+_A5_STREAM_BUDGET = 10 * 2**20
 
 
 def a5_stream_geometry(
-    dims: Tuple[int, int, int], num_intervals: int
+    dims: Tuple[int, int, int], num_intervals: int, lit: bool = False
 ) -> Tuple[int, int, int, int, int] | None:
     """(zw, ypack, nyg, block_x, nxb) for STREAMING the 4-bit a5 id grid
     per x-block (round-4 VERDICT item 4: 512^3-class a5 whose id grid
     exceeds the resident a5_packed_geometry budget), or None when the
-    packed layout itself cannot apply (z > 1023 / K > 16)."""
+    packed layout itself cannot apply (z > 1023 / K > 16).  ``lit``
+    shares the budget with the u8 (M, S) block slots (they ride the
+    same block index)."""
     d1, d2, d3 = dims
     if num_intervals > 16:
         return None
@@ -796,7 +804,10 @@ def a5_stream_geometry(
     ypack = min(128 // zw, d2)
     nyg = -(-d2 // ypack)
     per_plane = nyg * 128 * 4
-    block_x = max(8, (_A5_ID_SLOT_BUDGET // per_plane - 1) // 8 * 8)
+    if lit:
+        per_plane += d2 * (-(-d3 // 256)) * 512  # pack_ms_grid bytes
+    block_x = max(8, (_A5_STREAM_BUDGET // (2 * per_plane) - 2)
+                  // 8 * 8)
     block_x = min(block_x, _pad_to(d1, 8))
     d1p = _pad_to(d1, block_x)
     return zw, ypack, nyg, block_x, d1p // block_x
@@ -866,7 +877,10 @@ def render_test_pallas(
     if d3 > 127:
         zpack = a5_packed_geometry(volume.dims, tf.num_intervals)
         if zpack is None or id_stream_block is not None:
-            geo = a5_stream_geometry(volume.dims, tf.num_intervals)
+            geo = a5_stream_geometry(
+                volume.dims, tf.num_intervals,
+                lit=(bool(config.lighting) or bool(config.scattering)
+                     or light is not None))
             if geo is None:
                 raise ValueError(
                     f"a5 pallas path: dims {volume.dims} / "
