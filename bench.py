@@ -361,13 +361,19 @@ def main() -> None:
             out["ab"] = ab
             if ab.get("verdict") == "rig_noise":
                 # the same-rhythm A/B proved the old code reads the same
-                # on this rig right now: below-floor THROUGHPUT entries
-                # are rig state, not drift — record them, don't fail the
-                # gate (config errors and parity failures still do)
-                kept = [r for r in regressed if "< floor" not in r]
+                # on this rig right now — but it only MEASURES the
+                # headline path, so only the headline/exact floor gates
+                # may be waived by it; matrix-config regressions (their
+                # kernels are disjoint from the headline's) still fail
+                def _waivable(r):
+                    return ("< floor" in r
+                            and (r.startswith("headline:")
+                                 or r.startswith("exact:")))
+
+                kept = [r for r in regressed if not _waivable(r)]
                 if len(kept) != len(regressed):
                     out["below_floor_rig_noise"] = [
-                        r for r in regressed if "< floor" in r]
+                        r for r in regressed if _waivable(r)]
                 regressed = kept
 
     out["regressed"] = regressed

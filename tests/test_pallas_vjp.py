@@ -434,3 +434,46 @@ def test_multichannel_diff_matches_xla(scene):
         assert np.abs(g1[:, :3]).max() == 0.0  # rgb is data-derived
         np.testing.assert_allclose(
             g2, g1, rtol=1e-4, atol=float(np.abs(g1).max()) * 1e-4)
+
+
+def test_scatter_diff_density_scale_and_hg(scene):
+    """Round-5 review regressions: (a) a static density_scale != 1 must
+    not double-apply in the scatter bake's T_light (the driver pre-folds
+    it into the alpha column; the bake runs at density 1); (b) tf.hg_g
+    receives exact cotangents through the phase term (tangent probes).
+    The empty interval's folded alpha sits exactly at the clip boundary,
+    where max/min tie-breaking makes subgradient choices differ ~1e-3
+    relative between the two compositions — a.e.-equal, tolerated."""
+    from volumerenderingproject_tpu.ops.pallas_march_vjp import (
+        render_vrc_pallas_diff_scatter,
+    )
+
+    volume, tf0, cam, cfg0, target = scene
+    hg = np.asarray(tf0.hg_g).copy()
+    hg[:] = ([0.0, 0.3, -0.2, 0.5] * 4)[: hg.shape[0]]
+    tf = TransferFunction(tf0.lower, tf0.upper, tf0.colors,
+                          jnp.asarray(hg))
+    cfg = cfg0.replace(scattering=True, density_scale=1.7)
+
+    def loss(colors, hgv, fused):
+        tf2 = TransferFunction(tf.lower, tf.upper, colors, hgv)
+        if fused:
+            img = render_vrc_pallas_diff_scatter(
+                volume, tf2, cam, cfg, interpret=True)
+        else:
+            img = render_vrc(volume, tf2, cam, cfg, mode="fast")
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    want = np.asarray(render_vrc(volume, tf, cam, cfg, mode="fast"))
+    got = np.asarray(render_vrc_pallas_diff_scatter(
+        volume, tf, cam, cfg, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    gc1, gh1 = jax.grad(loss, argnums=(0, 1))(tf.colors, tf.hg_g, False)
+    gc2, gh2 = jax.grad(loss, argnums=(0, 1))(tf.colors, tf.hg_g, True)
+    np.testing.assert_allclose(
+        np.asarray(gc2), np.asarray(gc1), rtol=2e-3,
+        atol=float(np.abs(np.asarray(gc1)).max()) * 1e-4)
+    assert np.abs(np.asarray(gh1)).max() > 0
+    np.testing.assert_allclose(
+        np.asarray(gh2), np.asarray(gh1), rtol=1e-4,
+        atol=float(np.abs(np.asarray(gh1)).max()) * 1e-4)

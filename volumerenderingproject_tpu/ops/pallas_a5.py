@@ -1409,14 +1409,14 @@ def _a5_bwd_kernel(
     dcol_ref[0, 0] = dc
 
 
-def a5_diff_pallas_eligible(volume: Volume, tf: TransferFunction,
-                            config: RenderConfig) -> bool:
-    """Static predicate for the fused differentiable a5 path (TF-color
-    gradients; bounds/volume grads are zero a.e. for the piecewise-
-    constant per-corner classify)."""
+def a5_diff_config_ok(volume: Volume, tf: TransferFunction,
+                      config: RenderConfig) -> bool:
+    """Backend-independent half of the a5 diff eligibility: plain a5
+    classify on a layout the diff kernels implement.  Shared with the
+    sharded predicate (parallel/render_dist._diff_segment_eligible),
+    which substitutes its own backend/interpret check."""
     return (
-        jax.default_backend() == "tpu"
-        and volume.channels == 1
+        volume.channels == 1
         and not config.lighting
         and not config.scattering
         and tf.num_intervals <= 16
@@ -1424,6 +1424,15 @@ def a5_diff_pallas_eligible(volume: Volume, tf: TransferFunction,
              or a5_packed_geometry(volume.dims, tf.num_intervals)
              is not None)
     )
+
+
+def a5_diff_pallas_eligible(volume: Volume, tf: TransferFunction,
+                            config: RenderConfig) -> bool:
+    """Static predicate for the fused differentiable a5 path (TF-color
+    gradients; bounds/volume grads are zero a.e. for the piecewise-
+    constant per-corner classify)."""
+    return (jax.default_backend() == "tpu"
+            and a5_diff_config_ok(volume, tf, config))
 
 
 @functools.lru_cache(maxsize=32)

@@ -2099,6 +2099,50 @@ def _streamed_visibility(
     return vis_i.reshape(-1), eff.reshape(-1)
 
 
+def streamed_block_extents(
+    occ: jnp.ndarray,
+    nb: Tuple[int, int, int],
+    dims: Tuple[int, int, int],
+    depth: int,
+    block_x: int,
+    nxb: int,
+    alpha0: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-block ray-space x extents [2 * nxb] for the manual-DMA block
+    loops: block geometry ∩ the occupied brick range, alpha0-gated (when
+    TF(0).alpha > 0 every sample renders and nothing may be clipped) —
+    sparse scenes skip whole blocks (inverted interval) and shrink the
+    chunk range of the rest.  Shared by the forward streamed driver and
+    the streamed diff core (ops/pallas_march_vjp._diff_streamed_tiles)
+    so the two float-sensitive derivations cannot drift."""
+    d1 = dims[0]
+    nbx_b = nb[0]
+    bpb = block_x // BRICK
+    occ_any = (occ.reshape(nb).max(axis=(1, 2)) > 0)
+    occ_any = jnp.pad(occ_any, (0, nxb * bpb - nbx_b))
+    rb = occ_any.reshape(nxb, bpb)
+    bidx = jnp.arange(bpb)
+    has = jnp.any(rb, axis=1)
+    first = jnp.min(jnp.where(rb, bidx, bpb), axis=1)
+    last = jnp.max(jnp.where(rb, bidx, -1), axis=1)
+    karr = jnp.arange(nxb, dtype=_f32) * np.float32(block_x)
+    Lf = np.float32(max(dims))
+    nf = np.float32(2.0 ** depth)
+    hg0 = np.float32(Lf / 2) - np.float32(d1 / 2)
+    xlo = karr + first.astype(_f32) * np.float32(BRICK)
+    xhi = karr + (last + 1).astype(_f32) * np.float32(BRICK)
+    geo_lo = (hg0 + karr) / Lf - 0.5
+    geo_hi = (hg0 + karr + np.float32(block_x)) / Lf + 1.0 / nf - 0.5
+    occ_lo = (hg0 + xlo) / Lf - 0.5
+    occ_hi = (hg0 + xhi) / Lf + 1.0 / nf - 0.5
+    unsafe = alpha0 > 0.0
+    lo_r = jnp.where(unsafe, geo_lo,
+                     jnp.where(has, jnp.maximum(occ_lo, geo_lo), 1e9))
+    hi_r = jnp.where(unsafe, geo_hi,
+                     jnp.where(has, jnp.minimum(occ_hi, geo_hi), -1e9))
+    return jnp.stack([lo_r, hi_r], axis=-1).reshape(-1)
+
+
 def render_vrc_pallas_streamed(
     volume: Volume,
     tf: TransferFunction,
@@ -2448,35 +2492,9 @@ def render_vrc_pallas_streamed(
     elif manual:
         # one invocation per tile; the kernel streams blocks itself with
         # double-buffered DMA (see _march_kernel manual_stream).
-        # Per-block ray-space x extents = block geometry ∩ the occupied
-        # brick range (alpha0-gated: when TF(0).alpha > 0 every sample
-        # renders and nothing may be clipped) — sparse scenes skip whole
-        # blocks and shrink the chunk range of the rest.
-        nbx_b = nb[0]
-        bpb = block_x // BRICK
-        occ_any = (occ.reshape(nb).max(axis=(1, 2)) > 0)
-        occ_any = jnp.pad(occ_any, (0, nxb * bpb - nbx_b))
-        rb = occ_any.reshape(nxb, bpb)
-        bidx = jnp.arange(bpb)
-        has = jnp.any(rb, axis=1)
-        first = jnp.min(jnp.where(rb, bidx, bpb), axis=1)
-        last = jnp.max(jnp.where(rb, bidx, -1), axis=1)
-        karr = jnp.arange(nxb, dtype=_f32) * np.float32(block_x)
-        Lf = np.float32(max(volume.dims))
-        nf = np.float32(2.0 ** volume.octree_depth)
-        hg0 = np.float32(Lf / 2) - np.float32(d1 / 2)
-        xlo = karr + first.astype(_f32) * np.float32(BRICK)
-        xhi = karr + (last + 1).astype(_f32) * np.float32(BRICK)
-        geo_lo = (hg0 + karr) / Lf - 0.5
-        geo_hi = (hg0 + karr + np.float32(block_x)) / Lf + 1.0 / nf - 0.5
-        occ_lo = (hg0 + xlo) / Lf - 0.5
-        occ_hi = (hg0 + xhi) / Lf + 1.0 / nf - 0.5
-        unsafe = alpha0 > 0.0
-        lo_r = jnp.where(unsafe, geo_lo,
-                         jnp.where(has, jnp.maximum(occ_lo, geo_lo), 1e9))
-        hi_r = jnp.where(unsafe, geo_hi,
-                         jnp.where(has, jnp.minimum(occ_hi, geo_hi), -1e9))
-        bext = jnp.stack([lo_r, hi_r], axis=-1).reshape(-1)
+        bext = streamed_block_extents(
+            occ, nb, volume.dims, volume.octree_depth, block_x, nxb,
+            alpha0)
 
         ms_in = ([pl.BlockSpec(memory_space=pl.ANY)] if lit else [])
         ms_scratch = ([

@@ -1198,7 +1198,7 @@ def _zero_cot_pub(x):
 @functools.lru_cache(maxsize=32)
 def _make_scatter_core(dims, depth, num_intervals, width, height, spr,
                        nb, rows, interpret, zpack, lighting,
-                       gradient_filter, presmooth_sigma, density_scale,
+                       gradient_filter, presmooth_sigma,
                        scattering_strength, local_width=None):
     """Scattering-differentiable wrapper over the baked core (round-4
     VERDICT item 7): single-scattering rides the baked additive (S) slot
@@ -1212,10 +1212,12 @@ def _make_scatter_core(dims, depth, num_intervals, width, height, spr,
 
         dL/d(alpha_k) += <g_rgb, core(S -> dS/d alpha_k) - core(S -> 0)>
 
-    — K + 1 extra forward kernel calls in the backward (the direct
-    classify/recurrence part comes from the baked core's own vjp).
-    Reference counterpart: LightInteraction.h:10-35 + the per-material
-    HG g (Material.h:14-23) finally made trainable."""
+    and the same probe per HG-g entry (S's phase term), so both the
+    alpha column AND tf.hg_g receive exact cotangents — 2K + 1 extra
+    forward kernel calls in the backward (the direct classify/
+    recurrence part comes from the baked core's own vjp).  Reference
+    counterpart: LightInteraction.h:10-35 + the per-material HG g
+    (Material.h:14-23) finally made trainable."""
     from .pallas_march import (
         _stage_f32_rows,
         bake_scatter_grid,
@@ -1226,9 +1228,13 @@ def _make_scatter_core(dims, depth, num_intervals, width, height, spr,
                       False, nb, rows, interpret, zpack, True,
                       local_width)
     d1, d2, d3 = dims
+    # density_scale is pinned to 1.0 here: the driver pre-folds the
+    # static density into the colors' alpha column, so the classify
+    # alpha inside bake_scatter_grid ALREADY carries it — passing the
+    # config value through would apply it twice to T_light
     bake_cfg = _RC(gradient_filter=gradient_filter,
                    presmooth_sigma=presmooth_sigma,
-                   density_scale=density_scale,
+                   density_scale=1.0,
                    scattering_strength=scattering_strength,
                    lighting=lighting, scattering=True)
 
@@ -1298,8 +1304,24 @@ def _make_scatter_core(dims, depth, num_intervals, width, height, spr,
 
         dalpha = jnp.stack([one(p) for p in range(num_intervals)])
         dcolors = dcolors.at[:num_intervals, 3].add(dalpha)
+
+        # the Henyey-Greenstein g table also shapes S (phase term):
+        # same affine-in-S trick, one tangent probe per interval's g
+        def S_hg(hg2):
+            return S_of(colors, lower, upper, hg2, data3d, light_vec,
+                        ray_dir, cal_g, cal_trunc, sgrid_light)
+
+        def one_hg(p):
+            e = jnp.zeros_like(hg).at[p].set(1.0)
+            _, dS = jax.jvp(S_hg, (hg,), (e,))
+            return dot_rgb(core(colors, lower, upper, scal, vol_rows,
+                                occ, mg_rows, stage(dS))) - base0
+
+        dhg = jnp.stack([one_hg(p) for p in range(num_intervals)])
+        dhg = jnp.concatenate(
+            [dhg, jnp.zeros((hg.shape[0] - num_intervals,), _f32)])
         z = jnp.zeros_like
-        return (dcolors, z(lower), z(upper), z(hg), z(scal),
+        return (dcolors, z(lower), z(upper), dhg, z(scal),
                 _zero_cot_pub(vol_rows), _zero_cot_pub(occ), z(data3d),
                 z(light_vec), z(ray_dir), z(cal_g), z(cal_trunc),
                 z(mgrid), z(sgrid_light))
@@ -1448,7 +1470,7 @@ def render_vrc_pallas_diff_scatter(
         volume.dims, volume.octree_depth, tf.num_intervals, w, h,
         config.samples_per_ray, nb, rows, bool(interpret), zpack,
         bool(config.lighting), config.gradient_filter,
-        float(config.presmooth_sigma), float(config.density_scale),
+        float(config.presmooth_sigma),
         float(config.scattering_strength))
     cr, cg, cb, t = scat(
         colors, tf.lower, tf.upper, tf.hg_g, scal, vol_rows, occ,
@@ -2000,36 +2022,25 @@ def _diff_streamed_tiles(
     occ, nb = brick_occupancy(data, tf_sg, cal_max_trunc, brick=brick)
     alpha0 = sg(tf_sg.classify(jnp.zeros((), _f32))[3])
 
-    # ---- forward block extents: occupancy ∩ geometry, alpha0-gated -----
+    # ---- forward block extents: occupancy ∩ geometry, alpha0-gated
+    # (the SAME derivation the forward streamed driver uses — shared
+    # helper so the two cannot drift)
+    from .pallas_march import streamed_block_extents
+
     L = float(max(volume.dims))
     n = float(2**volume.octree_depth)
-    nbx_b = nb[0]
-    bpb = block_x // BRICK
-    occ_any = (occ.reshape(nb).max(axis=(1, 2)) > 0)
-    occ_any = jnp.pad(occ_any, (0, nxb * bpb - nbx_b))
-    rb = occ_any.reshape(nxb, bpb)
-    bidx = jnp.arange(bpb)
-    has = jnp.any(rb, axis=1)
-    first = jnp.min(jnp.where(rb, bidx, bpb), axis=1)
-    last = jnp.max(jnp.where(rb, bidx, -1), axis=1)
+    bext = streamed_block_extents(
+        occ, nb, volume.dims, volume.octree_depth, block_x, nxb, alpha0)
+
+    # ---- backward OWNERSHIP extents: pure block geometry with the
+    # clamp sides open (no occupancy/alpha0 gating — gradients are
+    # nonzero where values are not)
     karr = jnp.arange(nxb, dtype=_f32) * np.float32(block_x)
     Lf = np.float32(L)
     nf = np.float32(n)
     hg0 = np.float32(Lf / 2) - np.float32(d1 / 2)
-    xlo = karr + first.astype(_f32) * np.float32(BRICK)
-    xhi = karr + (last + 1).astype(_f32) * np.float32(BRICK)
     geo_lo = (hg0 + karr) / Lf - 0.5
     geo_hi = (hg0 + karr + np.float32(block_x)) / Lf + 1.0 / nf - 0.5
-    occ_lo = (hg0 + xlo) / Lf - 0.5
-    occ_hi = (hg0 + xhi) / Lf + 1.0 / nf - 0.5
-    unsafe = alpha0 > 0.0
-    lo_r = jnp.where(unsafe, geo_lo,
-                     jnp.where(has, jnp.maximum(occ_lo, geo_lo), 1e9))
-    hi_r = jnp.where(unsafe, geo_hi,
-                     jnp.where(has, jnp.minimum(occ_hi, geo_hi), -1e9))
-    bext = jnp.stack([lo_r, hi_r], axis=-1).reshape(-1)
-
-    # ---- backward OWNERSHIP extents: clamp sides open ------------------
     own_lo = jnp.asarray(geo_lo).at[0].set(-3.0e38)
     own_hi = jnp.asarray(geo_hi).at[-1].set(3.0e38)
     bown = jnp.stack([own_lo, own_hi], axis=-1).reshape(-1)

@@ -209,18 +209,15 @@ def _diff_segment_eligible(
         return False
     if config.algorithm is Algorithm.TEST:
         # fused differentiable a5 segments (round-4 VERDICT item 3):
-        # rays/samples axes, plain a5 classify (XLA scan covers the rest)
-        from ..ops.pallas_a5 import a5_packed_geometry
+        # rays/samples axes, plain a5 classify (XLA scan covers the
+        # rest) — the config half of the predicate is shared with the
+        # single-device dispatch so the two cannot drift
+        from ..ops.pallas_a5 import a5_diff_config_ok
 
         return (
             slab_x is None
-            and not config.lighting
-            and not config.scattering
             and light is None
-            and tf.num_intervals <= 16
-            and (volume.dims[2] <= 127
-                 or a5_packed_geometry(volume.dims, tf.num_intervals)
-                 is not None)
+            and a5_diff_config_ok(volume, tf, config)
         )
     dims_local = (
         (slab_x, volume.dims[1], volume.dims[2])
@@ -426,34 +423,17 @@ def render_vrc_sharded(
                 vi = jax.lax.axis_index("volume")
                 baked_grids = None
                 if config.lighting:
-                    from ..ops import conv3d, phong
+                    from ..ops import phong
                     from ..ops.pallas_march import (
                         bake_light_grids_from_grad,
                     )
 
                     slab3d = vol_data.reshape(
                         (slab_x,) + volume.dims[1:3])
-                    hw = 2
-                    if config.presmooth_sigma > 0.0:
-                        hw = max(hw, 1 + max(
-                            1, int(3.0 * config.presmooth_sigma + 0.5)))
+                    hw = _slab_halo_width(config)
                     ext = _with_x_halo(slab3d, hw)
-                    if config.presmooth_sigma > 0.0:
-                        sm = conv3d.gaussian_smooth(
-                            ext, config.presmooth_sigma)
-                        gxg = (jnp.arange(-hw, slab_x + hw)
-                               + vi * slab_x)
-                        sm = jnp.where(
-                            ((gxg >= 0) & (gxg < volume.dims[0]))
-                            [:, None, None], sm, 0.0)
-                        if config.gradient_filter == "sobel":
-                            grad_ext = conv3d.sobel_gradient(sm)
-                        else:
-                            grad_ext = conv3d.central_difference_gradient(
-                                sm)
-                    else:
-                        grad_ext = conv3d.gradient_field(
-                            ext, config.gradient_filter, 0.0)
+                    grad_ext = _slab_gradient_from_ext(
+                        ext, config, hw, vi * slab_x, volume.dims[0])
                     grad = grad_ext[hw:hw + slab_x]
                     baked_grids = bake_light_grids_from_grad(
                         grad, phong.default_light(), -cam.front)
@@ -684,6 +664,39 @@ def _with_x_halo(slab: jnp.ndarray, hw: int, axis_name: str = "volume"
     return jnp.concatenate([left, slab, right], axis=0)
 
 
+def _slab_halo_width(config: RenderConfig) -> int:
+    """x-halo width for slab work units: hw = 2 baseline (the
+    a5/trilinear flat-wrap corner reach, kernel.cu:130) widened to the
+    Gaussian radius + 1 under presmoothing so owned voxels' smoothed
+    gradients see the replicated neighborhood."""
+    hw = 2
+    if config.presmooth_sigma > 0.0:
+        hw = max(hw, 1 + max(1, int(3.0 * config.presmooth_sigma + 0.5)))
+    return hw
+
+
+def _slab_gradient_from_ext(ext: jnp.ndarray, config: RenderConfig,
+                            hw: int, x0, d1: int) -> jnp.ndarray:
+    """Gradient normals [slab+2hw, Y, Z, 3] on a halo-extended x-slab,
+    matching the replicated pipeline exactly: under presmoothing the
+    smoothed field is zero-masked outside the global [0, d1) x range
+    before the gradient pass (the replicated gradient reads the
+    smoothed volume ZERO-padded at the boundary; smoothing leaks
+    nonzero values into the halo otherwise).  Shared by the XLA slab
+    segments and the diff slab segments' (M, S) bake so the two cannot
+    drift."""
+    from ..ops import conv3d
+
+    if config.presmooth_sigma > 0.0:
+        sm = conv3d.gaussian_smooth(ext, config.presmooth_sigma)
+        gx = jnp.arange(-hw, ext.shape[0] - hw) + x0
+        sm = jnp.where(((gx >= 0) & (gx < d1))[:, None, None], sm, 0.0)
+        if config.gradient_filter == "sobel":
+            return conv3d.sobel_gradient(sm)
+        return conv3d.central_difference_gradient(sm)
+    return conv3d.gradient_field(ext, config.gradient_filter, 0.0)
+
+
 def _render_segment_volume_slab(
     vol_slab: jnp.ndarray,
     cal_max: jnp.ndarray,
@@ -720,43 +733,20 @@ def _render_segment_volume_slab(
     need_halo = (
         a5 or shade_on or config.interp is not Interp.NEAREST
     )
-    # hw=2 baseline: the a5/trilinear-color corner fetch guards only
-    # flat < totaldim (kernel.cu:130), so a y-wrap AND z-wrap can
-    # compound into the row two x planes ahead of the sample's voxel;
-    # gradients need just +-1.  Presmoothed shading widens the halo to
-    # the Gaussian radius + 1 so owned voxels' smoothed gradients see
-    # the same neighborhood as the replicated volume (round 4: the
-    # presmooth-on-volume-axis exclusion lifted).
-    hw = 2
-    if shade_on and config.presmooth_sigma > 0.0:
-        hw = max(hw, 1 + max(1, int(3.0 * config.presmooth_sigma + 0.5)))
+    hw = _slab_halo_width(config) if shade_on else 2
     ext = _with_x_halo(slab3d, hw) if need_halo else None
     ext_flat = ext.reshape(-1) if need_halo else None
 
     shading = None
     if shade_on:
-        from ..ops import conv3d, phong
+        from ..ops import phong
 
         # gradient on the extended slab: owned voxels see the same
-        # neighborhood as the replicated volume (zero halos at the edges
-        # match conv3d's zero padding).  With presmoothing the stages
-        # run separately: the replicated path's gradient pass reads the
-        # smoothed field ZERO-padded at the volume boundary, so the
-        # smoothed ext must be zero-masked outside [0, d1) before the
-        # gradient pass (smoothing leaks nonzero values into the halo).
-        if config.presmooth_sigma > 0.0:
-            sm = conv3d.gaussian_smooth(ext, config.presmooth_sigma)
-            gx = jnp.arange(-hw, slab_x + hw) + x0
-            sm = jnp.where(
-                ((gx >= 0) & (gx < d1))[:, None, None], sm, 0.0)
-            if config.gradient_filter == "sobel":
-                grad_ext = conv3d.sobel_gradient(sm).reshape(-1, 3)
-            else:
-                grad_ext = conv3d.central_difference_gradient(
-                    sm).reshape(-1, 3)
-        else:
-            grad_ext = conv3d.gradient_field(
-                ext, config.gradient_filter, 0.0).reshape(-1, 3)
+        # neighborhood as the replicated volume (zero halos at the
+        # edges match conv3d's zero padding; presmooth masking inside
+        # the shared helper)
+        grad_ext = _slab_gradient_from_ext(
+            ext, config, hw, x0, d1).reshape(-1, 3)
         shading = (grad_ext,
                    light if light is not None else phong.default_light())
 
