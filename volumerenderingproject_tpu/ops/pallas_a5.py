@@ -53,6 +53,13 @@ from ..utils.config import RenderConfig
 from ..utils import transforms as T
 from .pallas_march import STEPS, TILE_PX, TILE_PY, _BIG, _iota, _pad_to
 
+# default a5 chunk depth (samples per [E=2*steps, 128] register chunk).
+# Round-5 on-chip sweep (/tmp and DESIGN §8e): 4 -> 16 steps is
+# value-IDENTICAL (per-sample in-order math) and amortizes the
+# per-chunk scalar bounds/loop fixed costs: MNI-1mm unlit 92.4 -> 71.9
+# ms, lit 271.6 -> 195.9 ms, 512^3 id-stream 2100 -> 1736 ms.
+A5_STEPS = 16
+
 _f32 = jnp.float32
 _i32 = jnp.int32
 
@@ -81,6 +88,7 @@ def _a5_kernel(
     block_x: int = 0,
     id_stream: bool = False,
     id_brm: int = 0,
+    steps: int = STEPS,
 ):
     """``baked_light``: Blinn-Phong on the containing voxel's gradient
     normal (models/raycast._a5_sample_fn lit branch) via per-voxel (M, S)
@@ -130,7 +138,12 @@ def _a5_kernel(
     out_r_ref, out_g_ref, out_b_ref, out_t_ref = rest
     d1, d2, d3 = dims
     total = d1 * d2 * d3
-    nchunks = -(-spr // STEPS)
+    # ``steps`` samples march per [E, 128] register chunk (256 rays/tile;
+    # E = 2*steps sublane rows).  Deeper chunks amortize the per-chunk
+    # scalar bounds/loop fixed costs — the value math is per-sample and
+    # in-order, so results are IDENTICAL for any depth.
+    E = 2 * steps
+    nchunks = -(-spr // steps)
     df = [np.float32(d) for d in dims]
     packed = zpack is not None
     if packed:
@@ -154,7 +167,7 @@ def _a5_kernel(
     ty = pl.program_id(1)
 
     # ---- slot decode (shared scheme with _march_kernel) -----------------
-    e = _iota(0) * 128 + _iota(1)
+    e = _iota(0, E) * 128 + _iota(1, E)
     s_idx = e // 256
     f = e % 256
     u = f // TILE_PY
@@ -181,7 +194,7 @@ def _a5_kernel(
 
     def classify(vn):
         """Ascending last-match-wins scan (TransferFunction.cu:46-55)."""
-        out = [jnp.full((8, 128), tf_colors_ref[0, c], _f32) for c in range(4)]
+        out = [jnp.full((E, 128), tf_colors_ref[0, c], _f32) for c in range(4)]
         for k in range(num_intervals):
             m = (vn >= tf_lower_ref[k]) & (vn <= tf_upper_ref[k])
             for c in range(4):
@@ -196,7 +209,7 @@ def _a5_kernel(
 
     def chunk_body(carry):
         ci, cr, cg, cb, t = carry
-        i_f = (s_start_i + ci * STEPS + s_idx).astype(_f32)
+        i_f = (s_start_i + ci * steps + s_idx).astype(_f32)
         p1z = i_f * s3
         p2 = [(q[c] + p1z * iv[c][2]) + iv[c][3] for c in range(3)]
         p3 = [p2[c] * L + m3[c] for c in range(3)]  # toVolume, baked affine
@@ -219,7 +232,7 @@ def _a5_kernel(
         ix1i, iy1i, iz1i = [a.astype(_i32) for a in (ix1, iy1, iz1)]
 
         valid = inside
-        neg1 = jnp.full((8, 128), -1, _i32)
+        neg1 = jnp.full((E, 128), -1, _i32)
         rid00 = jnp.where(valid, ixi * d2 + iyi, neg1)
         rid01 = jnp.where(valid, ixi * d2 + iy1i, neg1)
         rid10 = jnp.where(valid, ix1i * d2 + iyi, neg1)
@@ -254,7 +267,7 @@ def _a5_kernel(
                     cy = rymin + dyi
                     crow = cx * d2 + cy
                     rowv = vol_ref[pl.ds(crow, 1), :]
-                    bc = jnp.broadcast_to(rowv, (8, 128))
+                    bc = jnp.broadcast_to(rowv, (E, 128))
                     gz = jnp.take_along_axis(bc, lz, axis=1)
                     gz1 = jnp.take_along_axis(bc, lz1, axis=1)
                     out = (
@@ -272,9 +285,9 @@ def _a5_kernel(
                         # (the rid00 == crow select rejects misreads)
                         crowc = jnp.clip(crow, 0, d1 * d2 - 1)
                         bm = jnp.broadcast_to(
-                            mg_ref[pl.ds(crowc, 1), :], (8, 128))
+                            mg_ref[pl.ds(crowc, 1), :], (E, 128))
                         bs = jnp.broadcast_to(
-                            sg_ref[pl.ds(crowc, 1), :], (8, 128))
+                            sg_ref[pl.ds(crowc, 1), :], (E, 128))
                         out = out + (
                             jnp.where(rid00 == crow,
                                       jnp.take_along_axis(bm, lz, axis=1),
@@ -288,7 +301,7 @@ def _a5_kernel(
                 return jax.lax.fori_loop(0, rymax - rymin + 1, fy_loop, accs)
 
             nacc = 10 if baked_light else 8
-            zeros8 = tuple(jnp.zeros((8, 128), _f32) for _ in range(nacc))
+            zeros8 = tuple(jnp.zeros((E, 128), _f32) for _ in range(nacc))
             accs = jax.lax.fori_loop(0, rxmax - rxmin + 1, fx_loop, zeros8)
             acc8 = accs[:8]
 
@@ -359,7 +372,7 @@ def _a5_kernel(
                         crow = cx * nyg + cg
                         crowc = jnp.clip(crow, 0, nrows_grid - 1)
                         rowv = id_ref[pl.ds(crowc, 1), :]
-                        bc = jnp.broadcast_to(rowv, (8, 128))
+                        bc = jnp.broadcast_to(rowv, (E, 128))
                         out = []
                         for acc, (growid, lane, shift, _, _) in zip(
                                 accs, taps):
@@ -388,7 +401,7 @@ def _a5_kernel(
                         # rejects it
                         crowc = jnp.clip(crow, 0, nrows_grid - 1)
                         rowv = vol_ref[pl.ds(crowc, 1), :]
-                        bc = jnp.broadcast_to(rowv, (8, 128))
+                        bc = jnp.broadcast_to(rowv, (E, 128))
                         out = []
                         for acc, (growid, lane, shift, _, _) in zip(
                                 accs, taps):
@@ -403,13 +416,13 @@ def _a5_kernel(
 
                 nx_iters = rxmax - rxmin + 1
 
-            zeros8i = tuple(jnp.zeros((8, 128), _i32) for _ in range(8))
+            zeros8i = tuple(jnp.zeros((E, 128), _i32) for _ in range(8))
             ids8 = jax.lax.fori_loop(0, nx_iters, px_loop, zeros8i)
             ids8 = [jnp.where(fl < total, m, id0k)
                     for m, fl in zip(ids8, flats)]
 
             def classify_id(mid):
-                out = [jnp.full((8, 128), tf_colors_ref[0, c], _f32)
+                out = [jnp.full((E, 128), tf_colors_ref[0, c], _f32)
                        for c in range(4)]
                 for k in range(1, num_intervals):
                     m = mid == k
@@ -466,7 +479,7 @@ def _a5_kernel(
             def _ms_fetch(crow, acc):
                 crowc = jnp.clip(crow, 0, ms_brm - 1)
                 bm = jnp.broadcast_to(
-                    ms_ref[pl.ds(crowc, 1), :], (8, 128))
+                    ms_ref[pl.ds(crowc, 1), :], (E, 128))
                 w16 = jax.lax.shift_right_logical(
                     jnp.take_along_axis(bm, lane_ms, axis=1),
                     shift_ms) & 0xFFFF
@@ -495,7 +508,7 @@ def _a5_kernel(
                     0, rmsymax - rmsymin + 1, msy, acc)
 
             w16 = jax.lax.fori_loop(
-                0, rmsxmax - rmsxmin + 1, msx, jnp.zeros((8, 128), _i32))
+                0, rmsxmax - rmsxmin + 1, msx, jnp.zeros((E, 128), _i32))
             mval = jnp.where(
                 shade_ok,
                 (w16 & 255).astype(_f32) * scal_ref[27] + scal_ref[26],
@@ -513,11 +526,11 @@ def _a5_kernel(
             sa = sa * owned.astype(_f32)
 
         # ---- blend the 4 steps in order (front-to-back (C, T)) ----------
-        for s in range(STEPS):
+        for s in range(steps):
             lo = 2 * s
             a_s = sa[lo:lo + 2, :]
-            if spr % STEPS:
-                gate = ((ci * STEPS + s) < spr).astype(_f32)
+            if spr % steps:
+                gate = ((ci * steps + s) < spr).astype(_f32)
                 a_s = a_s * gate
             w_s = t * a_s
             cr = cr + w_s * sr[lo:lo + 2, :]
@@ -641,10 +654,10 @@ def _a5_kernel(
                                   jnp.where(isect, lim, -lim)), -lim, lim)
         # global sample index -> local chunk (i_local = i - s_start)
         c_lo = jnp.clip(
-            (jnp.floor(i_lo).astype(_i32) - s_start_i) // STEPS - 1,
+            (jnp.floor(i_lo).astype(_i32) - s_start_i) // steps - 1,
             0, nchunks)
         c_hi = jnp.clip(
-            (jnp.ceil(i_hi).astype(_i32) - s_start_i) // STEPS + 2,
+            (jnp.ceil(i_hi).astype(_i32) - s_start_i) // steps + 2,
             0, nchunks)
         return c_lo, c_hi
 
@@ -850,8 +863,11 @@ def render_test_pallas(
     s_count: int | None = None,
     segment: bool = False,
     id_stream_block: int | None = None,
+    steps: int | None = None,
 ) -> jnp.ndarray:
     """a5/TEST render via the fused Pallas kernel -> [W, H, 4].
+    ``steps`` = samples per register chunk (default STEPS; deeper chunks
+    amortize per-chunk fixed costs — value-identical, A/B on chip).
 
     Matches ``render_test(..., mode="fast")`` up to the early-termination
     epsilon and compiler float reassociation (``early_eps=0`` for exact
@@ -1049,6 +1065,7 @@ def render_test_pallas(
         block_x=bx,
         id_stream=id_mode,
         id_brm=id_brm,
+        steps=A5_STEPS if steps is None else steps,
     )
 
     vol_spec = (
