@@ -177,6 +177,27 @@ def main():
     scale = float(jnp.abs(g_x).max()) + 1e-12
     check("a5_diff_grads", g_p / scale, g_x / scale, 5e-3)
 
+    # a5 STREAMED diff (beyond-VMEM a5 training): forced small blocks so
+    # the backward's block-boundary/ownership/double-DMA machinery is
+    # gated on chip
+    from volumerenderingproject_tpu.ops.pallas_a5 import (
+        render_test_pallas_diff_streamed,
+    )
+
+    want_deep = render_test(vol_deep, tf, cam, cfg, mode="fast")
+    check("a5_streamed_diff_fwd",
+          render_test_pallas_diff_streamed(vol_deep, tf, cam, cfg,
+                                           id_stream_block=8),
+          want_deep, 2e-5)
+    g_p = jax.jit(jax.grad(loss(
+        lambda t2: render_test_pallas_diff_streamed(
+            vol_deep, t2, cam, cfg, id_stream_block=8))))(tf.colors)
+    g_x = jax.grad(loss(
+        lambda t2: render_test(vol_deep, t2, cam, cfg, mode="fast")))(
+            tf.colors)
+    scale = float(jnp.abs(g_x).max()) + 1e-12
+    check("a5_streamed_diff_grads", g_p / scale, g_x / scale, 5e-3)
+
     # a1 diff grads (fused custom_vjp)
     wanta1 = render_vrc(vol_small, tf, cam, cfg, mode="fast")
     check("a1_diff_fwd",

@@ -315,3 +315,66 @@ def test_a5_id_stream_blocks():
                 id_stream_block=8))
             err = np.abs(got - want).max()
             assert err <= tol, (pos, kw, err)
+
+
+def test_a5_streamed_diff_values_and_grads():
+    """Beyond-VMEM a5 training (render_test_pallas_diff_streamed): the
+    id grid streams per x-block through the custom_vjp core — values
+    equal the XLA a5 scan and TF-color gradients match jax.grad, across
+    multi-block decompositions, both march directions, and with
+    TF(0).alpha > 0 (out-of-volume samples owned by the edge blocks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from volumerenderingproject_tpu.ops.pallas_a5 import (
+        render_test_pallas_diff_streamed,
+    )
+    from volumerenderingproject_tpu.scene.transfer_function import (
+        TransferFunction,
+    )
+
+    rng = np.random.default_rng(17)
+    volume = make_volume(
+        rng.uniform(-30, 255, (24, 14, 150)).astype(np.float32))
+    tf0 = default_transfer_function()
+    # TF(0).alpha > 0: outside samples render AND carry gradients
+    colors0 = np.asarray(tf0.colors).copy()
+    colors0[0, 3] = 0.05
+    cfg = RenderConfig(width=20, height=14, samples_per_ray=24)
+    target = jnp.asarray(
+        rng.uniform(0, 1, size=(20, 14, 4)).astype(np.float32))
+
+    def loss(render_fn, tf):
+        def f(colors):
+            tf2 = TransferFunction(lower=tf.lower, upper=tf.upper,
+                                   colors=colors, hg_g=tf.hg_g)
+            img = render_fn(tf2)
+            return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+        return f
+
+    for pos in ((0.35, 0.45, 0.85), (-0.7, 0.2, 0.6)):
+        cam = Camera.initial(position=pos)
+        for c0a in (None, colors0):
+            tf = tf0 if c0a is None else TransferFunction(
+                lower=tf0.lower, upper=tf0.upper,
+                colors=jnp.asarray(c0a), hg_g=tf0.hg_g)
+            want = np.asarray(render_test(volume, tf, cam, cfg,
+                                          mode="fast"))
+            got = np.asarray(render_test_pallas_diff_streamed(
+                volume, tf, cam, cfg, interpret=True, id_stream_block=8))
+            np.testing.assert_allclose(
+                got, want, atol=1e-5, err_msg=str((pos, c0a is None)))
+
+            g_s = np.asarray(jax.grad(loss(
+                lambda t2: render_test_pallas_diff_streamed(
+                    volume, t2, cam, cfg, interpret=True,
+                    id_stream_block=8), tf))(tf.colors))
+            g_x = np.asarray(jax.grad(loss(
+                lambda t2: render_test(volume, t2, cam, cfg, mode="fast"),
+                tf))(tf.colors))
+            scale = np.abs(g_x).max() + 1e-12
+            np.testing.assert_allclose(
+                g_s, g_x, rtol=5e-3, atol=scale * 1e-4,
+                err_msg=str((pos, c0a is None)))
+            assert np.abs(g_x).max() > 0

@@ -685,3 +685,56 @@ def test_diff_segments_streamed_tier(scene, monkeypatch):
     np.testing.assert_allclose(got, ref, atol=1e-5)
     g2 = np.asarray(jax.grad(loss_sharded)(tf.colors))
     np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-7)
+
+
+def test_diff_segments_a5_streamed(monkeypatch):
+    """Beyond-VMEM a5 mesh training: when the packed id grid exceeds the
+    resident budget, rays/samples-axis fits run the ID-STREAMING
+    custom_vjp core (render_test_pallas_diff_streamed_segment) — grads
+    match the single-device XLA a5 scan."""
+    import volumerenderingproject_tpu.ops.pallas_a5 as a5mod
+    from volumerenderingproject_tpu.models.raycast import render_test
+    from volumerenderingproject_tpu.utils.config import Algorithm
+
+    rng = np.random.default_rng(23)
+    volume = make_volume(
+        rng.uniform(0.0, 255.0, size=(24, 14, 150)).astype(np.float32))
+    tf = default_transfer_function()
+    cam = Camera.initial(position=(0.4, 0.3, 0.9))
+    cfg = RenderConfig(width=16, height=6, samples_per_ray=24,
+                      algorithm=Algorithm.TEST)
+    target = jnp.zeros((cfg.width, cfg.height, 4), jnp.float32)
+
+    # force the beyond-VMEM tier on a test-sized volume: the resident
+    # packed grid "does not fit", and a small stream budget forces
+    # multi-block id streaming (block_x = 8 -> 3 blocks at d1 = 24)
+    monkeypatch.setattr(a5mod, "a5_packed_geometry",
+                        lambda dims, k: None)
+    monkeypatch.setattr(a5mod, "_A5_STREAM_BUDGET", 30_000)
+
+    ref = np.asarray(render_test(volume, tf, cam, cfg, mode="fast"))
+
+    def loss_single(colors):
+        tf2 = tf.__class__(tf.lower, tf.upper, colors, tf.hg_g)
+        img = render_test(volume, tf2, cam, cfg, mode="fast")
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_single)(tf.colors))
+    assert np.abs(g1).sum() > 0
+
+    for axes in ((2, 2, 1), (1, 4, 1)):
+        mesh = make_mesh(rays=axes[0], samples=axes[1], volume=axes[2])
+
+        def loss_sharded(colors):
+            tf2 = tf.__class__(tf.lower, tf.upper, colors, tf.hg_g)
+            img = render_vrc_sharded(
+                volume, tf2, cam, cfg, mesh, differentiable=True,
+                pallas_interpret=True)
+            return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+        got = np.asarray(render_vrc_sharded(
+            volume, tf, cam, cfg, mesh, differentiable=True,
+            pallas_interpret=True))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+        g2 = np.asarray(jax.grad(loss_sharded)(tf.colors))
+        np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-7)

@@ -136,11 +136,19 @@ def _render_with_density(volume, tf, camera, config, density, light=None):
         # eligible, the XLA scan otherwise)
         from ..ops.pallas_a5 import (
             a5_diff_pallas_eligible,
+            a5_diff_streamed_eligible,
             render_test_pallas_diff,
+            render_test_pallas_diff_streamed,
         )
 
         if light is None and a5_diff_pallas_eligible(volume, tf2, config):
             return render_test_pallas_diff(volume, tf2, camera, config)
+        if light is None and a5_diff_streamed_eligible(volume, tf2, config):
+            # beyond-VMEM a5 training: the 4-bit id grid streams per
+            # x-block through the custom_vjp core (forward once,
+            # backward twice) — 512^3-class a5 fits leave the XLA scan
+            return render_test_pallas_diff_streamed(
+                volume, tf2, camera, config)
         return raycast.render_test(
             volume, tf2, camera, config, mode="fast", light=light)
     from ..ops.pallas_march_vjp import (

@@ -1426,6 +1426,379 @@ def _a5_bwd_kernel(
     dcol_ref[0, 0] = dc
 
 
+def _a5_streamed_bwd_kernel(
+    # SMEM
+    scal_ref,
+    tf_lower_ref,
+    tf_upper_ref,
+    tf_colors_ref,
+    # HBM
+    vol_hbm_ref,  # [pad8((nxb*block_x + 2) * nyg), 128] i32 packed ids
+    # VMEM
+    g_r_ref, g_g_ref, g_b_ref, g_t_ref,
+    dcol_ref,
+    bufs_ref,  # scratch VMEM [2, id_brm, 128] i32
+    dma_sem_ref,  # scratch DMA sems [2]
+    *,
+    dims: Tuple[int, int, int],
+    num_intervals: int,
+    width: int,
+    height: int,
+    spr: int,
+    zpack: Tuple[int, int, int],
+    krows: int,
+    block_x: int,
+    nxb: int,
+    id_brm: int,
+    local_width: int | None = None,
+):
+    """Beyond-VMEM a5 backward: the id-streaming twin of
+    ``_a5_bwd_kernel`` (packed grids only — streaming exists exactly for
+    grids past the resident ``a5_packed_geometry`` budget).
+
+    The 4-bit interval-id grid stays in HBM and x-blocks stream through a
+    double-buffered VMEM scratch in visibility order (sign of the shared
+    per-frame x slope B = iv[0][2]*s3*L) — TWICE: pass A accumulates the
+    per-ray totals, pass B re-streams for the prefix re-march and the
+    per-interval gradient scatter.  Per-sample ownership is the forward
+    id_stream rule (the containing voxel's clipped x), so every sample —
+    including out-of-volume ones, which scatter into TF(0)'s interval —
+    is processed by exactly ONE block in global march order.  Unlike the
+    forward's ``crange``, the edge blocks extend to the clamp side
+    UNCONDITIONALLY (no TF(0).alpha gating): parameter gradients are
+    nonzero where values are not.  Matches
+    /root/reference/kernel.cu:72-187 at the kernel.cu:1036-1043 scale
+    point (the 3.92 GB sample buffer)."""
+    d1, d2, d3 = dims
+    total = d1 * d2 * d3
+    nchunks = -(-spr // STEPS)
+    df = [np.float32(d) for d in dims]
+    zw, ypack, nyg = zpack
+
+    s1 = scal_ref[0]
+    s2 = scal_ref[1]
+    s3 = scal_ref[2]
+    o1 = scal_ref[3]
+    o2 = scal_ref[4]
+    iv = [[scal_ref[7 + 4 * r + c] for c in range(4)] for r in range(3)]
+    m3 = [scal_ref[19 + c] for c in range(3)]
+    L = scal_ref[22]
+    id0k = scal_ref[23].astype(_i32)
+    x_off_i = scal_ref[24].astype(_i32)
+    s_start_i = scal_ref[25].astype(_i32)
+
+    tx = pl.program_id(0)
+    ty = pl.program_id(1)
+    e = _iota(0) * 128 + _iota(1)
+    s_idx = e // 256
+    f = e % 256
+    u = f // TILE_PY
+    v = f % TILE_PY
+    lw = width if local_width is None else local_width
+    lxp = tx * TILE_PX + u
+    pxi = lxp + x_off_i
+    pyi = ty * TILE_PY + v
+    pix_ok = (lxp < lw) & (pyi < height)
+    px = pxi.astype(_f32)
+    py = pyi.astype(_f32)
+    p1x = px * s1 + o1
+    p1y = py * s2 + o2
+    q = [p1x * iv[c][0] + p1y * iv[c][1] for c in range(3)]
+
+    g_r = g_r_ref[0, 0]
+    g_g = g_g_ref[0, 0]
+    g_b = g_b_ref[0, 0]
+    g_t = g_t_ref[0, 0]
+    gr4 = jnp.concatenate([g_r] * STEPS, axis=0)
+    gg4 = jnp.concatenate([g_g] * STEPS, axis=0)
+    gb4 = jnp.concatenate([g_b] * STEPS, axis=0)
+
+    # ---- block geometry: x = A_ray + B*i, shared slope (forward's
+    # ms/id_stream decomposition) -----------------------------------------
+    Bstep = iv[0][2] * s3 * L
+    fwdb = Bstep >= 0.0
+    big = jnp.asarray(3.4e38, _f32)
+    A = (q[0] + iv[0][3]) * L + m3[0]
+    Amin = jnp.min(jnp.where(pix_ok, A, big))
+    Amax = jnp.max(jnp.where(pix_ok, A, -big))
+
+    def bk_of(kvis):
+        return jnp.clip(jnp.where(fwdb, kvis, nxb - 1 - kvis),
+                        0, nxb - 1).astype(_i32)
+
+    def dma(slot, kvis):
+        bk = bk_of(kvis)
+        return pltpu.make_async_copy(
+            vol_hbm_ref.at[pl.ds(bk * block_x * nyg, id_brm), :],
+            bufs_ref.at[slot],
+            dma_sem_ref.at[slot],
+        )
+
+    def crange(bk):
+        """[c_lo, c_hi) chunks this block might OWN — the inverse affine
+        of its ownership x interval.  Edge blocks open on the clamp side
+        ALWAYS (the backward keeps out-of-volume samples' TF(0) grads)."""
+        bx0f = bk.astype(_f32) * np.float32(block_x)
+        xlo = bx0f - 1.0
+        xhi = bx0f + np.float32(block_x) + 1.0
+        xlo = jnp.where(bk == 0, -big, xlo)
+        xhi = jnp.where(bk == nxb - 1, big, xhi)
+        safe = jnp.abs(Bstep) > 1e-9
+        bdiv = jnp.where(safe, Bstep, 1.0)
+        cands = [(xlo - Amin) / bdiv, (xlo - Amax) / bdiv,
+                 (xhi - Amin) / bdiv, (xhi - Amax) / bdiv]
+        i_lo = jnp.minimum(jnp.minimum(cands[0], cands[1]),
+                           jnp.minimum(cands[2], cands[3]))
+        i_hi = jnp.maximum(jnp.maximum(cands[0], cands[1]),
+                           jnp.maximum(cands[2], cands[3]))
+        isect = (Amax >= xlo) & (Amin <= xhi)
+        lim = np.float32(1e7)
+        i_lo = jnp.clip(jnp.where(safe, i_lo - 1.0,
+                                  jnp.where(isect, -lim, lim)), -lim, lim)
+        i_hi = jnp.clip(jnp.where(safe, i_hi + 1.0,
+                                  jnp.where(isect, lim, -lim)), -lim, lim)
+        c_lo = jnp.clip(
+            (jnp.floor(i_lo).astype(_i32) - s_start_i) // STEPS - 1,
+            0, nchunks)
+        c_hi = jnp.clip(
+            (jnp.ceil(i_hi).astype(_i32) - s_start_i) // STEPS + 2,
+            0, nchunks)
+        c_hi = jnp.maximum(c_hi, c_lo)
+        return c_lo, c_hi
+
+    def sample_chunk(ci, id_ref, bx0):
+        """(a, gdotc, coeffs[K]) for chunk ci against block bx0 — the
+        packed branch of _a5_bwd_kernel.sample_chunk with the block's
+        VMEM slot as the row source and the id_stream ownership gate."""
+        i_f = (s_start_i + ci * STEPS + s_idx).astype(_f32)
+        p1z = i_f * s3
+        p2 = [(q[c] + p1z * iv[c][2]) + iv[c][3] for c in range(3)]
+        p3 = [p2[c] * L + m3[c] for c in range(3)]
+        inside = pix_ok
+        for c in range(3):
+            inside &= (p3[c] >= 0.0) & (p3[c] < df[c])
+        ix = jnp.trunc(p3[0]); iy = jnp.trunc(p3[1]); iz = jnp.trunc(p3[2])
+        ix1 = jnp.trunc(p3[0] + 1.0)
+        iy1 = jnp.trunc(p3[1] + 1.0)
+        iz1 = jnp.trunc(p3[2] + 1.0)
+        fx = p3[0] - ix
+        fy = p3[1] - iy
+        fz = p3[2] - iz
+        ixi, iyi, izi = [a.astype(_i32) for a in (ix, iy, iz)]
+        ix1i, iy1i, iz1i = [a.astype(_i32) for a in (ix1, iy1, iz1)]
+        # ownership: the containing voxel's clipped x (forward id_stream
+        # rule — out-of-volume samples belong to the edge blocks)
+        oxi = jnp.clip(ixi, 0, d1 - 1)
+        owned = pix_ok & (oxi >= bx0) & (oxi < bx0 + block_x)
+        valid = inside & owned
+        neg1 = jnp.full((8, 128), -1, _i32)
+        rid00 = jnp.where(valid, ixi * d2 + iyi, neg1)
+        rid01 = jnp.where(valid, ixi * d2 + iy1i, neg1)
+        rid10 = jnp.where(valid, ix1i * d2 + iyi, neg1)
+        rid11 = jnp.where(valid, ix1i * d2 + iy1i, neg1)
+        rids = (rid00, rid01, rid10, rid11)
+        flats = (
+            rid00 * d3 + izi, rid00 * d3 + iz1i,
+            rid01 * d3 + izi, rid01 * d3 + iz1i,
+            rid10 * d3 + izi, rid10 * d3 + iz1i,
+            rid11 * d3 + izi, rid11 * d3 + iz1i,
+        )
+
+        corners_xy = ((ixi, iyi), (ixi, iy1i), (ix1i, iyi),
+                      (ix1i, iy1i))
+        taps = []
+        for (cxi, cyi), rid in zip(corners_xy, rids):
+            wrapn = (cyi == d2).astype(_i32)
+            rx = cxi + wrapn
+            ry = jnp.where(wrapn == 1, 0, cyi)
+            ry = jnp.where(rid >= 0, ry, 0)
+            g = ry // ypack
+            g = jnp.where(ry >= (g + 1) * ypack, g + 1, g)
+            g = jnp.where(ry < g * ypack, g - 1, g)
+            growid = jnp.where(rid >= 0, rx * nyg + g, -1)
+            base_lane = (ry - g * ypack) * zw
+            for izv in (izi, iz1i):
+                izc = jnp.where(valid, jnp.clip(izv, 0, d3), 0)
+                lane = jnp.where(valid, base_lane + (izc >> 3), 0)
+                shift = (izc & 7) * 4
+                taps.append((growid, lane, shift, rx, g))
+        rxmin = jnp.min(jnp.where(valid, taps[0][3], _BIG))
+        rxmax = jnp.max(jnp.where(valid, taps[6][3], -1))
+        gmin = jnp.min(jnp.where(
+            valid, jnp.minimum(taps[0][4], taps[2][4]), _BIG))
+        gmax = jnp.max(jnp.where(
+            valid, jnp.maximum(taps[0][4], taps[2][4]), -1))
+        # block-local rows: owned samples' taps reach at most x+2 (the
+        # y-wrap quirk), i.e. local plane block_x+1 — inside the slot
+        rowbase = bx0 * nyg
+        rxmin_l = jnp.clip(rxmin - bx0, 0, block_x + 1)
+        rxmax_l = jnp.clip(rxmax - bx0, 0, block_x + 1)
+
+        def px_loop(dxi, accs):
+            cx = rxmin_l + dxi
+
+            def pg_loop(dgi, accs):
+                cg = gmin + dgi
+                crow = cx * nyg + cg
+                crowc = jnp.clip(crow, 0, id_brm - 1)
+                rowv = id_ref[pl.ds(crowc, 1), :]
+                bc = jnp.broadcast_to(rowv, (8, 128))
+                out = []
+                for acc, (growid, lane, shift, _, _) in zip(accs, taps):
+                    wv = jnp.take_along_axis(bc, lane, axis=1)
+                    mid = jax.lax.shift_right_logical(wv, shift) & 15
+                    out.append(jnp.where(
+                        growid == crow + rowbase, mid, acc))
+                return tuple(out)
+
+            return jax.lax.fori_loop(0, gmax - gmin + 1, pg_loop, accs)
+
+        zeros8i = tuple(jnp.zeros((8, 128), _i32) for _ in range(8))
+        ids8 = list(jax.lax.fori_loop(
+            0, rxmax_l - rxmin_l + 1, px_loop, zeros8i))
+        ids8 = [jnp.where(fl < total, m, id0k)
+                for m, fl in zip(ids8, flats)]
+
+        wts = (
+            (1 - fy) * (1 - fx) * (1 - fz), (1 - fy) * (1 - fx) * fz,
+            fy * (1 - fx) * (1 - fz), fy * (1 - fx) * fz,
+            (1 - fy) * fx * (1 - fz), (1 - fy) * fx * fz,
+            fy * fx * (1 - fz), fy * fx * fz,
+        )
+        live = (((ci * STEPS + s_idx) < spr) & owned).astype(_f32)
+        insf = inside.astype(_f32)
+        coeffs = []
+        for k in range(num_intervals):
+            ck = jnp.zeros((8, 128), _f32)
+            for idc, wt in zip(ids8, wts):
+                ck = ck + jnp.where(idc == k, wt, 0.0)
+            ck = ck * insf + (1.0 - insf) * (id0k == k).astype(_f32)
+            coeffs.append(ck * live)
+        a = jnp.zeros((8, 128), _f32)
+        r = jnp.zeros((8, 128), _f32)
+        gc = jnp.zeros((8, 128), _f32)
+        b = jnp.zeros((8, 128), _f32)
+        for k in range(num_intervals):
+            r = r + coeffs[k] * tf_colors_ref[k, 0]
+            gc = gc + coeffs[k] * tf_colors_ref[k, 1]
+            b = b + coeffs[k] * tf_colors_ref[k, 2]
+            a = a + coeffs[k] * tf_colors_ref[k, 3]
+        gdotc = gr4 * r + gg4 * gc + gb4 * b
+        return a, gdotc, coeffs
+
+    def block_sweep(per_block, carry0):
+        dma(0, 0).start()
+
+        def body(it, carry):
+            k0 = it * 2
+            k1 = it * 2 + 1
+
+            @pl.when(k1 < nxb)
+            def _():
+                dma(1, k1).start()
+
+            dma(0, k0).wait()
+            carry = per_block(0, k0, carry)
+
+            @pl.when(k1 + 1 < nxb)
+            def _():
+                dma(0, k1 + 1).start()
+
+            @pl.when(k1 < nxb)
+            def _():
+                dma(1, k1).wait()
+
+            def late(c):
+                return per_block(1, k1, c)
+
+            return jax.lax.cond(k1 < nxb, late, lambda c: c, carry)
+
+        npairs = -(-nxb // 2)
+        return jax.lax.fori_loop(0, npairs, body, carry0)
+
+    ones = jnp.ones((2, 128), _f32)
+    zeros = jnp.zeros((2, 128), _f32)
+
+    # ---- pass A: totals -------------------------------------------------
+    def block_a(slot, kvis, carry):
+        bk = bk_of(kvis)
+        bx0 = bk * block_x
+        c_lo, c_hi = crange(bk)
+
+        def chunk_a(ci, carry):
+            t, tot = carry
+            a_all, gdotc_all, _ = sample_chunk(
+                ci, bufs_ref.at[slot], bx0)
+            for s in range(STEPS):
+                sl = slice(2 * s, 2 * s + 2)
+                a = a_all[sl]
+                tot = tot + (t * a) * gdotc_all[sl]
+                t = t * (1.0 - a)
+            return t, tot
+
+        def run(c):
+            return jax.lax.fori_loop(c_lo, c_hi, chunk_a, c)
+
+        live = jnp.max(carry[0]) > 0.0
+        return jax.lax.cond(live, run, lambda c: c, carry)
+
+    t_final, totalw = block_sweep(block_a, (ones, zeros))
+    bg_term = t_final * g_t
+
+    row_i = _iota(0, krows)
+    col_i = _iota(1, krows)
+
+    # ---- pass B: prefix re-march + scatter ------------------------------
+    def block_b(slot, kvis, carry):
+        bk = bk_of(kvis)
+        bx0 = bk * block_x
+        c_lo, c_hi = crange(bk)
+
+        def chunk_b(ci, carry):
+            t, pfx, dc = carry
+            a_all, gdotc_all, coeffs = sample_chunk(
+                ci, bufs_ref.at[slot], bx0)
+            w_list, da_list = [], []
+            for s in range(STEPS):
+                sl = slice(2 * s, 2 * s + 2)
+                a = a_all[sl]
+                gd = gdotc_all[sl]
+                w = t * a
+                pfx = pfx + w * gd
+                suffix = totalw - pfx
+                denom = 1.0 - a
+                num = suffix + bg_term
+                da = t * gd - jnp.where(denom != 0.0, num / denom, 0.0)
+                w_list.append(w)
+                da_list.append(da)
+                t = t * denom
+            w_all = jnp.concatenate(w_list, axis=0)
+            da_all = jnp.concatenate(da_list, axis=0)
+            for k in range(num_intervals):
+                ck = coeffs[k]
+                dr = jnp.sum(ck * w_all * gr4)
+                dg = jnp.sum(ck * w_all * gg4)
+                db = jnp.sum(ck * w_all * gb4)
+                dal = jnp.sum(ck * da_all)
+                upd = jnp.where(
+                    col_i == 0, dr,
+                    jnp.where(col_i == 1, dg,
+                              jnp.where(col_i == 2, db,
+                                        jnp.where(col_i == 3, dal, 0.0))))
+                dc = dc + jnp.where(row_i == k, upd, 0.0)
+            return t, pfx, dc
+
+        def run(c):
+            return jax.lax.fori_loop(c_lo, c_hi, chunk_b, c)
+
+        live = jnp.max(carry[0]) > 0.0
+        return jax.lax.cond(live, run, lambda c: c, carry)
+
+    _, _, dc = block_sweep(
+        block_b, (ones, zeros, jnp.zeros((krows, 128), _f32)))
+    dcol_ref[0, 0] = dc
+
+
 def a5_diff_config_ok(volume: Volume, tf: TransferFunction,
                       config: RenderConfig) -> bool:
     """Backend-independent half of the a5 diff eligibility: plain a5
@@ -1516,6 +1889,86 @@ def _make_a5_core(dims, num_intervals, width, height, spr, zpack, rows,
         dvol = (np.zeros(vol_rows.shape, jax.dtypes.float0)
                 if jnp.issubdtype(vol_rows.dtype, jnp.integer)
                 else jnp.zeros_like(vol_rows))
+        return (dcolors, z(lower), z(upper), z(scal), dvol)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+@functools.lru_cache(maxsize=32)
+def _make_a5_streamed_core(dims, num_intervals, width, height, spr, zpack,
+                           block_x, nxb, id_brm, interpret,
+                           local_width=None):
+    """custom_vjp'd ID-STREAMING a5 tile renderer (beyond-VMEM a5
+    training): (colors, lower, upper, scal, vol_rows) -> 4 tiles.  The
+    packed id grid stays in HBM (pl.ANY) and streams per x-block through
+    a double-buffered VMEM scratch — the forward is the existing
+    id_stream _a5_kernel (early_eps = 0 via scal[6]); the backward is
+    _a5_streamed_bwd_kernel, which streams every block TWICE."""
+    w_local = width if local_width is None else local_width
+    ntx = -(-w_local // TILE_PX)
+    nty = -(-height // TILE_PY)
+    krows = 8 if num_intervals <= 8 else 16
+
+    fwd_kernel = functools.partial(
+        _a5_kernel, dims=dims, num_intervals=num_intervals, width=width,
+        height=height, spr=spr, baked_light=False, zpack=zpack,
+        local_width=local_width, id_stream=True, id_brm=id_brm,
+        nxb=nxb, block_x=block_x)
+    bwd_kernel = functools.partial(
+        _a5_streamed_bwd_kernel, dims=dims, num_intervals=num_intervals,
+        width=width, height=height, spr=spr, zpack=zpack, krows=krows,
+        block_x=block_x, nxb=nxb, id_brm=id_brm, local_width=local_width)
+
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(4)]
+    vol_spec = pl.BlockSpec(memory_space=pl.ANY)
+    tile_spec = [pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM) for _ in range(4)]
+    tile_shape = [jax.ShapeDtypeStruct((ntx, nty, 2, 128), _f32)
+                  for _ in range(4)]
+    scratch = [pltpu.VMEM((2, id_brm, 128), jnp.int32),
+               pltpu.SemaphoreType.DMA((2,))]
+
+    def forward_tiles(colors, lower, upper, scal, vol_rows):
+        return tuple(pl.pallas_call(
+            fwd_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0, grid=(ntx, nty),
+                in_specs=smem + [vol_spec], out_specs=tile_spec,
+                scratch_shapes=scratch),
+            out_shape=tile_shape,
+            interpret=interpret,
+        )(scal, lower, upper, colors, vol_rows))
+
+    @jax.custom_vjp
+    def core(colors, lower, upper, scal, vol_rows):
+        return forward_tiles(colors, lower, upper, scal, vol_rows)
+
+    def core_fwd(colors, lower, upper, scal, vol_rows):
+        return (forward_tiles(colors, lower, upper, scal, vol_rows),
+                (colors, lower, upper, scal, vol_rows))
+
+    def core_bwd(res, g):
+        colors, lower, upper, scal, vol_rows = res
+        dtiles = pl.pallas_call(
+            bwd_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0, grid=(ntx, nty),
+                in_specs=smem + [vol_spec] + [
+                    pl.BlockSpec((1, 1, 2, 128), lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(4)
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, krows, 128), lambda i, j: (i, j, 0, 0),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=scratch),
+            out_shape=jax.ShapeDtypeStruct((ntx, nty, krows, 128), _f32),
+            interpret=interpret,
+        )(scal, lower, upper, colors, vol_rows, *g)
+        dcolors = dtiles.sum(axis=(0, 1))[:num_intervals, :4]
+        z = jnp.zeros_like
+        dvol = np.zeros(vol_rows.shape, jax.dtypes.float0)
         return (dcolors, z(lower), z(upper), z(scal), dvol)
 
     core.defvjp(core_fwd, core_bwd)
@@ -1625,6 +2078,182 @@ def render_test_pallas_diff_segment(
         volume, tf, camera, config, interpret=interpret,
         x_offset=x_offset, local_width=local_width,
         s_start=s_start, s_count=s_count)
+    return jnp.stack([cr, cg, cb], axis=-1), t[..., None]
+
+
+def a5_diff_streamed_eligible(volume: Volume, tf: TransferFunction,
+                              config: RenderConfig) -> bool:
+    """Static predicate for the ID-STREAMING differentiable a5 path:
+    beyond-VMEM a5 volumes (packed id grid past the resident
+    a5_packed_geometry budget, 512^3-class) train through the manual-DMA
+    custom_vjp core instead of falling to the XLA scan.  The resident
+    tier (a5_diff_pallas_eligible) is preferred when it fits; fit.py
+    tries it first."""
+    return (
+        jax.default_backend() == "tpu"
+        and volume.channels == 1
+        and not config.lighting
+        and not config.scattering
+        and tf.num_intervals <= 16
+        and volume.dims[2] > 127
+        and a5_packed_geometry(volume.dims, tf.num_intervals) is None
+        and a5_stream_geometry(volume.dims, tf.num_intervals) is not None
+    )
+
+
+def _a5_streamed_diff_tiles(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    interpret: bool = False,
+    x_offset=0,
+    local_width: int | None = None,
+    s_start=0,
+    s_count: int | None = None,
+    id_stream_block: int | None = None,
+):
+    """Differentiable ID-STREAMING a5 driver -> (cr, cg, cb, t) tiles.
+    ``id_stream_block`` overrides the auto block size (tests force
+    multi-block streaming on small volumes).
+
+    Packs the 4-bit interval-id grid once from the x-padded volume
+    (block grid + 2 margin planes, exactly as the forward id_stream
+    staging in render_test_pallas) with stop-gradient bounds — the grid
+    depends only on gradient-inert interval bounds, so TF-color
+    gradients through the custom_vjp core are exact.  The forward
+    streams each block once, the backward twice.  Matches
+    /root/reference/kernel.cu:72-187 + kernel.cu:1036-1043."""
+    d1, d2, d3 = volume.dims
+    if volume.channels != 1:
+        raise ValueError("a5 diff path supports single-channel volumes")
+    if config.lighting or config.scattering:
+        raise ValueError("a5 diff path is the plain a5 classify")
+    if tf.num_intervals > 16:
+        raise ValueError("a5 diff path supports at most 16 TF intervals")
+    if d3 <= 127:
+        raise ValueError(
+            "z <= 127 volumes use the resident f32 a5 diff path")
+    geo = a5_stream_geometry(volume.dims, tf.num_intervals)
+    if geo is None:
+        raise ValueError(
+            f"dims {volume.dims} / {tf.num_intervals} intervals do not "
+            "fit the packed id layout (z <= 1023)")
+    zw_, yp_, nyg_, bx, nxb = geo
+    if id_stream_block is not None:
+        if id_stream_block % 8:
+            raise ValueError("id_stream_block must be 8-aligned")
+        bx = id_stream_block
+        nxb = _pad_to(d1, bx) // bx
+    zpack = (zw_, yp_, nyg_)
+
+    import dataclasses as _dc
+
+    sg = jax.lax.stop_gradient
+    tf_sg = TransferFunction(lower=sg(tf.lower), upper=sg(tf.upper),
+                             colors=sg(tf.colors), hg_g=tf.hg_g)
+    d1p = nxb * bx
+    pad_x = d1p + 2 - d1
+    data_p = jnp.pad(volume.data.reshape(volume.dims),
+                     ((0, pad_x), (0, 0), (0, 0)))
+    vol_pad = _dc.replace(volume, data=data_p, dims=(d1p + 2, d2, d3))
+    vol_rows, id0 = a5_pack_id_grid(vol_pad, tf_sg, zpack)
+    id_brm = (bx + 2) * zpack[2]
+
+    w, h = config.width, config.height
+    w_local = w if local_width is None else local_width
+    s_count = config.samples_per_ray if s_count is None else s_count
+    iv = T.inverse(camera.look_at_origin_view())
+    L = float(volume.longest_dimension)
+    m3 = [volume.dims[c] / 2.0 - L / 2.0 + 0.5 * L for c in range(3)]
+    scal = jnp.concatenate([
+        jnp.asarray([
+            config.real_screen_width / config.width,
+            config.real_screen_height / config.height,
+            -config.viewplane_distance / config.samples_per_ray,
+            -config.real_screen_width / 2.0,
+            -config.real_screen_height / 2.0,
+        ], _f32),
+        jnp.asarray(volume.cal_max, _f32).reshape(1),
+        jnp.zeros((1,), _f32),  # early_eps pinned to 0
+        iv[:3, :4].reshape(-1).astype(_f32),
+        jnp.asarray(m3, _f32),
+        jnp.asarray([L], _f32),
+        id0.reshape(1),
+        jnp.asarray(x_offset, _f32)[None],
+        jnp.asarray(s_start, _f32)[None],
+    ])
+
+    core = _make_a5_streamed_core(
+        volume.dims, tf.num_intervals, w, h, s_count, zpack,
+        bx, nxb, id_brm, bool(interpret), local_width)
+    cr, cg, cb, t = core(tf.colors, tf.lower, tf.upper, scal, vol_rows)
+
+    ntx = -(-w_local // TILE_PX)
+    nty = -(-h // TILE_PY)
+
+    def unpack(a):
+        a = a.reshape(ntx, nty, TILE_PX, TILE_PY)
+        a = a.transpose(0, 2, 1, 3).reshape(ntx * TILE_PX, nty * TILE_PY)
+        return a[:w_local, :h]
+
+    return unpack(cr), unpack(cg), unpack(cb), unpack(t)
+
+
+def render_test_pallas_diff_streamed(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    interpret: bool = False,
+    id_stream_block: int | None = None,
+) -> jnp.ndarray:
+    """Beyond-VMEM a5 render -> [W, H, 4], differentiable w.r.t.
+    ``tf.colors`` through the ID-STREAMING custom_vjp core
+    (_make_a5_streamed_core): the 4-bit id grid stays in HBM, the
+    forward streams each x-block once and the backward twice —
+    512^3-class a5 fits leave the XLA scan floor.
+
+    Value-identical to ``render_test_pallas(..., early_eps=0,
+    id_stream_block=...)``; gradients match ``jax.grad`` through the XLA
+    a5 scan (a == 1 caveat as the a1 diff kernel).  No lighting/
+    scattering (fit those via the XLA path)."""
+    w, h = config.width, config.height
+    cr, cg, cb, t = _a5_streamed_diff_tiles(
+        volume, tf, camera, config, interpret=interpret,
+        id_stream_block=id_stream_block)
+    bg = jnp.asarray(config.background, _f32)
+    rgb = [c + t * bg[i] for i, c in enumerate((cr, cg, cb))]
+    return jnp.stack(rgb + [jnp.ones((w, h), _f32)], axis=-1)
+
+
+def render_test_pallas_diff_streamed_segment(
+    volume: Volume,
+    tf: TransferFunction,
+    camera: Camera,
+    config: RenderConfig,
+    *,
+    x_offset=0,
+    local_width: int | None = None,
+    s_start=0,
+    s_count: int | None = None,
+    interpret: bool = False,
+    id_stream_block: int | None = None,
+):
+    """Shard_map-friendly DIFFERENTIABLE id-streaming a5 work unit ->
+    (C, T) segment — the beyond-VMEM twin of
+    ``render_test_pallas_diff_segment``: a rays/samples-axis mesh fit of
+    a 512^3-class a5 volume runs the manual-DMA custom_vjp core on every
+    device instead of the XLA scan segments.  Matches
+    /root/reference/kernel.cu:72-187 + kernel.cu:1036-1043 under
+    shard_map transposition."""
+    cr, cg, cb, t = _a5_streamed_diff_tiles(
+        volume, tf, camera, config, interpret=interpret,
+        x_offset=x_offset, local_width=local_width,
+        s_start=s_start, s_count=s_count,
+        id_stream_block=id_stream_block)
     return jnp.stack([cr, cg, cb], axis=-1), t[..., None]
 
 

@@ -329,13 +329,15 @@ def render_vrc_sharded(
 
     use_streamed_seg = False
     use_streamed_diff = False
+    use_streamed_diff_a5 = False
     if use_pallas is None:
         if differentiable:
             use_pallas = _diff_segment_eligible(
                 volume, tf, config, slab_x, light, pallas_interpret)
             if not use_pallas and slab_x is None and light is None:
                 # beyond-VMEM training on rays/samples axes: the streamed
-                # custom_vjp core as the work unit (VERDICT r4 item 1b)
+                # custom_vjp cores as the work unit (VERDICT r4 item 1b;
+                # the a5 twin streams the 4-bit id grid per x-block)
                 from ..ops.pallas_march import streamed_geometry
 
                 backend_ok = (jax.default_backend() == "tpu"
@@ -354,6 +356,19 @@ def render_vrc_sharded(
                         volume.dims, tf.num_intervals,
                         block_bytes=6 * 2**20) is not None
                 )
+                if config.algorithm is Algorithm.TEST:
+                    from ..ops.pallas_a5 import a5_stream_geometry
+
+                    use_streamed_diff_a5 = (
+                        backend_ok
+                        and volume.channels == 1
+                        and not config.lighting
+                        and not config.scattering
+                        and tf.num_intervals <= 16
+                        and volume.dims[2] > 127
+                        and a5_stream_geometry(
+                            volume.dims, tf.num_intervals) is not None
+                    )
         else:
             # an explicit light is threaded through the XLA segment paths
             # only (the fused segment kernel shades with the default light)
@@ -463,6 +478,27 @@ def render_vrc_sharded(
                 channels=volume.channels,
             )
             seg = render_vrc_pallas_diff_streamed_segment(
+                vol_local, tf_, cam, config,
+                x_offset=ri * w_local,
+                local_width=w_local,
+                s_start=si * s_local,
+                s_count=s_local,
+                interpret=pallas_interpret,
+            )
+        elif use_streamed_diff_a5 and differentiable:
+            from ..ops.pallas_a5 import (
+                render_test_pallas_diff_streamed_segment,
+            )
+
+            vol_local = Volume(
+                data=vol_data,
+                cal_max=cal_max,
+                cal_min=volume.cal_min,
+                pixdim=volume.pixdim,
+                dims=volume.dims,
+                channels=volume.channels,
+            )
+            seg = render_test_pallas_diff_streamed_segment(
                 vol_local, tf_, cam, config,
                 x_offset=ri * w_local,
                 local_width=w_local,
