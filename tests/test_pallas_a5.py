@@ -61,6 +61,36 @@ def test_a5_pallas_early_termination_close(scene):
     assert np.abs(early - exact).max() < 2e-3  # bounded by eps * max color
 
 
+def test_a5_steps_invariance(scene):
+    """Chunk depth (``steps``) must be value-identical at early_eps=0:
+    per-sample math is in-order, so depth only regroups the chunk loop.
+    On the chip this is BIT-exact (asserted by benchmarks/
+    tpu_round5_job7.py j7c_*); under interpret mode XLA:CPU contracts
+    fma differently per loop structure, leaving ~1e-7 reassociation
+    noise, so this guard uses a tight tolerance instead.  With early
+    termination ON the exit is checked per chunk, so stop points
+    quantize to the depth and depths may differ — but only by O(eps)
+    (the round-5 j7 chip sweep, DESIGN §8e).  Guards both halves of
+    that contract."""
+    volume, tf, cam, cfg = scene
+    base = np.asarray(
+        render_test_pallas(volume, tf, cam, cfg, early_eps=0.0,
+                           interpret=True, steps=16))
+    for steps in (4, 24):
+        got = np.asarray(
+            render_test_pallas(volume, tf, cam, cfg, early_eps=0.0,
+                               interpret=True, steps=steps))
+        np.testing.assert_allclose(got, base, atol=1e-6,
+                                   err_msg=f"steps={steps}")
+    et16 = np.asarray(
+        render_test_pallas(volume, tf, cam, cfg, early_eps=1e-3,
+                           interpret=True, steps=16))
+    et24 = np.asarray(
+        render_test_pallas(volume, tf, cam, cfg, early_eps=1e-3,
+                           interpret=True, steps=24))
+    assert np.abs(et24 - et16).max() < 2e-3  # bounded by eps * max color
+
+
 def test_a5_pallas_z_wrap_quirk():
     """A sample whose z+1 corner tap falls at z == d3 must read the NEXT
     row's first voxel (the reference's flat-index wrap, kernel.cu:129-159) —
